@@ -1,0 +1,203 @@
+"""Event-stream analytics over the ``events`` table (batch form).
+
+The reference's streaming job is a parse-and-print passthrough
+(reference streaming/spark_processor.py:37-47). The engine keeps its
+core operator — JSON parse against an explicit schema (SURVEY.md §2a
+row 3) — and adds the analytics an event pipeline actually needs:
+time-bucketed aggregation, sessionization, as-of correlation, and
+pivoting. The streaming formulations of the same logic live in
+``bigdata_riveranalysis_spark.streaming``; these batch twins are what
+the DuckDB oracle can difference-test (SURVEY.md §5 watch-list #1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bigdata_riveranalysis_spark.plans.registry import query
+from bigdata_riveranalysis_spark.sources.tables import load_table
+
+#: Explicit schema for the ``props`` JSON payload — declared, not
+#: inferred, matching the reference's fixed-schema philosophy
+#: (reference streaming/spark_processor.py:18-24).
+PROPS_SCHEMA = T.StructType([T.StructField("k", T.LongType(), True)])
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min session gap, microseconds
+
+
+@query(
+    "events_json_extract",
+    oracle="""
+    SELECT event_type,
+           count(*)                                                    AS n_events,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT))      AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON parse with explicit schema → typed aggregation.
+
+    The engine's version of the reference's from_json stage
+    (reference streaming/spark_processor.py:38), with the parsed
+    field actually used. from_json with a declared StructType prunes
+    to only the referenced field (OptimizeJsonExprs).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), PROPS_SCHEMA)["k"]
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.avg("k"), 4).alias("avg_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+@query(
+    "events_time_buckets",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           count(*)              AS n_events,
+           round(sum(value), 4)  AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day time buckets (batch twin of the streaming window agg).
+
+    Scale: time-bucket keys are low-cardinality per day — map-side
+    combine means the shuffle carries O(days × types) rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                         OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*)             AS n_events,
+           round(sum(value), 4) AS session_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-minute inactivity gap → session boundaries.
+
+    Classic lag + cumulative-sum pattern (batch twin of streaming
+    ``session_window``). Gap arithmetic is integer microseconds so
+    the oracle comparison is exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > SESSION_GAP_US), 1).otherwise(0),
+    )
+    wsum = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        flagged.withColumn("session_id", F.sum("new_session").over(wsum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+    )
+
+
+@query(
+    "events_asof_purchase_click",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id  AS user_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS us_since_click
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def events_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the most recent prior click.
+
+    Spark has no native ASOF JOIN (SURVEY.md §2b joins row); the
+    engine expresses it as a merged-stream window carry-forward:
+    union both event kinds, order by (ts, event_type) per user —
+    'click' < 'purchase' sorts clicks first at equal timestamps,
+    matching the oracle's `>=` as-of bound — and carry the last click
+    timestamp forward with last(ignorenulls). One shuffle on user_id;
+    no range-join explosion, skew-safe, works at any SF.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type").isin("click", "purchase"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_type")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.unix_micros(F.col("ts")))
+    with_last = ev.withColumn("last_click_us", F.last(click_ts, ignorenulls=True).over(w))
+    return (
+        with_last.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            (F.unix_micros(F.col("ts")) - F.col("last_click_us")).alias("us_since_click"),
+        )
+    )
+
+
+@query(
+    "events_pivot_daily",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS click,
+           sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS error,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+           sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS signup,
+           sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS view
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: daily event counts, one column per event type.
+
+    Explicit pivot value list → single-pass plan (no extra job to
+    discover distinct values), which also fixes the output schema —
+    required at scale and for a stable driver contract.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+        .fillna(0, subset=list(EVENT_TYPES))
+    )

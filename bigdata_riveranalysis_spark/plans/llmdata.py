@@ -1,0 +1,647 @@
+"""LLM-training-data pipeline operators over documents + embeddings.
+
+The charter's extension surface (BASELINE.json / SURVEY.md §2b last
+row): deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard),
+similarity search (brute-force + LSH-bucketed ANN), text analysis
+(quality scoring, token counting, fingerprinting, lang-id heuristic),
+and the multimodal binary-column pipeline.
+
+Determinism contract: all hashing is md5-derived (identical in Spark
+and DuckDB), all set arithmetic is integer-exact, so every operator
+here has a bit-exact SQL oracle — including the MinHash signatures
+themselves, not just the (corpus-dependent) duplicate pairs.
+
+Scale design notes:
+  * Pairwise work is always candidate-generated (shared shingle /
+    shared LSH band / shared bucket) — never an open cross join —
+    so the shuffle key is the shingle/band and the candidate set
+    stays near-linear when true duplicates are sparse.
+  * Hot shingles are the skew risk at 100 TB: the standard mitigation
+    (drop shingles with document frequency above a cap before the
+    pair join) is noted inline where it applies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from bigdata_riveranalysis_spark.functions import text as TX
+from bigdata_riveranalysis_spark.functions import vectors as VX
+from bigdata_riveranalysis_spark.plans.registry import query
+from bigdata_riveranalysis_spark.sources.tables import load_table
+
+NUM_MINHASHES = 8
+MINHASH_SHINGLE_N = 3  # word trigrams
+JACCARD_THRESHOLD = 0.5
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text)     AS content_hash,
+           min(doc_id)   AS canonical_id,
+           count(*)      AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content, min doc_id as canonical.
+
+    Scale: shuffles 16-byte digests, not documents — group on
+    md5(text), carry only doc_id. The canonical-id rule (min) makes
+    the result deterministic.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+
+def _minhash_signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id + mh0..mh{N-1} MinHash signature over distinct word-trigram
+    shingles. Docs with < 3 tokens have no shingles and are excluded."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = TX.tokens("text")
+    with_sh = (
+        docs.select("doc_id", F.array_distinct(TX.word_shingles(tok, MINHASH_SHINGLE_N)).alias("sh"), tok.alias("t"))
+        .filter(F.size("t") >= MINHASH_SHINGLE_N)
+        .drop("t")
+    )
+    cols = [TX.minhash_value(F.col("sh"), seed).alias(f"mh{seed}") for seed in range(NUM_MINHASHES)]
+    return with_sh.select("doc_id", *cols)
+
+
+def _minhash_signature_cte() -> str:
+    """DuckDB CTE computing the identical signature table."""
+    toks = TX.TOKENS_SQL.format(c="text")
+    sh = f"list_distinct({TX.word_shingles_sql('__TOK__', MINHASH_SHINGLE_N)})".replace("__TOK__", "t")
+    mh_cols = ",\n           ".join(
+        f"{TX.minhash_value_sql('sh', seed)} AS mh{seed}" for seed in range(NUM_MINHASHES)
+    )
+    return f"""
+    toks AS (
+        SELECT doc_id, {toks} AS t FROM documents
+    ),
+    shingled AS (
+        SELECT doc_id, {sh} AS sh FROM toks WHERE len(t) >= {MINHASH_SHINGLE_N}
+    ),
+    sig AS (
+        SELECT doc_id,
+           {mh_cols}
+        FROM shingled
+    )"""
+
+
+@query(
+    "minhash_signatures",
+    oracle=f"""
+    WITH {_minhash_signature_cte()}
+    SELECT * FROM sig
+    """,
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 hashes, salted-md5 family, word trigrams).
+
+    Registered separately from the pair query so the oracle validates
+    every signature bit-for-bit even when the corpus has few
+    near-duplicates.
+    """
+    return _minhash_signature_df(spark, sf_dir)
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_minhash_signature_cte()},
+    bands AS (
+        SELECT doc_id, 0 AS band, mh0 AS h1, mh1 AS h2 FROM sig
+        UNION ALL SELECT doc_id, 1, mh2, mh3 FROM sig
+        UNION ALL SELECT doc_id, 2, mh4, mh5 FROM sig
+        UNION ALL SELECT doc_id, 3, mh6, mh7 FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+        SELECT doc_a, doc_b,
+               ({" + ".join(f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(NUM_MINHASHES))})
+                   / {NUM_MINHASHES}.0 AS est_jaccard
+        FROM cand
+        JOIN sig sa ON sa.doc_id = doc_a
+        JOIN sig sb ON sb.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b, round(est_jaccard, 4) AS est_jaccard
+    FROM scored WHERE est_jaccard >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs via MinHash-LSH banding (4 bands × 2 rows).
+
+    Pipeline: signature → band keys → bucket self-join (the LSH
+    candidate generation) → signature-agreement score → threshold.
+
+    Scale: the self-join shuffles on (band, h1, h2) — true duplicates
+    hash to the same bucket, unrelated docs almost never do, so
+    candidate volume tracks the duplicate count, not n². Degenerate
+    hot buckets (boilerplate corpora) get the document-frequency cap
+    treatment before the join.
+    """
+    sig = _minhash_signature_df(spark, sf_dir)
+    sig_arr = sig.select("doc_id", F.array(*[F.col(f"mh{i}") for i in range(NUM_MINHASHES)]).alias("sig"))
+    bands = sig_arr.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.col("sig")[2 * b].alias("h1"),
+                        F.col("sig")[2 * b + 1].alias("h2"),
+                    )
+                    for b in range(NUM_MINHASHES // 2)
+                ]
+            )
+        ).alias("bk"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    matches = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+    est = matches / F.lit(float(NUM_MINHASHES))
+    return (
+        cand.select("doc_a", "doc_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round("est_jaccard", 4).alias("est_jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard near-dup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {TX.TOKENS_SQL.format(c="text")} AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, list_distinct({TX.word_shingles_sql("t", 2)}) AS s
+        FROM toks WHERE len(t) >= 2
+    ),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+    SELECT doc_a, doc_b,
+           round(n_common * 1.0 / (sa.n + sb.n - n_common), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-bigram Jaccard over shared-shingle candidate pairs.
+
+    Candidate generation = inverted-index self-join on distinct
+    bigrams (docs sharing zero shingles can't pass any positive
+    threshold, so skipping them is exact). Jaccard is integer
+    |∩| / (|A|+|B|-|∩|).
+
+    Scale: shuffle key is the shingle; at 100 TB add a
+    document-frequency cap on shingles (df > ~1e4 carries no signal
+    and causes quadratic hot buckets).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = TX.tokens("text")
+    sh = (
+        docs.select("doc_id", tok.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select("doc_id", F.array_distinct(TX.word_shingles(F.col("t"), 2)).alias("s"))
+    )
+    sizes = sh.select("doc_id", F.size("s").alias("n"))
+    ex = sh.select("doc_id", F.explode("s").alias("g"))
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")
+    sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def _simhash_col(tok: F.Column) -> F.Column:
+    """16-bit SimHash: per-bit ±1 votes over md5-hashed tokens
+    (with multiplicity), bit set iff the vote sum is positive."""
+    th = F.transform(
+        tok, lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long")
+    )
+    def bit_vote(i: int) -> F.Column:
+        # aggregate's merge lambda must take exactly (acc, x) — bind
+        # the bit index via closure, not a default arg.
+        def merge(acc: F.Column, h: F.Column) -> F.Column:
+            return acc + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+
+        return F.aggregate(th, F.lit(0), merge)
+
+    sim = F.lit(0).cast("long")
+    for i in range(SIMHASH_BITS):
+        sim = sim + F.when(bit_vote(i) > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sim
+
+
+def _simhash_sql() -> str:
+    h = "CAST(CAST(concat('0x', substr(md5(t), 1, 4)) AS UBIGINT) AS BIGINT)"
+    bit_terms = []
+    for i in range(SIMHASH_BITS):
+        vote = (
+            f"CAST(list_sum(list_transform(tk, t -> CASE WHEN (({h} >> {i}) & 1) = 1 "
+            f"THEN 1 ELSE -1 END)) AS BIGINT)"
+        )
+        bit_terms.append(f"(CASE WHEN {vote} > 0 THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(bit_terms) + ")"
+
+
+@query(
+    "simhash_signatures",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {TX.TOKENS_SQL.format(c="text")} AS tk FROM documents
+    )
+    SELECT doc_id, CAST({_simhash_sql()} AS BIGINT) AS simhash
+    FROM toks
+    """,
+)
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures (16-bit, token-level, md5 bit votes).
+
+    All-integer arithmetic → bit-exact oracle. Scale: embarrassingly
+    parallel single pass, no shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", _simhash_col(TX.tokens("text")).alias("simhash"))
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {TX.TOKENS_SQL.format(c="text")} AS tk FROM documents
+    ),
+    sig AS (
+        SELECT doc_id, CAST({_simhash_sql()} AS BIGINT) AS simhash FROM toks
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: Hamming distance ≤ 2 on 16-bit signatures.
+
+    The oracle-scale corpus is small enough for the quadratic
+    pair scan; the 100 TB path is multi-index banding (split the
+    signature into d+1 segments — a pair within Hamming d matches
+    exactly on ≥1 segment → equi-join per segment), same output.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sig = docs.select("doc_id", _simhash_col(TX.tokens("text")).alias("simhash"))
+    a, b = sig.alias("a"), sig.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_norms",
+    oracle=f"""
+    SELECT vec_id, label,
+           round(sqrt({VX.dot_sql("embedding", "embedding")}), 6) AS l2_norm
+    FROM embeddings
+    """,
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norms — the array-math primitive behind every similarity op.
+
+    Plain array<float> + higher-order functions; no VectorUDT, no
+    Python (SURVEY.md §7 watch-list #6).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", "label", F.round(VX.norm("embedding"), 6).alias("l2_norm"))
+
+
+@query(
+    "knn_bruteforce_cosine",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10
+    ),
+    pairs AS (
+        SELECT q.qid, e.vec_id AS nid,
+               {VX.cosine_sql("q.qe", "e.embedding")} AS cos
+        FROM q JOIN embeddings e ON e.vec_id <> q.qid
+    ),
+    ranked AS (
+        SELECT qid AS query_id, nid AS neighbor_id, cos,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+        FROM pairs
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for a 10-vector query set (ANN baseline).
+
+    Scale: the query side broadcasts (it's the small side by
+    construction), so the corpus is scanned exactly once with no
+    shuffle for the join; the per-query top-k is a window with a
+    pushed-down group limit. Brute force is the recall=1.0 baseline;
+    the scale path is ann_lsh_bucketed below.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        VX.cosine(F.col("qe"), F.col("embedding")).alias("cos"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rnk")
+    )
+
+
+@query(
+    "ann_lsh_bucketed",
+    oracle=f"""
+    WITH b AS (
+        SELECT vec_id, embedding,
+               {VX.sign_lsh_bucket_sql("embedding")} AS bucket
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qe, bucket FROM b WHERE vec_id < 10),
+    pairs AS (
+        SELECT q.qid, b.vec_id AS nid, q.bucket,
+               {VX.cosine_sql("q.qe", "b.embedding")} AS cos
+        FROM q JOIN b ON q.bucket = b.bucket AND b.vec_id <> q.qid
+    ),
+    ranked AS (
+        SELECT qid AS query_id, nid AS neighbor_id, bucket, cos,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+        FROM pairs
+    )
+    SELECT query_id, neighbor_id, bucket, round(cos, 6) AS cosine, rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via sign-LSH buckets (the 100 TB similarity path).
+
+    Vectors only compare within their 8-bit sign bucket → candidate
+    count drops ~256× vs brute force; recall is approximate by
+    design. The bucket code is deterministic (axis-aligned
+    hyperplanes) so the oracle reproduces it exactly.
+
+    Scale: bucket is the shuffle key; multi-probe (flipping low-margin
+    bits) raises recall without changing the plan shape.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = emb.select("vec_id", "embedding", VX.sign_lsh_bucket("embedding").alias("bucket"))
+    q = b.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "bucket"
+    )
+    pairs = b.join(F.broadcast(q), ["bucket"]).filter(F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "bucket",
+        VX.cosine(F.col("qe"), F.col("embedding")).alias("cos"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "neighbor_id", "bucket", F.round("cos", 6).alias("cosine"), "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in TX.STOPWORDS)
+
+
+@query(
+    "text_quality_scores",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, n_chars, {TX.TOKENS_SQL.format(c="text")} AS t FROM documents
+    ),
+    m AS (
+        SELECT doc_id, n_chars,
+               len(t) AS n_tokens,
+               len(list_distinct(t)) AS n_distinct_tokens,
+               CAST(list_sum(list_transform(t, s -> length(s))) AS BIGINT) AS token_chars,
+               len(list_filter(t, s -> s IN ({_STOP_SQL}))) AS n_stopwords
+        FROM toks
+    )
+    SELECT doc_id, n_tokens, n_distinct_tokens,
+           round(token_chars * 1.0 / n_tokens, 4)       AS avg_token_len,
+           round(n_stopwords * 1.0 / n_tokens, 4)       AS stopword_ratio,
+           round(n_distinct_tokens * 1.0 / n_tokens, 4) AS distinct_ratio,
+           CASE WHEN n_tokens >= 30 AND n_distinct_tokens * 1.0 / n_tokens >= 0.3 THEN 'good'
+                WHEN n_tokens >= 10 THEN 'fair'
+                ELSE 'poor' END AS quality_band
+    FROM m
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics + band (filtering signal for
+    training-data curation). Single narrow pass, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = TX.tokens("text")
+    stop_arr = F.array(*[F.lit(s) for s in TX.STOPWORDS])
+    m = docs.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_distinct_tokens"),
+        F.aggregate(F.transform(t, lambda s: F.length(s)), F.lit(0), lambda a, x: a + x).alias("token_chars"),
+        F.size(F.filter(t, lambda s: F.array_contains(stop_arr, s))).alias("n_stopwords"),
+    )
+    distinct_ratio = F.col("n_distinct_tokens") / F.col("n_tokens")
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        F.round(F.col("token_chars") / F.col("n_tokens"), 4).alias("avg_token_len"),
+        F.round(F.col("n_stopwords") / F.col("n_tokens"), 4).alias("stopword_ratio"),
+        F.round(distinct_ratio, 4).alias("distinct_ratio"),
+        F.when((F.col("n_tokens") >= 30) & (distinct_ratio >= 0.3), "good")
+        .when(F.col("n_tokens") >= 10, "fair")
+        .otherwise("poor")
+        .alias("quality_band"),
+    )
+
+
+@query(
+    "text_lang_stats",
+    oracle="""
+    SELECT lang, source,
+           count(*)                 AS n_docs,
+           round(avg(n_chars), 4)   AS avg_chars,
+           min(n_chars)             AS min_chars,
+           max(n_chars)             AS max_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition profile by (lang, source) — the first query
+    anyone runs on a crawl dump."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@query(
+    "token_count_regex",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\\s+'))           AS ws_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    (alpha runs / digit runs / other symbols) — the cheap token
+    estimator used for corpus sizing."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0))).alias(
+            "bpe_ish_tokens"
+        ),
+    )
+
+
+@query(
+    "doc_fingerprints",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(list_min(list_transform(
+               {TX.char_shingles_sql("text", 8)},
+               s -> {TX.hash32_sql("s")})) AS BIGINT)               AS fingerprint,
+           len(list_distinct({TX.char_shingles_sql("text", 8)}))    AS n_distinct_shingles
+    FROM documents
+    WHERE length(text) >= 8
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint: min 32-bit hash over all
+    8-char shingles (winnowing's global special case). Equal
+    fingerprints → strong containment signal across documents."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 8)
+    sh = TX.char_shingles("text", 8)
+    hashed = F.transform(sh, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"))
+    return docs.select(
+        "doc_id",
+        F.array_min(hashed).alias("fingerprint"),
+        F.size(F.array_distinct(sh)).alias("n_distinct_shingles"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal pipeline (mapInPandas plumbing; decode stubbed)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           'text/plain'            AS mime,
+           octet_length(encode(text)) AS byte_len,
+           ascii(substr(text, 1, 1)) AS first_byte
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction via Arrow-batched mapInPandas.
+
+    Exercises the full multimodal path — payload binary column +
+    typed metadata struct + Pandas-batch decode (stubbed,
+    deterministic) — and the oracle still verifies it end-to-end
+    because the stub's features are SQL-computable.
+    """
+    from bigdata_riveranalysis_spark.operators.multimodal import attach_payload, extract_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(attach_payload(docs))

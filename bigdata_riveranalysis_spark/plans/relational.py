@@ -1,0 +1,625 @@
+"""Relational operator battery over the TPC-H-ish star schema.
+
+Covers SURVEY.md §2b rows: filters/predicates, equi/broadcast/semi/
+anti joins, hash aggregation (+distinct, rollup), window functions,
+sort/limit/top-k, set operations, and scalar string/date/math
+expressions. The reference implements none of these (SURVEY.md §2b —
+its only operators are a streaming passthrough and a pandas prep job,
+reference streaming/spark_processor.py:28-47 and
+kafka/sort_the_source.py:13-38); the engine supplies them with
+built-in Spark so Catalyst gets full pushdown/pruning/reordering.
+
+Scale notes per query are inline: which side broadcasts, where the
+shuffles are, and why the plan survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from bigdata_riveranalysis_spark.plans.registry import query
+from bigdata_riveranalysis_spark.sources.tables import load_table
+
+
+def _r4(col: F.Column) -> F.Column:
+    """Round a double aggregate to 4 decimals (oracle-comparison policy)."""
+    return F.round(col, 4)
+
+
+# --------------------------------------------------------------------------
+# Flagship
+# --------------------------------------------------------------------------
+
+@query(
+    "flagship_revenue_by_segment",
+    oracle="""
+    SELECT c_mktsegment,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           count(DISTINCT o_orderkey)                        AS n_orders
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY c_mktsegment
+    ORDER BY revenue DESC
+    """,
+)
+def flagship_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: market-segment revenue over a 3-year order window.
+
+    scan → pushed filter → broadcast dim join → fact-fact shuffle
+    join → hash agg → sort. The one query that exercises the whole
+    relational core (SURVEY.md §7 phase 0 minimum slice).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            _r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy(F.desc("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregation
+# --------------------------------------------------------------------------
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4)                                        AS sum_qty,
+           round(sum(l_extendedprice), 4)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 4)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: scan → filter → hash agg.
+
+    Scale: single shuffle on a 6-value grouping key with map-side
+    partial aggregation, so the shuffle moves O(groups × partitions)
+    rows regardless of input size. Filter + column pruning push into
+    the parquet scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r4(F.sum("l_quantity")).alias("sum_qty"),
+            _r4(F.sum("l_extendedprice")).alias("sum_base_price"),
+            _r4(F.sum(disc_price)).alias("sum_disc_price"),
+            _r4(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+            _r4(F.avg("l_quantity")).alias("avg_qty"),
+            _r4(F.avg("l_extendedprice")).alias("avg_price"),
+            _r4(F.avg("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_distinct_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*)                    AS n_orders,
+           count(DISTINCT o_custkey)   AS n_customers,
+           round(sum(o_totalprice), 4) AS total_price,
+           round(max(o_totalprice), 4) AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_distinct_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash aggregation with an exact COUNT(DISTINCT) expansion.
+
+    Scale: Catalyst rewrites count(distinct) into a two-phase
+    expand+agg; for dashboards at 100 TB prefer
+    approx_count_distinct (HLL) — kept exact here because the oracle
+    must match bit-for-bit.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        _r4(F.sum("o_totalprice")).alias("total_price"),
+        _r4(F.max("o_totalprice")).alias("max_price"),
+    )
+
+
+@query(
+    "rollup_pricing",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*)                      AS n_items,
+           round(sum(l_quantity), 4)     AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP (grand total included).
+
+    NULL group markers are coalesced to 'ALL' so the output is
+    engine-agnostic (no real NULLs exist in these columns).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_items"), _r4(F.sum("l_quantity")).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_items",
+            "sum_qty",
+        )
+    )
+
+
+@query(
+    "cube_status_priority",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL')    AS orderstatus,
+           coalesce(o_orderpriority, 'ALL')  AS orderpriority,
+           count(*)                          AS n_orders,
+           round(avg(o_totalprice), 4)       AS avg_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two low-cardinality dimensions (all 4 grouping sets)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), _r4(F.avg("o_totalprice")).alias("avg_price"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "n_orders",
+            "avg_price",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins
+# --------------------------------------------------------------------------
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d')                 AS orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: 3-way join → agg → top-10 (unique tie-break key).
+
+    Scale: customer (filtered on segment) broadcasts against orders;
+    orders⋈lineitem is the one real shuffle and both sides shuffle on
+    the same key (orderkey), so AQE can skew-split it. The date
+    filters push into both fact scans before the join.
+    """
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(_r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_region_volume",
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style 6-way join: local-supplier revenue by nation.
+
+    Scale: region/nation/supplier are bounded dimensions → broadcast
+    (no shuffle). The only big shuffle is lineitem⋈orders on
+    orderkey. Join order: filter orders by date first so the fact-fact
+    join sees the reduced side.
+    """
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+
+    asia_cust = (
+        cust.join(F.broadcast(nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)),
+                  cust.c_nationkey == F.col("n_nationkey"))
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(asia_cust, orders.o_custkey == asia_cust.c_custkey)
+        .join(F.broadcast(supp), (li.l_suppkey == supp.s_suppkey) & (supp.s_nationkey == F.col("c_nationkey")))
+        .groupBy("n_name")
+        .agg(_r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+    )
+
+
+@query(
+    "join_dims_customer_geo",
+    oracle="""
+    SELECT r_name,
+           n_name,
+           count(*)                   AS n_customers,
+           round(avg(c_acctbal), 4)   AS avg_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def join_dims_customer_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-join of a fact against two broadcast dimensions.
+
+    Scale: nation (25 rows) and region (5 rows) broadcast at any SF —
+    zero shuffles before the final small agg.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"), _r4(F.avg("c_acctbal")).alias("avg_acctbal"))
+    )
+
+
+@query(
+    "semi_join_urgent_customers",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    GROUP BY c_mktsegment
+    """,
+)
+def semi_join_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): customers with ≥1 urgent order.
+
+    Scale: semi-join never multiplies rows, and the probe side only
+    carries the join key — cheaper than join+distinct at any SF.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@query(
+    "anti_join_parts_never_shipped",
+    oracle="""
+    SELECT p_partkey, p_name
+    FROM part p
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+    """,
+)
+def anti_join_parts_never_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): parts that never appear in lineitem."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return part.join(li, part.p_partkey == li.l_partkey, "left_anti").select("p_partkey", "p_name")
+
+
+# --------------------------------------------------------------------------
+# Filters / projection
+# --------------------------------------------------------------------------
+
+@query(
+    "filter_project_lineitem",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 4) AS net_price
+    FROM lineitem
+    WHERE l_quantity > 45
+      AND l_returnflag = 'R'
+      AND l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+    """,
+)
+def filter_project_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive filter + narrow projection — the pushdown probe.
+
+    Scale: all three predicates and the 5-column ReadSchema land in
+    the parquet scan (verified via .explain PushedFilters); no
+    shuffle at all.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_quantity") > 45)
+            & (F.col("l_returnflag") == "R")
+            & (F.col("l_shipdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp"))
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            _r4(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions / top-k
+# --------------------------------------------------------------------------
+
+@query(
+    "window_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_spend,
+           row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey)                     AS order_seq
+    FROM orders
+    """,
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-customer spend + order sequence number.
+
+    Deterministic: ROWS frame with a unique (orderdate, orderkey)
+    ordering. Scale: one shuffle on o_custkey; frame evaluation is
+    streaming within each partition.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        _r4(F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))).alias("running_spend"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+@query(
+    "topk_orders_per_segment",
+    oracle="""
+    SELECT c_mktsegment, o_orderkey, round(o_totalprice, 4) AS totalprice, rnk
+    FROM (
+        SELECT c_mktsegment, o_orderkey, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    )
+    WHERE rnk <= 3
+    """,
+)
+def topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by value per market segment (row_number pattern).
+
+    Scale: Spark pushes a per-partition top-k (WindowGroupLimit) below
+    the shuffle, so only k rows per segment per map task move.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("c_mktsegment", "o_orderkey", _r4(F.col("o_totalprice")).alias("totalprice"), "rnk")
+    )
+
+
+@query(
+    "window_lag_price_delta",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(o_totalprice - lag(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 4) AS price_delta
+    FROM orders
+    """,
+)
+def window_lag_price_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG: spend delta between consecutive orders of a customer."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        _r4(F.col("o_totalprice") - F.lag("o_totalprice").over(w)).alias("price_delta"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations
+# --------------------------------------------------------------------------
+
+@query(
+    "setop_nations_cust_and_supp",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def setop_nations_cust_and_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: nations having both customers and suppliers."""
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.intersect(supp)
+
+
+@query(
+    "setop_nations_cust_only",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def setop_nations_cust_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: nations with customers but no suppliers."""
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    # subtract == EXCEPT DISTINCT (set semantics); exceptAll would be
+    # bag semantics and diverge from the SQL oracle.
+    return cust.subtract(supp)
+
+
+@query(
+    "setop_union_all_keys",
+    oracle="""
+    SELECT nationkey, count(*) AS n
+    FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION ALL
+        SELECT s_nationkey AS nationkey FROM supplier
+    )
+    GROUP BY nationkey
+    """,
+)
+def setop_union_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL + agg: combined customer/supplier presence per nation."""
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.unionByName(supp).groupBy("nationkey").agg(F.count("*").alias("n"))
+
+
+# --------------------------------------------------------------------------
+# Scalar functions
+# --------------------------------------------------------------------------
+
+@query(
+    "scalar_functions_part",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name)                                    AS name_upper,
+           substr(p_name, 1, 4)                             AS name_prefix,
+           length(p_name)                                   AS name_len,
+           replace(p_type, 'ECONOMY', 'ECON')               AS type_short,
+           concat(p_brand, ':', p_type)                     AS brand_type,
+           abs(p_size - 25)                                 AS size_dev,
+           round(sqrt(p_retailprice), 4)                    AS price_sqrt,
+           round(ln(p_retailprice + 1), 4)                  AS price_ln,
+           CASE WHEN p_size < 10 THEN 'small'
+                WHEN p_size < 30 THEN 'medium'
+                ELSE 'large' END                            AS size_band
+    FROM part
+    """,
+)
+def scalar_functions_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string/math/conditional battery (SURVEY.md §2b scalar row).
+
+    All expressions are JVM-codegen built-ins — zero Python in the
+    row path.
+    """
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 4).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_type"), F.lit("ECONOMY"), F.lit("ECON")).alias("type_short"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        _r4(F.sqrt("p_retailprice")).alias("price_sqrt"),
+        _r4(F.log(F.col("p_retailprice") + 1)).alias("price_ln"),
+        F.when(F.col("p_size") < 10, "small").when(F.col("p_size") < 30, "medium").otherwise("large").alias("size_band"),
+    )
+
+
+@query(
+    "scalar_date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate)                       AS order_year,
+           month(o_orderdate)                      AS order_month,
+           dayofweek(o_orderdate)                  AS order_dow,
+           strftime(o_orderdate, '%Y-%m-%d')       AS order_date_str,
+           strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS due_date_str
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    """,
+)
+def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date extraction/arithmetic/formatting battery.
+
+    Note: DuckDB dayofweek = Sunday 0; Spark dayofweek = Sunday 1 —
+    normalized by subtracting 1 on the Spark side.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        (F.dayofweek("o_orderdate") - 1).alias("order_dow"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date_str"),
+        F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"), "yyyy-MM-dd").alias("due_date_str"),
+    )

@@ -1,0 +1,179 @@
+"""Sensor/time-series analytics — the reference's promised analytics layer.
+
+The reference README declares "phát hiện bất thường, cảnh báo"
+(anomaly detection + alerting, reference README.md:5-6) but ships no
+implementation (SURVEY.md §2b). These queries define that layer as
+the engine's canonical semantics, expressed over the ``events``
+table (user_id ≈ sensor_id, value ≈ reading, ts ≈ sample time) so the
+DuckDB oracle can difference-test them. The same logic applied to the
+real river schema (sensor_id, ph/do/tds) lives in
+``bigdata_riveranalysis_spark.operators.river_pipeline`` with its own
+fixture-driven tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from bigdata_riveranalysis_spark.plans.registry import query
+from bigdata_riveranalysis_spark.sources.tables import load_table
+
+
+@query(
+    "sensor_stats_per_sensor",
+    oracle="""
+    SELECT user_id AS sensor_id,
+           count(*)                     AS n_readings,
+           round(min(value), 4)         AS min_value,
+           round(max(value), 4)         AS max_value,
+           round(avg(value), 4)         AS avg_value,
+           round(stddev_samp(value), 4) AS std_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def sensor_stats_per_sensor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sensor descriptive statistics (count/min/max/avg/stddev)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.col("user_id").alias("sensor_id")).agg(
+        F.count("*").alias("n_readings"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.stddev_samp("value"), 4).alias("std_value"),
+    )
+
+
+@query(
+    "sensor_quality_bands",
+    oracle="""
+    SELECT CASE WHEN value < 25  THEN 'low'
+                WHEN value < 75  THEN 'normal'
+                WHEN value < 150 THEN 'elevated'
+                ELSE 'critical' END AS band,
+           count(*)             AS n_readings,
+           round(avg(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def sensor_quality_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold banding (the WQI-classification pattern, as CASE).
+
+    Mirrors the WQI band classifier in operators.river_pipeline —
+    pure CASE expression, fully codegen'd, no UDF (SURVEY.md §4).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    band = (
+        F.when(F.col("value") < 25, "low")
+        .when(F.col("value") < 75, "normal")
+        .when(F.col("value") < 150, "elevated")
+        .otherwise("critical")
+    )
+    return ev.groupBy(band.alias("band")).agg(
+        F.count("*").alias("n_readings"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+@query(
+    "sensor_zscore_anomalies",
+    oracle="""
+    WITH stats AS (
+        SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sigma
+        FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id AS sensor_id,
+           round(e.value, 4) AS value,
+           round((e.value - s.mu) / s.sigma, 4) AS zscore
+    FROM events e JOIN stats s ON e.user_id = s.user_id
+    WHERE abs((e.value - s.mu) / s.sigma) > 2.5
+    """,
+)
+def sensor_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global z-score anomaly detection per sensor (README's 'phát hiện
+    bất thường', reference README.md:6 — never implemented there).
+
+    Scale: the per-sensor stats aggregate is tiny (one row per
+    sensor) → broadcast back against the readings; no second
+    full-data shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("user_id").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "user_id")
+        .filter(F.abs(z) > 2.5)
+        .select(
+            "event_id",
+            F.col("user_id").alias("sensor_id"),
+            F.round("value", 4).alias("value"),
+            F.round(z, 4).alias("zscore"),
+        )
+    )
+
+
+@query(
+    "sensor_rolling_avg",
+    oracle="""
+    SELECT event_id, user_id AS sensor_id,
+           round(avg(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW), 4) AS rolling_avg,
+           count(*) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)     AS window_n
+    FROM events
+    """,
+)
+def sensor_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 6-reading mean per sensor (trend smoothing).
+
+    Deterministic ROWS frame over the unique (ts, event_id) order.
+    Scale: one shuffle on sensor key; frames evaluate streaming.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-5, W.currentRow)
+    return ev.select(
+        "event_id",
+        F.col("user_id").alias("sensor_id"),
+        F.round(F.avg("value").over(w), 4).alias("rolling_avg"),
+        F.count("*").over(w).alias("window_n"),
+    )
+
+
+@query(
+    "sensor_monthly_profile",
+    oracle="""
+    SELECT user_id AS sensor_id,
+           strftime(date_trunc('month', ts), '%Y-%m') AS month,
+           count(*)             AS n_readings,
+           round(avg(value), 4) AS avg_value,
+           round(quantile_cont(value, 0.5), 4) AS median_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def sensor_monthly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly per-sensor profile with an exact median.
+
+    Spark side uses percentile (exact interpolated), matching
+    DuckDB's quantile_cont. At 100 TB swap to percentile_approx —
+    kept exact so the oracle hash matches.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.col("user_id").alias("sensor_id"),
+            F.date_format(F.date_trunc("month", "ts"), "yyyy-MM").alias("month"),
+        )
+        .agg(
+            F.count("*").alias("n_readings"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.percentile("value", F.lit(0.5)), 4).alias("median_value"),
+        )
+    )

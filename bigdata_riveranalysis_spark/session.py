@@ -1,0 +1,57 @@
+"""SparkSession factory.
+
+The reference configures almost nothing (only the Kafka connector
+package and WARN log level — reference streaming/spark_processor.py:9-14).
+The engine pins the configs that matter for correctness (UTC timezone,
+Arrow) and for scale (AQE, skew-join handling, shuffle-partition
+sizing). At 100 TB on a real cluster the same code runs unchanged;
+only `master` / memory / `spark.sql.shuffle.partitions` move to
+spark-submit conf.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Local test parallelism; the driver harness sets SPARK_GRAFT_CPUS.
+_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "bigdata_riveranalysis_spark", *, shuffle_partitions: int | None = None) -> SparkSession:
+    """Create (or fetch) a SparkSession tuned for the engine.
+
+    Scale notes (the same settings are the cluster defaults):
+      * AQE on: runtime coalescing of shuffle partitions, skew-join
+        splitting, and dynamic broadcast-join conversion. At 100 TB
+        AQE is what keeps a static ``shuffle.partitions`` choice from
+        being fatal — the initial number only needs to be an upper
+        bound.
+      * ``shuffle.partitions`` defaults to 2× local cores here; on a
+        1000-executor cluster it should start near
+        (total input bytes / 128 MiB) and AQE coalesces down.
+      * UTC session timezone — matches DuckDB's naive-UTC timestamps
+        so oracle comparison is exact (SURVEY.md §7 watch-list #5).
+      * Arrow enabled for any Pandas-UDF path (vectorized transfer).
+    """
+    n_shuffle = shuffle_partitions or max(int(_CPUS) * 2, 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Parquet scans: 128 MiB split targets keep partitions
+        # executor-memory-safe at any SF.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+    )
+    if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
+        builder = builder.master(f"local[{_CPUS}]").config("spark.driver.memory", "90g")
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
