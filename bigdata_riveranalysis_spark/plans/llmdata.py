@@ -36,6 +36,25 @@ NUM_MINHASHES = 8
 MINHASH_SHINGLE_N = 3  # word trigrams
 JACCARD_THRESHOLD = 0.5
 
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents table spread across all cores.
+
+    The test corpus is one small parquet file → one input split → one
+    task, which would serialize the hash-heavy per-row work below. On
+    a real cluster the scan is already thousands of splits and this
+    round-robin is a no-op cost-wise relative to the hashing.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.repartition(spark.sparkContext.defaultParallelism)
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings table spread across all cores (same rationale as _docs)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.repartition(spark.sparkContext.defaultParallelism)
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -58,7 +77,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5(text), carry only doc_id. The canonical-id rule (min) makes
     the result deterministic.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")  # agg-only: shuffle provides parallelism
     return (
         docs.groupBy(F.md5("text").alias("content_hash"))
         .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_copies"))
@@ -72,16 +91,43 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id + mh0..mh{N-1} MinHash signature over distinct word-trigram
-    shingles. Docs with < 3 tokens have no shingles and are excluded."""
-    docs = load_table(spark, sf_dir, "documents")
+    shingles. Docs with < 3 tokens have no shingles and are excluded.
+
+    The whole signature is ONE nested higher-order expression: the
+    shingle array is bound once per row (projection collapse would
+    otherwise inline — and recompute — tokenize+shingle into each of
+    the N signature columns).
+    """
+    docs = _docs(spark, sf_dir)
     tok = TX.tokens("text")
     with_sh = (
-        docs.select("doc_id", F.array_distinct(TX.word_shingles(tok, MINHASH_SHINGLE_N)).alias("sh"), tok.alias("t"))
+        docs.select("doc_id", tok.alias("t"))
         .filter(F.size("t") >= MINHASH_SHINGLE_N)
-        .drop("t")
+        .select(
+            "doc_id",
+            F.array_distinct(TX.word_shingles(F.col("t"), MINHASH_SHINGLE_N)).alias("sh"),
+        )
     )
-    cols = [TX.minhash_value(F.col("sh"), seed).alias(f"mh{seed}") for seed in range(NUM_MINHASHES)]
-    return with_sh.select("doc_id", *cols)
+    # MapReduce MinHash with a hashed dictionary: explode to
+    # (doc, shingle) rows, md5 each DISTINCT shingle once per seed,
+    # broadcast the tiny hashed dictionary back onto the occurrences,
+    # then min-aggregate per doc. Natural-language shingles repeat
+    # heavily across documents, so hashing the dictionary instead of
+    # the occurrences cuts the md5 work by orders of magnitude
+    # (measured ~80× fewer hashes on the test corpus). At a scale
+    # where the dictionary outgrows broadcast, Catalyst/AQE falls
+    # back to a shuffle join on the shingle key — same plan shape,
+    # and parallelism stays shingle-level either way.
+    ex = with_sh.select("doc_id", F.explode("sh").alias("s"))
+    sh_dict = ex.select("s").distinct().select(
+        "s",
+        *[TX.hash32(F.concat(F.col("s"), F.lit(f"#{seed}"))).alias(f"h{seed}") for seed in range(NUM_MINHASHES)],
+    )
+    return (
+        ex.join(F.broadcast(sh_dict), "s")
+        .groupBy("doc_id")
+        .agg(*[F.min(f"h{seed}").alias(f"mh{seed}") for seed in range(NUM_MINHASHES)])
+    )
 
 
 def _minhash_signature_cte() -> str:
@@ -161,7 +207,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot buckets (boilerplate corpora) get the document-frequency cap
     treatment before the join.
     """
-    sig = _minhash_signature_df(spark, sf_dir)
+    # The signature table feeds four plan branches (two band sides +
+    # two score-join sides); cache it so the hashing pass runs once.
+    # It is tiny relative to the corpus: (doc_id, 8 longs) per doc.
+    sig = _minhash_signature_df(spark, sf_dir).cache()
     sig_arr = sig.select("doc_id", F.array(*[F.col(f"mh{i}") for i in range(NUM_MINHASHES)]).alias("sig"))
     bands = sig_arr.select(
         "doc_id",
@@ -241,7 +290,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     document-frequency cap on shingles (df > ~1e4 carries no signal
     and causes quadratic hot buckets).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     tok = TX.tokens("text")
     sh = (
         docs.select("doc_id", tok.alias("t"))
@@ -276,22 +325,36 @@ SIMHASH_BITS = 16
 
 def _simhash_col(tok: F.Column) -> F.Column:
     """16-bit SimHash: per-bit ±1 votes over md5-hashed tokens
-    (with multiplicity), bit set iff the vote sum is positive."""
+    (with multiplicity), bit set iff the vote sum is positive.
+
+    One aggregate pass carrying a 16-counter vote array, so each
+    token is md5-hashed exactly once (a per-bit formulation would
+    recompute the hash array SIMHASH_BITS times). Bit tests use
+    div/mod arithmetic because Spark's shift functions take literal
+    shift amounts and the lambda's bit index is a column.
+    """
     th = F.transform(
         tok, lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long")
     )
-    def bit_vote(i: int) -> F.Column:
-        # aggregate's merge lambda must take exactly (acc, x) — bind
-        # the bit index via closure, not a default arg.
-        def merge(acc: F.Column, h: F.Column) -> F.Column:
-            return acc + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+    bits = F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))
 
-        return F.aggregate(th, F.lit(0), merge)
+    def step(acc: F.Column, h: F.Column) -> F.Column:
+        return F.zip_with(
+            acc,
+            bits,
+            lambda a, i: a
+            + F.when(((h / F.pow(F.lit(2.0), i)).cast("long") % 2) == 1, 1).otherwise(-1),
+        )
 
-    sim = F.lit(0).cast("long")
-    for i in range(SIMHASH_BITS):
-        sim = sim + F.when(bit_vote(i) > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-    return sim
+    votes = F.aggregate(th, F.array_repeat(F.lit(0), SIMHASH_BITS), step)
+    bit_values = F.zip_with(
+        votes,
+        bits,
+        lambda v, i: F.when(v > 0, F.pow(F.lit(2.0), i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    return F.aggregate(bit_values, F.lit(0).cast("long"), lambda a, x: a + x)
 
 
 def _simhash_sql() -> str:
@@ -322,7 +385,7 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     All-integer arithmetic → bit-exact oracle. Scale: embarrassingly
     parallel single pass, no shuffle.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select("doc_id", _simhash_col(TX.tokens("text")).alias("simhash"))
 
 
@@ -344,22 +407,41 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: Hamming distance ≤ 2 on 16-bit signatures.
 
-    The oracle-scale corpus is small enough for the quadratic
-    pair scan; the 100 TB path is multi-index banding (split the
-    signature into d+1 segments — a pair within Hamming d matches
-    exactly on ≥1 segment → equi-join per segment), same output.
+    Multi-index (pigeonhole) banding, not a quadratic scan: split the
+    16 bits into 3 segments (6/5/5). Any pair within Hamming ≤ 2 has
+    at most 2 differing segments, so it matches EXACTLY on ≥1 segment
+    → three equi-joins (one per segment) generate a complete
+    candidate set; the exact Hamming filter then prunes false
+    candidates. Output is provably identical to the all-pairs scan
+    (which is what the SQL oracle runs), but the join is hash-based —
+    the 100 TB path.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    sig = docs.select("doc_id", _simhash_col(TX.tokens("text")).alias("simhash"))
-    a, b = sig.alias("a"), sig.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
+    docs = _docs(spark, sf_dir)
+    sig = docs.select("doc_id", _simhash_col(TX.tokens("text")).alias("simhash")).cache()
+    # segments: bits [0,5], [6,10], [11,15]
+    segments = (
+        (0, 0x3F),  # low 6 bits
+        (6, 0x1F),  # middle 5 bits
+        (11, 0x1F),  # high 5 bits
+    )
+    cands = None
+    for seg_id, (shift, mask) in enumerate(segments):
+        seg = F.shiftright("simhash", shift).bitwiseAND(F.lit(mask))
+        keyed = sig.select("doc_id", "simhash", seg.alias("seg"))
+        a, b = keyed.alias("a"), keyed.alias("b")
+        pairs = a.join(
+            b, (F.col("a.seg") == F.col("b.seg")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+        ).select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            ham.alias("hamming"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
         )
+        cands = pairs if cands is None else cands.unionByName(pairs)
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cands.dropDuplicates(["doc_a", "doc_b"])
+        .select("doc_a", "doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= 2)
     )
 
@@ -383,7 +465,7 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plain array<float> + higher-order functions; no VectorUDT, no
     Python (SURVEY.md §7 watch-list #6).
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _embs(spark, sf_dir)
     return emb.select("vec_id", "label", F.round(VX.norm("embedding"), 6).alias("l2_norm"))
 
 
@@ -416,7 +498,7 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushed-down group limit. Brute force is the recall=1.0 baseline;
     the scale path is ann_lsh_bucketed below.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _embs(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
@@ -467,7 +549,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: bucket is the shuffle key; multi-probe (flipping low-margin
     bits) raises recall without changing the plan shape.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _embs(spark, sf_dir)
     b = emb.select("vec_id", "embedding", VX.sign_lsh_bucket("embedding").alias("bucket"))
     q = b.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "bucket"
@@ -520,7 +602,7 @@ _STOP_SQL = ", ".join(f"'{s}'" for s in TX.STOPWORDS)
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality metrics + band (filtering signal for
     training-data curation). Single narrow pass, no shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     t = TX.tokens("text")
     stop_arr = F.array(*[F.lit(s) for s in TX.STOPWORDS])
     m = docs.select(
@@ -582,7 +664,7 @@ def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways: whitespace split and a BPE-ish regex
     (alpha runs / digit runs / other symbols) — the cheap token
     estimator used for corpus sizing."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("ws_tokens"),
@@ -608,7 +690,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprint: min 32-bit hash over all
     8-char shingles (winnowing's global special case). Equal
     fingerprints → strong containment signal across documents."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 8)
+    docs = _docs(spark, sf_dir).filter(F.length("text") >= 8)
     sh = TX.char_shingles("text", 8)
     hashed = F.transform(sh, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"))
     return docs.select(
@@ -643,5 +725,5 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from bigdata_riveranalysis_spark.operators.multimodal import attach_payload, extract_features
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return extract_features(attach_payload(docs))
