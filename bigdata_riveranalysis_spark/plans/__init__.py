@@ -7,3 +7,4 @@ from bigdata_riveranalysis_spark.plans import relational  # noqa: E402,F401
 from bigdata_riveranalysis_spark.plans import events  # noqa: E402,F401
 from bigdata_riveranalysis_spark.plans import river  # noqa: E402,F401
 from bigdata_riveranalysis_spark.plans import llmdata  # noqa: E402,F401
+from bigdata_riveranalysis_spark.plans import streaming_queries  # noqa: E402,F401

@@ -1,0 +1,84 @@
+"""Streaming sinks — every start_* function REQUIRES a checkpoint path.
+
+The reference's console sink runs checkpoint-less
+(streaming/spark_processor.py:43-47); combined with
+``startingOffsets=latest`` a restart silently loses data. The engine
+makes the checkpoint location a positional argument on every sink so
+the unsafe configuration is unrepresentable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def start_parquet_sink(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    *,
+    output_mode: str = "append",
+    trigger_available_now: bool = False,
+) -> StreamingQuery:
+    """Columnar file sink (the Delta-on-MinIO intent the reference
+    comments out, streaming/spark_processor.py:42, delivered as
+    exactly-once parquet-on-filesystem via checkpointed file-sink
+    commit log)."""
+    writer = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_alert_sink(
+    df: DataFrame,
+    checkpoint: str,
+    handler: Callable[[DataFrame, int], None],
+    *,
+    output_mode: str = "update",
+    trigger_available_now: bool = False,
+) -> StreamingQuery:
+    """foreachBatch alert dispatch (the MongoDB/Grafana serving path
+    the reference provisions but never wires,
+    Docker/docker-compose.yml:92-146). ``handler(batch_df, batch_id)``
+    runs on the driver per micro-batch with a BATCH DataFrame — it may
+    write to any batch sink; Spark retries the batch on failure, so
+    the handler must be idempotent on ``batch_id``."""
+    writer = (
+        df.writeStream.foreachBatch(handler)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_kafka_sink(
+    df: DataFrame,
+    checkpoint: str,
+    *,
+    bootstrap_servers: str,
+    topic: str,
+) -> StreamingQuery:
+    """Kafka producer sink — the engine-native replacement for the
+    reference's row-at-a-time Python producer loop
+    (kafka/producer.py:35-47): every row JSON-encoded executor-side
+    and produced in batched async sends."""
+    return (
+        df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

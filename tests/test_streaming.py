@@ -1,0 +1,201 @@
+"""Streaming semantics tests (SURVEY.md §5 item 3).
+
+File-source micro-batch replays with manufactured late/duplicate
+events. ``maxFilesPerTrigger=1`` makes each file one micro-batch, so
+the event-time watermark advances deterministically between batches;
+a far-future "flush" sentinel event in the last file pushes the
+watermark past every real window so append mode finalizes them.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_riveranalysis_spark.streaming import (
+    dedup_within_watermark,
+    file_json_stream,
+    sessionized_activity,
+    windowed_quality,
+)
+from bigdata_riveranalysis_spark.streaming.pipeline import threshold_alerts
+from bigdata_riveranalysis_spark.streaming.sinks import start_alert_sink
+
+SENTINEL_TS = "2030-01-01 00:00:00"
+
+
+def _ev(event_id, ts, user_id=1, value=10.0, event_type="view"):
+    return {
+        "event_id": event_id,
+        "ts": ts,
+        "user_id": user_id,
+        "event_type": event_type,
+        "value": value,
+        "props": "{}",
+    }
+
+
+def _write_files(tmp_path, batches):
+    """One JSON-lines file per batch, mtimes strictly increasing so the
+    file source replays them in order."""
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    t0 = time.time() - len(batches)
+    for i, rows in enumerate(batches):
+        p = src / f"batch_{i:03d}.json"
+        p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+        os.utime(p, (t0 + i, t0 + i))
+    return str(src)
+
+
+def _run_to_memory(stream_df, spark, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_windowed_quality_finalizes_and_matches_batch(spark, tmp_path):
+    """Stream/batch parity: the same events through the streaming
+    tumbling window equal the batch formulation of the same plan."""
+    rows = [
+        _ev(1, "2024-01-01 00:05:00", user_id=1, value=10.0),
+        _ev(2, "2024-01-01 00:40:00", user_id=1, value=20.0),
+        _ev(3, "2024-01-01 01:10:00", user_id=2, value=30.0),
+        _ev(4, "2024-01-01 01:20:00", user_id=1, value=40.0),
+    ]
+    path = _write_files(tmp_path, [rows, [_ev(99, SENTINEL_TS, user_id=99)]])
+    stream = file_json_stream(spark, path, max_files_per_trigger=1)
+    out = _run_to_memory(windowed_quality(stream), spark, "win_q")
+    got = {
+        (r.window_start, r.sensor_id): (r.n_readings, r.avg_value)
+        for r in out.collect()
+        if r.sensor_id != 99
+    }
+    assert got == {
+        ("2024-01-01 00:00:00", 1): (2, 15.0),
+        ("2024-01-01 01:00:00", 2): (1, 30.0),
+        ("2024-01-01 01:00:00", 1): (1, 40.0),
+    }
+
+    batch = spark.createDataFrame(
+        [(r["event_id"], r["ts"], r["user_id"], r["value"]) for r in rows],
+        "event_id long, ts string, user_id long, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    batch_got = {
+        (r.window_start, r.sensor_id): (r.n_readings, r.avg_value)
+        for r in windowed_quality(batch).collect()
+    }
+    assert batch_got == got
+
+
+def test_late_event_dropped_after_watermark(spark, tmp_path):
+    """Canonical late-data policy: an event arriving after its window
+    was finalized is dropped, not merged.
+
+    Spark's watermark guarantee is one-directional: data within the
+    watermark is never dropped; data beyond it is dropped once the
+    window's state is evicted. Eviction happens at the end of the
+    first batch where the watermark (computed from the *previous*
+    batch's max event time) passes the window end — so the late event
+    is delivered two batches after the watermark-advancing event,
+    after a spacer batch, to land on evicted state deterministically.
+    """
+    batch1 = [
+        _ev(1, "2024-01-01 00:10:00", value=10.0),
+        _ev(2, "2024-01-01 06:00:00", value=20.0),  # watermark → 04:00
+    ]
+    spacer = [_ev(4, "2024-01-01 06:30:00", value=5.0)]  # evicts [00:00,01:00)
+    late = [_ev(3, "2024-01-01 00:20:00", value=99.0)]  # dropped: state evicted
+    path = _write_files(
+        tmp_path, [batch1, spacer, late, [_ev(99, SENTINEL_TS, user_id=99)]]
+    )
+    stream = file_json_stream(spark, path, max_files_per_trigger=1)
+    out = _run_to_memory(windowed_quality(stream), spark, "late_q")
+    first_window = [r for r in out.collect() if r.window_start == "2024-01-01 00:00:00"]
+    assert len(first_window) == 1
+    # Late event_id=3 (value 99.0) must not be merged into the window.
+    assert first_window[0].n_readings == 1
+    assert first_window[0].avg_value == 10.0
+
+
+def test_dedup_within_watermark_drops_redelivery(spark, tmp_path):
+    """At-least-once delivery collapsed to effectively-once: the same
+    event_id redelivered in a later micro-batch is dropped."""
+    b1 = [_ev(1, "2024-01-01 00:10:00"), _ev(2, "2024-01-01 00:20:00")]
+    b2 = [_ev(2, "2024-01-01 00:20:00"), _ev(3, "2024-01-01 00:30:00")]  # 2 redelivered
+    path = _write_files(tmp_path, [b1, b2])
+    stream = file_json_stream(spark, path, max_files_per_trigger=1)
+    out = _run_to_memory(dedup_within_watermark(stream), spark, "dedup_q")
+    ids = sorted(r.event_id for r in out.collect())
+    assert ids == [1, 2, 3]
+
+
+def test_sessionized_activity_merges_within_gap(spark, tmp_path):
+    """Events ≤gap apart merge into one session; a >gap silence opens
+    a new one."""
+    rows = [
+        _ev(1, "2024-01-01 00:00:00", value=1.0),
+        _ev(2, "2024-01-01 00:10:00", value=2.0),  # same session (gap 30m)
+        _ev(3, "2024-01-01 02:00:00", value=3.0),  # new session
+    ]
+    path = _write_files(tmp_path, [rows, [_ev(99, SENTINEL_TS, user_id=99)]])
+    stream = file_json_stream(spark, path, max_files_per_trigger=1)
+    out = _run_to_memory(sessionized_activity(stream), spark, "sess_q")
+    sess = sorted(
+        (r.session_start, r.n_events, r.total_value)
+        for r in out.collect()
+        if r.sensor_id == 1
+    )
+    assert sess == [
+        ("2024-01-01 00:00:00", 2, 3.0),
+        ("2024-01-01 02:00:00", 1, 3.0),
+    ]
+
+
+def test_alert_sink_dispatches_foreach_batch(spark, tmp_path):
+    """threshold_alerts → foreachBatch handler sees exactly the
+    critical readings."""
+    rows = [
+        _ev(1, "2024-01-01 00:00:00", value=10.0),
+        _ev(2, "2024-01-01 00:01:00", value=200.0),
+        _ev(3, "2024-01-01 00:02:00", value=151.0),
+    ]
+    path = _write_files(tmp_path, [rows])
+    stream = file_json_stream(spark, path)
+    seen = []
+
+    def handler(batch_df, batch_id):
+        seen.extend((r.event_id, r.value, r.severity) for r in batch_df.collect())
+
+    q = start_alert_sink(
+        threshold_alerts(stream),
+        str(tmp_path / "ckpt_alerts"),
+        handler,
+        output_mode="append",
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+    assert sorted(seen) == [(2, 200.0, "critical"), (3, 151.0, "critical")]
+
+
+def test_parquet_sink_writes_checkpointed_output(spark, tmp_path):
+    from bigdata_riveranalysis_spark.streaming.sinks import start_parquet_sink
+
+    rows = [_ev(i, f"2024-01-01 00:0{i}:00", value=float(i)) for i in range(5)]
+    path = _write_files(tmp_path, [rows])
+    stream = file_json_stream(spark, path)
+    out_dir, ckpt = str(tmp_path / "out_parquet"), str(tmp_path / "ckpt_parquet")
+    q = start_parquet_sink(stream, out_dir, ckpt, trigger_available_now=True)
+    q.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == 5
+    assert os.path.isdir(ckpt)
