@@ -156,8 +156,13 @@ def flag_anomalies(readings: DataFrame, z_threshold: float = 3.0) -> DataFrame:
     )
     out = readings.join(F.broadcast(stats), "sensor_id")
     for c in ("ph_value", "do_value", "tds_value"):
-        z = (F.col(c) - F.col(f"{c}_mu")) / F.col(f"{c}_sigma")
-        out = out.withColumn(f"{c}_anomaly", F.abs(z) > z_threshold)
+        # try_divide: a zero-variance column (constant sensor) yields
+        # NULL z, not a DIVIDE_BY_ZERO job failure under ANSI mode;
+        # coalesce(False) makes "no spread" mean "not anomalous".
+        z = F.try_divide(F.col(c) - F.col(f"{c}_mu"), F.col(f"{c}_sigma"))
+        out = out.withColumn(
+            f"{c}_anomaly", F.coalesce(F.abs(z) > z_threshold, F.lit(False))
+        )
     return out.drop(
         *[f"{c}_{n}" for c in ("ph_value", "do_value", "tds_value") for n in ("mu", "sigma")]
     )

@@ -89,7 +89,7 @@ def sensor_quality_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(e.value, 4) AS value,
            round((e.value - s.mu) / s.sigma, 4) AS zscore
     FROM events e JOIN stats s ON e.user_id = s.user_id
-    WHERE abs((e.value - s.mu) / s.sigma) > 2.5
+    WHERE s.sigma > 0 AND abs((e.value - s.mu) / s.sigma) > 2.5
     """,
 )
 def sensor_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -103,7 +103,10 @@ def sensor_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     stats = ev.groupBy("user_id").agg(
         F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
-    )
+    # Zero-variance sensors are excluded (mirrored in the oracle):
+    # under ANSI mode a sigma=0 division is a job-killing error, and
+    # "no spread" cannot be anomalous by the z-score definition.
+    ).filter(F.col("sigma") > 0)
     z = (F.col("value") - F.col("mu")) / F.col("sigma")
     return (
         ev.join(F.broadcast(stats), "user_id")

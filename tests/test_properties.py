@@ -1,0 +1,112 @@
+"""Property-based spot checks (SURVEY.md §5 item 4).
+
+Hypothesis generates the data; Spark runs the operator; the property
+is an algebraic invariant, not a golden value. Example counts are
+kept small — each example is a Spark job.
+"""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from bigdata_riveranalysis_spark.functions import text as TX
+from bigdata_riveranalysis_spark.operators.river_pipeline import parse_readings
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+words = st.text(alphabet="abcdefg", min_size=1, max_size=4)
+docs = st.lists(words, min_size=3, max_size=12)
+
+
+@SETTINGS
+@given(doc=docs)
+def test_minhash_is_token_order_invariant_under_set_equality(spark, doc):
+    """Two docs with the same shingle *set* get the same signature —
+    min over a set is order-free. Build the second doc by rotating the
+    shingle array (array_distinct preserves set identity)."""
+    text = " ".join(doc)
+    df = spark.createDataFrame([(text,)], "text string")
+    sh = F.array_distinct(TX.word_shingles(TX.tokens("text"), 2))
+    sig = df.select(
+        TX.minhash_value(sh, 0).alias("a"),
+        TX.minhash_value(F.reverse(sh), 0).alias("b"),
+    ).collect()[0]
+    assert sig.a == sig.b
+
+
+@SETTINGS
+@given(rows=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 3)), min_size=1, max_size=30))
+def test_dedup_idempotent(spark, rows):
+    df = spark.createDataFrame(rows, "k int, v int")
+    once = df.dropDuplicates()
+    twice = once.dropDuplicates()
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+    # and the key set equals Python's set()
+    assert {tuple(r) for r in once.collect()} == set(rows)
+
+
+@SETTINGS
+@given(garbage=st.text(max_size=40))
+def test_parse_readings_never_throws_on_garbage(spark, garbage):
+    """PERMISSIVE wire contract: arbitrary bytes parse to a (possibly
+    all-NULL) typed row, never an exception (SURVEY.md §1.3)."""
+    raw = spark.createDataFrame([(garbage,)], "value string")
+    rows = parse_readings(raw).collect()
+    assert len(rows) == 1  # one in, one out
+
+
+@SETTINGS
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 3), st.floats(-100, 100, allow_nan=False)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_topk_with_tiebreak_is_deterministic(spark, vals):
+    """SURVEY.md §7 watch-list #4: ranked queries carry a unique
+    trailing tie-break, so two runs (different partitioning) agree."""
+    df = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(vals)], "uid long, k int, v double"
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("k").orderBy(F.desc("v"), F.asc("uid"))
+    top = df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2)
+    a = sorted(map(tuple, top.collect()))
+    b = sorted(map(tuple, top.repartition(7).withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2).collect()))
+    assert a == b
+
+
+@SETTINGS
+@given(doc=st.text(alphabet="ab cd", min_size=0, max_size=60))
+def test_simhash_fits_bit_width(spark, doc):
+    from bigdata_riveranalysis_spark.plans.llmdata import SIMHASH_BITS, _simhash_col
+
+    df = spark.createDataFrame([(doc,)], "text string")
+    h = df.select(_simhash_col(TX.tokens("text")).alias("h")).collect()[0].h
+    assert 0 <= h < (1 << SIMHASH_BITS)
+
+
+@SETTINGS
+@given(
+    vals=st.lists(st.floats(0.1, 50, allow_nan=False), min_size=2, max_size=8),
+)
+def test_json_roundtrip_props(spark, vals):
+    """to_json ∘ from_json is identity on the events props shape."""
+    payload = [json.dumps({"k": int(v)}) for v in vals]
+    df = spark.createDataFrame([(p,) for p in payload], "props string")
+    rt = df.select(
+        "props",
+        F.to_json(F.from_json("props", "struct<k:int>")).alias("back"),
+    ).collect()
+    for r in rt:
+        assert json.loads(r.props) == json.loads(r.back)
