@@ -822,3 +822,75 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos") >= EMBED_DUP_COSINE)
         .select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Language identification (n-gram / marker-word heuristic)
+# ---------------------------------------------------------------------------
+
+#: Marker-word lists per language — the classic cheap lang-id signal
+#: (stopwords are the highest-frequency, most language-specific
+#: tokens). Deterministic and tiny so the scorer is pure codegen.
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "a", "is"),
+    "de": ("der", "und", "die", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "est"),
+    "es": ("el", "los", "y", "las", "es"),
+}
+
+
+@query(
+    "text_lang_id_ngram",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {TX.TOKENS_SQL.format(c="text")} AS t FROM documents
+    ),
+    scored AS (
+        SELECT doc_id,
+               {", ".join(f"len(list_filter(t, s -> s IN ({', '.join(repr(w) for w in ws)}))) AS s_{lang}" for lang, ws in LANG_MARKERS.items())}
+        FROM toks
+    )
+    SELECT doc_id, s_en, s_de, s_fr, s_es,
+           CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                WHEN s_fr >= s_es THEN 'fr'
+                ELSE 'es' END AS predicted_lang
+    FROM scored
+    """,
+)
+def text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification via marker-word (stopword n-gram)
+    scoring: per-language marker counts, argmax with a fixed
+    en>de>fr>es tie-break so the prediction is deterministic.
+
+    The synthetic corpus draws every document from one shared
+    vocabulary, so predictions skew 'en' regardless of the stored
+    `lang` label — the oracle checks the scoring mechanics, not label
+    recovery. Scale: single narrow pass; the marker lists live in the
+    codegen'd expression, no lookup join.
+    """
+    docs = _docs(spark, sf_dir)
+    t = TX.tokens("text")
+
+    def marker_score(ws: tuple[str, ...]) -> F.Column:
+        # NB: the filter lambda must stay single-parameter — PySpark
+        # treats a two-arg lambda as (element, index).
+        arr = F.array(*[F.lit(w) for w in ws])
+        return F.size(F.filter(t, lambda s: F.array_contains(arr, s)))
+
+    score_cols = {lang: marker_score(ws) for lang, ws in LANG_MARKERS.items()}
+    scored = docs.select(
+        "doc_id", *[c.alias(f"s_{lang}") for lang, c in score_cols.items()]
+    )
+    pred = (
+        F.when(
+            (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_fr"))
+            & (F.col("s_en") >= F.col("s_es")),
+            "en",
+        )
+        .when((F.col("s_de") >= F.col("s_fr")) & (F.col("s_de") >= F.col("s_es")), "de")
+        .when(F.col("s_fr") >= F.col("s_es"), "fr")
+        .otherwise("es")
+    )
+    return scored.select("doc_id", "s_en", "s_de", "s_fr", "s_es", pred.alias("predicted_lang"))

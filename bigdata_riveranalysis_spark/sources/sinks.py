@@ -1,0 +1,71 @@
+"""Batch sinks — the write side of the engine.
+
+The reference's only batch sink is an index-less CSV
+(reference kafka/sort_the_source.py:38). The engine's canonical sink
+is partitioned parquet; CSV/JSON writers exist for interop with the
+reference's formats. Kafka bulk publish replaces the reference's
+row-at-a-time producer loop (reference kafka/producer.py:35-47).
+
+Scale notes: `partition_by` columns become directory partitions —
+the unit of partition pruning for every downstream reader, so choose
+low-cardinality, always-filtered columns (date, region). A 100 TB
+write must also bound files-per-partition: repartition on the
+partition columns first so each partition directory is written by few
+tasks (small-files problem), which is why `write_partitioned_parquet`
+pre-shuffles by default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: tuple[str, ...] = (),
+    mode: str = "error",
+    coalesce_per_partition: bool = True,
+) -> None:
+    """Columnar sink with directory partitioning.
+
+    ``coalesce_per_partition`` repartitions by the partition columns
+    before the write so each partition directory gets a bounded file
+    count instead of (tasks × partitions) shards.
+    """
+    out = df
+    if partition_by and coalesce_per_partition:
+        out = df.repartition(*[F.col(c) for c in partition_by])
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, *, mode: str = "error") -> None:
+    """Header'd CSV sink — the reference's output format
+    (index-less to_csv ≡ Spark's header CSV)."""
+    df.write.mode(mode).option("header", "true").csv(path)
+
+
+def write_json_lines(df: DataFrame, path: str, *, mode: str = "error") -> None:
+    """JSON-lines sink — the reference's wire format, as files."""
+    df.write.mode(mode).json(path)
+
+
+def publish_kafka(
+    df: DataFrame, *, bootstrap_servers: str, topic: str
+) -> None:
+    """Bulk Kafka publish: whole-row JSON values, batched async sends
+    executor-side (vs the reference's 1 msg/sec Python loop). Requires
+    the kafka connector on the classpath; not exercised in local tests.
+    """
+    (
+        df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .save()
+    )

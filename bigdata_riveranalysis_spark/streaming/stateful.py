@@ -1,0 +1,99 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+The one operator class Spark's built-in streaming aggregates can't
+express: per-key state that evolves row-by-row ACROSS micro-batches
+with user-defined transition logic. The reference aspires to anomaly
+detection on a live stream (reference README.md:6); an exponentially
+weighted moving average with a deviation flag is the canonical
+streaming form of it — each reading is judged against the smoothed
+history BEFORE being folded in, and the smoothed history must survive
+micro-batch boundaries, which is exactly what the state store
+provides.
+
+Scale notes: state is one (double, long) pair per sensor — constant
+size, no growth with stream length, partitioned across executors by
+the groupBy key like any shuffle. Arrow moves each group's batch rows
+to Python in one block (this is the sanctioned Python-in-streaming
+path; per-row Python UDFs in a stream are not).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+EWMA_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("sensor_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ewma", T.DoubleType()),
+        T.StructField("is_spike", T.BooleanType()),
+    ]
+)
+
+EWMA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ewma", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def ewma_with_spikes(
+    events: DataFrame,
+    *,
+    alpha: float = 0.3,
+    spike_ratio: float = 3.0,
+) -> DataFrame:
+    """Per-sensor EWMA with spike flags, state carried across batches.
+
+    For each reading (in event-time order within the batch, arrival
+    order across batches): ``is_spike = value > spike_ratio × ewma_so_far``
+    (false for a sensor's first-ever reading), then
+    ``ewma ← alpha·value + (1-alpha)·ewma``. Deterministic given a
+    deterministic batch sequence — the streaming tests replay
+    one file per micro-batch.
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (sensor_id,) = key
+        ewma, n = state.get if state.exists else (0.0, 0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            out_ewma, out_spike = [], []
+            for v in pdf["value"]:
+                v = float(v)
+                spike = n > 0 and v > spike_ratio * ewma
+                ewma = v if n == 0 else alpha * v + (1.0 - alpha) * ewma
+                n += 1
+                out_ewma.append(ewma)
+                out_spike.append(spike)
+            yield pd.DataFrame(
+                {
+                    "sensor_id": sensor_id,
+                    "event_id": pdf["event_id"].to_numpy(),
+                    "value": pdf["value"].to_numpy(),
+                    "ewma": out_ewma,
+                    "is_spike": out_spike,
+                }
+            )
+        state.update((ewma, n))
+
+    return (
+        events.selectExpr("user_id AS sensor_id", "event_id", "ts", "value")
+        .groupBy("sensor_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=EWMA_OUTPUT_SCHEMA,
+            stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -199,3 +199,36 @@ def test_parquet_sink_writes_checkpointed_output(spark, tmp_path):
     q.awaitTermination(120)
     assert spark.read.parquet(out_dir).count() == 5
     assert os.path.isdir(ckpt)
+
+
+def test_ewma_state_survives_micro_batches(spark, tmp_path):
+    """Custom stateful operator: the EWMA folds batch-2 readings into
+    state built in batch 1 (state store round trip), and the spike
+    flag fires against the smoothed history."""
+    from bigdata_riveranalysis_spark.streaming.stateful import ewma_with_spikes
+
+    b1 = [
+        _ev(1, "2024-01-01 00:00:00", user_id=1, value=10.0),
+        _ev(2, "2024-01-01 00:01:00", user_id=1, value=10.0),
+    ]
+    b2 = [
+        _ev(3, "2024-01-01 00:02:00", user_id=1, value=100.0),  # spike vs ewma=10
+        _ev(4, "2024-01-01 00:03:00", user_id=2, value=5.0),  # first reading, never spike
+    ]
+    path = _write_files(tmp_path, [b1, b2])
+    stream = file_json_stream(spark, path, max_files_per_trigger=1)
+    out = ewma_with_spikes(stream, alpha=0.5, spike_ratio=3.0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ewma_q")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.event_id: r for r in spark.table("ewma_q").collect()}
+    assert rows[1].ewma == 10.0 and not rows[1].is_spike  # first reading seeds state
+    assert rows[2].ewma == 10.0 and not rows[2].is_spike
+    # batch 2 reading folded into batch-1 state: 0.5*100 + 0.5*10 = 55
+    assert rows[3].ewma == 55.0 and rows[3].is_spike
+    assert rows[4].ewma == 5.0 and not rows[4].is_spike
