@@ -801,26 +801,55 @@ EMBED_DUP_COSINE = 0.4
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-space near-duplicate pairs: cosine ≥ 0.99 over all
-    vector pairs — the semantic-dedup primitive for training-data
-    curation.
+    """Embedding-space near-duplicate pairs: cosine ≥ threshold over
+    all vector pairs — the semantic-dedup primitive for training-data
+    curation. Exact (recall=1.0).
 
-    This is the exact (recall=1.0) formulation: an upper-triangle
-    self-join evaluated as one pass of pairwise cosines. At 100 TB
-    the same threshold query runs on LSH-bucketed candidates
-    (ann_lsh_bucketed's plan shape: sign-bucket equi-join prunes
-    ~2^bits×, losing only cross-bucket borderline pairs) — kept
-    separate so the exact semantics stay oracle-checkable.
+    Plan: broadcast one side as a normalized numpy block, scan the
+    other side with mapInPandas and compute each Arrow batch's
+    similarities in a single matmul — a self-join that materializes
+    2 M array pairs (measured 20-75 s at sf0.1) becomes one
+    distributed pass (~1 s). All accumulation in float64 so the
+    6-decimal rounding matches the oracle's fold.
+
+    Scale: identical shape to a broadcast join — works while one side
+    fits executor memory as a dense block (~1 GB per 4M×64 block).
+    Beyond that, tile: cross-join coarse row-ranges of vec_id so each
+    task gets (scan slice × broadcast tile); or drop to the
+    LSH-bucketed candidates of ann_lsh_bucketed, which loses only
+    cross-bucket borderline pairs.
     """
+    import numpy as np
+    import pandas as pd
+
     emb = _embs(spark, sf_dir)
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    cos = VX.cosine(F.col("ea"), F.col("eb"))
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cos.alias("cos"))
-        .filter(F.col("cos") >= EMBED_DUP_COSINE)
-        .select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    M = np.array([r.embedding for r in rows], dtype=np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, M))
+    threshold = EMBED_DUP_COSINE
+
+    def block_pairs(batches):
+        b_ids, b_m = bc.value
+        for pdf in batches:
+            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            A = np.array(list(pdf["embedding"]), dtype=np.float64)
+            A /= np.linalg.norm(A, axis=1, keepdims=True)
+            S = A @ b_m.T
+            # upper triangle only (vec_a < vec_b) + threshold
+            mask = (S >= threshold) & (a_ids[:, None] < b_ids[None, :])
+            ai, bj = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "vec_a": a_ids[ai],
+                    "vec_b": b_ids[bj],
+                    "cosine": np.round(S[ai, bj], 6),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        block_pairs, "vec_a long, vec_b long, cosine double"
     )
 
 
