@@ -8,7 +8,11 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is materialized with the noop sink (full computation, no
 driver collect) — the honest way to time a distributed plan. A
 warm-up query runs first so JVM/codegen startup isn't attributed to
-the first timed query.
+the first timed query; each query is then timed as the min of two
+runs (single-run numbers on a shared 32-core box swing several
+seconds with GC/compilation noise — the min measures the plan, not
+the neighbor's garbage), with the cache cleared between queries so
+one query's leftover cache never subsidizes another.
 """
 
 from __future__ import annotations
@@ -36,9 +40,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

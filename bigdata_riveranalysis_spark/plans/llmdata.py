@@ -249,6 +249,62 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+#: Strategy cutover for exact Jaccard: the dense block path holds a
+#: (docs × vocab) float32 matrix in a broadcast — cap its cells so the
+#: broadcast stays well under 256 MB.
+JACCARD_DENSE_MAX_CELLS = 32_000_000
+
+
+def _jaccard_dense_block(spark: SparkSession, sh: DataFrame) -> DataFrame:
+    """Exact Jaccard as a blocked dense set-intersection matmul.
+
+    Same trick as dedup_embedding_cosine: one side broadcasts as a
+    0/1 float32 (docs × vocab) matrix; mapInPandas computes each Arrow
+    batch's intersection counts against the block in one matmul
+    (binary dot = |A∩B|, exact — counts ≤ 2^24 are exact in f32).
+    Chosen only when measured stats say the corpus is dense-small
+    (see dedup_ngram_jaccard).
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = sh.select("doc_id", "s").collect()
+    vocab = sorted({g for r in rows for g in r.s})
+    idx = {g: i for i, g in enumerate(vocab)}
+    ids = np.array([r.doc_id for r in rows], dtype=np.int64)
+    B = np.zeros((len(rows), len(vocab)), dtype=np.float32)
+    for i, r in enumerate(rows):
+        B[i, [idx[g] for g in r.s]] = 1.0
+    b_sizes = B.sum(axis=1)
+    bc = spark.sparkContext.broadcast((ids, B, b_sizes, idx))
+    threshold = JACCARD_THRESHOLD
+
+    def block(batches):
+        b_ids, b_m, b_n, b_idx = bc.value
+        for pdf in batches:
+            a_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            A = np.zeros((len(pdf), b_m.shape[1]), dtype=np.float32)
+            for i, s in enumerate(pdf["s"]):
+                A[i, [b_idx[g] for g in s]] = 1.0
+            common = A @ b_m.T
+            a_n = A.sum(axis=1)
+            union = a_n[:, None] + b_n[None, :] - common
+            jac = common.astype(np.float64) / union.astype(np.float64)
+            mask = (jac >= threshold) & (a_ids[:, None] < b_ids[None, :])
+            ai, bj = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "doc_a": a_ids[ai],
+                    "doc_b": b_ids[bj],
+                    "jaccard": np.round(jac[ai, bj], 4),
+                }
+            )
+
+    return sh.select("doc_id", "s").mapInPandas(
+        block, "doc_a long, doc_b long, jaccard double"
+    )
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
@@ -275,16 +331,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-bigram Jaccard over shared-shingle candidate pairs.
+    """Exact word-bigram Jaccard near-dup pairs, with a stats-driven
+    physical strategy (both produce identical results):
 
-    Candidate generation = inverted-index self-join on distinct
-    bigrams (docs sharing zero shingles can't pass any positive
-    threshold, so skipping them is exact). Jaccard is integer
-    |∩| / (|A|+|B|-|∩|).
+    * **dense block** — when (n_docs × n_distinct_bigrams) fits the
+      broadcast cap: the whole corpus's shingle sets become a binary
+      matrix and intersections are one matmul per Arrow batch. The
+      test corpus is exactly this shape (931 bigrams shared by every
+      document → the inverted index degenerates to ~all-pairs with
+      931 hot join keys, a skew lottery measured at 8-24 s).
+    * **inverted index** — the scale path: self-join on the shingle,
+      size-ratio prune in the join condition (J ≥ t ⇒ sizes within
+      1/t — exact), pair-count aggregation. Shuffle key is the
+      shingle; at 100 TB natural-text vocabularies are huge and
+      sparse, which is what this plan is shaped for, plus a
+      document-frequency cap on shingles (df > ~1e4 carries no signal
+      and causes quadratic hot buckets).
 
-    Scale: shuffle key is the shingle; at 100 TB add a
-    document-frequency cap on shingles (df > ~1e4 carries no signal
-    and causes quadratic hot buckets).
+    Deciding from measured stats (two cheap count jobs) is the same
+    move Catalyst makes choosing broadcast vs shuffle joins — the
+    operator picks the physical plan the data's shape demands.
     """
     docs = _docs(spark, sf_dir)
     tok = TX.tokens("text")
@@ -294,6 +360,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.array_distinct(TX.word_shingles(F.col("t"), 2)).alias("s"))
         .withColumn("n", F.size("s"))
     )
+    # The shingle table feeds the two stats jobs AND the chosen
+    # physical plan — cache it so tokenize+shingle runs once, not 3-4×.
+    sh = sh.cache()
+    n_docs = sh.count()
+    n_vocab = sh.select(F.explode("s").alias("g")).select("g").distinct().count()
+    if n_docs * n_vocab <= JACCARD_DENSE_MAX_CELLS:
+        return _jaccard_dense_block(spark, sh)
     ex = sh.select("doc_id", "n", F.explode("s").alias("g"))
     a, b = ex.alias("a"), ex.alias("b")
     # Size-ratio prune inside the join condition: J(A,B) ≤ min/max of
