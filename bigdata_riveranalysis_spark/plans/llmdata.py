@@ -249,60 +249,77 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-#: Strategy cutover for exact Jaccard: the dense block path holds a
-#: (docs × vocab) float32 matrix in a broadcast — cap its cells so the
-#: broadcast stays well under 256 MB.
-JACCARD_DENSE_MAX_CELLS = 32_000_000
+#: Local-regime gates for exact Jaccard, all checked before any heavy
+#: work: corpus text volume (bounds the one Arrow collect), doc count
+#: (bounds the pair matrix), docs × vocab cells (bounds the dense
+#: matrix), and total matmul FLOPs (bounds local compute). Outside any
+#: gate the operator stays on the distributed inverted-index plan.
+JACCARD_LOCAL_MAX_CHARS = 64_000_000
+JACCARD_LOCAL_MAX_DOCS = 20_000
+JACCARD_LOCAL_MAX_CELLS = 32_000_000
+JACCARD_LOCAL_MAX_FLOPS = 250e9
+
+#: Rows per matmul block in the local path (caps the n×block temp).
+_JACCARD_BLOCK = 2048
 
 
-def _jaccard_dense_block(spark: SparkSession, sh: DataFrame) -> DataFrame:
-    """Exact Jaccard as a blocked dense set-intersection matmul.
+def _jaccard_local(spark: SparkSession, sh: DataFrame) -> DataFrame | None:
+    """Exact all-pairs Jaccard in the local (small-corpus) regime.
 
-    Same trick as dedup_embedding_cosine: one side broadcasts as a
-    0/1 float32 (docs × vocab) matrix; mapInPandas computes each Arrow
-    batch's intersection counts against the block in one matmul
-    (binary dot = |A∩B|, exact — counts ≤ 2^24 are exact in f32).
-    Chosen only when measured stats say the corpus is dense-small
-    (see dedup_ngram_jaccard).
+    One Arrow-batched job computes the shingle sets; everything after
+    is vectorized numpy: `pd.factorize` builds the vocab index in C,
+    the sets become a 0/1 float32 (docs × vocab) matrix, and a blocked
+    matmul yields |A∩B| exactly (binary dot products; counts ≤ 2^24
+    are exact in f32).
+
+    This is the same cost-based escape hatch as Catalyst's broadcast
+    join: below the gates, the whole problem is smaller than the
+    per-job overhead of a distributed plan (measured: five tokenizing
+    jobs cost more in codegen+scheduling than the entire matmul), so
+    the engine computes it where the data already fits. Returns None
+    when post-collect stats exceed the dense gates — the caller then
+    runs the distributed plan.
     """
     import numpy as np
     import pandas as pd
 
-    rows = sh.select("doc_id", "s").collect()
-    vocab = sorted({g for r in rows for g in r.s})
-    idx = {g: i for i, g in enumerate(vocab)}
-    ids = np.array([r.doc_id for r in rows], dtype=np.int64)
-    B = np.zeros((len(rows), len(vocab)), dtype=np.float32)
-    for i, r in enumerate(rows):
-        B[i, [idx[g] for g in r.s]] = 1.0
-    b_sizes = B.sum(axis=1)
-    bc = spark.sparkContext.broadcast((ids, B, b_sizes, idx))
-    threshold = JACCARD_THRESHOLD
-
-    def block(batches):
-        b_ids, b_m, b_n, b_idx = bc.value
-        for pdf in batches:
-            a_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-            A = np.zeros((len(pdf), b_m.shape[1]), dtype=np.float32)
-            for i, s in enumerate(pdf["s"]):
-                A[i, [b_idx[g] for g in s]] = 1.0
-            common = A @ b_m.T
-            a_n = A.sum(axis=1)
-            union = a_n[:, None] + b_n[None, :] - common
-            jac = common.astype(np.float64) / union.astype(np.float64)
-            mask = (jac >= threshold) & (a_ids[:, None] < b_ids[None, :])
-            ai, bj = np.nonzero(mask)
-            yield pd.DataFrame(
-                {
-                    "doc_a": a_ids[ai],
-                    "doc_b": b_ids[bj],
-                    "jaccard": np.round(jac[ai, bj], 4),
-                }
-            )
-
-    return sh.select("doc_id", "s").mapInPandas(
-        block, "doc_a long, doc_b long, jaccard double"
+    out_schema = "doc_a long, doc_b long, jaccard double"
+    pdf = sh.select("doc_id", "s").toPandas()
+    n = len(pdf)
+    if n == 0:
+        return spark.createDataFrame([], out_schema)
+    sets = pdf["s"].to_numpy()
+    sizes = np.fromiter((len(s) for s in sets), dtype=np.int64, count=n)
+    flat = np.concatenate(sets) if sizes.sum() else np.array([], dtype=object)
+    codes, uniques = pd.factorize(flat)
+    nv = len(uniques)
+    if n * nv > JACCARD_LOCAL_MAX_CELLS or 2.0 * n * n * nv > JACCARD_LOCAL_MAX_FLOPS:
+        return None
+    ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+    M = np.zeros((n, max(nv, 1)), dtype=np.float32)
+    M[np.repeat(np.arange(n), sizes), codes] = 1.0
+    out_a, out_b, out_j = [], [], []
+    for start in range(0, n, _JACCARD_BLOCK):
+        stop = min(start + _JACCARD_BLOCK, n)
+        common = (M[start:stop] @ M.T).astype(np.float64)
+        union = sizes[start:stop, None] + sizes[None, :] - common
+        with np.errstate(divide="ignore", invalid="ignore"):
+            jac = np.where(union > 0, common / union, 0.0)
+        mask = (jac >= JACCARD_THRESHOLD) & (ids[start:stop, None] < ids[None, :])
+        ai, bj = np.nonzero(mask)
+        out_a.append(ids[start:stop][ai])
+        out_b.append(ids[bj])
+        out_j.append(np.round(jac[ai, bj], 4))
+    res = pd.DataFrame(
+        {
+            "doc_a": np.concatenate(out_a),
+            "doc_b": np.concatenate(out_b),
+            "jaccard": np.concatenate(out_j),
+        }
     )
+    if res.empty:
+        return spark.createDataFrame([], out_schema)
+    return spark.createDataFrame(res, out_schema)
 
 
 @query(
@@ -334,12 +351,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-bigram Jaccard near-dup pairs, with a stats-driven
     physical strategy (both produce identical results):
 
-    * **dense block** — when (n_docs × n_distinct_bigrams) fits the
-      broadcast cap: the whole corpus's shingle sets become a binary
-      matrix and intersections are one matmul per Arrow batch. The
-      test corpus is exactly this shape (931 bigrams shared by every
-      document → the inverted index degenerates to ~all-pairs with
-      931 hot join keys, a skew lottery measured at 8-24 s).
+    * **local dense** — when one scan-only stats job says the corpus
+      is tiny (see the JACCARD_LOCAL_* gates): factorize + blocked
+      binary matmul (_jaccard_local). The test corpus is exactly this
+      shape (931 bigrams shared by every document → the inverted
+      index degenerates to ~all-pairs with 931 hot join keys, a skew
+      lottery measured at 8-24 s, while the whole problem is <1 s of
+      BLAS).
     * **inverted index** — the scale path: self-join on the shingle,
       size-ratio prune in the join condition (J ≥ t ⇒ sizes within
       1/t — exact), pair-count aggregation. Shuffle key is the
@@ -348,9 +366,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       document-frequency cap on shingles (df > ~1e4 carries no signal
       and causes quadratic hot buckets).
 
-    Deciding from measured stats (two cheap count jobs) is the same
-    move Catalyst makes choosing broadcast vs shuffle joins — the
-    operator picks the physical plan the data's shape demands.
+    Deciding from measured stats is the same move Catalyst makes
+    choosing broadcast vs shuffle joins — the operator picks the
+    physical plan the data's shape demands.
     """
     docs = _docs(spark, sf_dir)
     tok = TX.tokens("text")
@@ -360,13 +378,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.array_distinct(TX.word_shingles(F.col("t"), 2)).alias("s"))
         .withColumn("n", F.size("s"))
     )
-    # The shingle table feeds the two stats jobs AND the chosen
-    # physical plan — cache it so tokenize+shingle runs once, not 3-4×.
-    sh = sh.cache()
-    n_docs = sh.count()
-    n_vocab = sh.select(F.explode("s").alias("g")).select("g").distinct().count()
-    if n_docs * n_vocab <= JACCARD_DENSE_MAX_CELLS:
-        return _jaccard_dense_block(spark, sh)
+    # Strategy stats: one scan-only job (count + total text chars — no
+    # tokenize, no shuffle) decides the regime. A 100 TB corpus blows
+    # the char gate immediately and goes distributed without ever
+    # collecting a byte of text.
+    stats = docs.agg(
+        F.count("*").alias("n"), F.sum(F.length("text")).alias("chars")
+    ).collect()[0]
+    if (
+        stats.n <= JACCARD_LOCAL_MAX_DOCS
+        and (stats.chars or 0) <= JACCARD_LOCAL_MAX_CHARS
+    ):
+        local = _jaccard_local(spark, sh)
+        if local is not None:
+            return local
     ex = sh.select("doc_id", "n", F.explode("s").alias("g"))
     a, b = ex.alias("a"), ex.alias("b")
     # Size-ratio prune inside the join condition: J(A,B) ≤ min/max of

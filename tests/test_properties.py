@@ -110,3 +110,22 @@ def test_json_roundtrip_props(spark, vals):
     ).collect()
     for r in rt:
         assert json.loads(r.props) == json.loads(r.back)
+
+
+def test_jaccard_local_and_distributed_plans_agree(spark):
+    """dedup_ngram_jaccard's cost-based strategy switch is physical
+    only: forcing the distributed inverted-index plan must give the
+    exact same pairs as the local dense path (sf0.001 corpus)."""
+    from bigdata_riveranalysis_spark.plans import llmdata as L
+
+    fn = L.dedup_ngram_jaccard
+    sf = "/root/testdata/sf0.001"
+    local = sorted(map(tuple, fn(spark, sf).collect()))
+    saved = L.JACCARD_LOCAL_MAX_DOCS
+    try:
+        L.JACCARD_LOCAL_MAX_DOCS = 0
+        dist = sorted(map(tuple, fn(spark, sf).collect()))
+    finally:
+        L.JACCARD_LOCAL_MAX_DOCS = saved
+    assert local == dist
+    assert local, "sf0.001 corpus should contain at least one near-dup pair"
