@@ -429,14 +429,56 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SIMHASH_BITS = 16
 
+#: Below this doc count, dedup_simhash's exact pair scan runs locally
+#: on collected signatures (16 bytes/doc → ≤320 KB; the pair scan is
+#: n² popcounts, ≤0.4 GB-ops at the cap) instead of the banded joins.
+SIMHASH_LOCAL_MAX_DOCS = 20_000
+
+
+def _simhash_frame(docs: DataFrame) -> DataFrame:
+    """SimHash signatures as explode → groupBy(doc_id) with 16
+    codegen'd conditional sums — the hot-path formulation.
+
+    The per-row array-lambda version (_simhash_col) evaluates 16
+    interpreted lambdas per token; this one stays inside whole-stage
+    codegen end to end, and the groupBy's map-side partial aggregation
+    reduces each task's tokens to one 16-counter row per doc before
+    any shuffle — at 100 TB the shuffle carries n_docs × 17 ints, not
+    tokens. Semantics are identical (votes with multiplicity;
+    differential-tested against _simhash_col). Precondition: text is
+    non-NULL — `split` always yields ≥1 token so explode drops no
+    doc, but a NULL text would (the corpus schema guarantees
+    non-NULL).
+    """
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("long")
+    ex = docs.select("doc_id", F.explode(TX.tokens("text")).alias("tok")).select(
+        "doc_id", h.alias("h")
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    sim = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return (
+        ex.groupBy("doc_id")
+        .agg(*votes)
+        .select("doc_id", sim.cast("long").alias("simhash"))
+    )
+
 
 def _simhash_col(tok: F.Column) -> F.Column:
     """16-bit SimHash: per-bit ±1 votes over md5-hashed tokens
     (with multiplicity), bit set iff the vote sum is positive.
 
-    One aggregate pass carrying a 16-counter vote array, so each
-    token is md5-hashed exactly once (a per-bit formulation would
-    recompute the hash array SIMHASH_BITS times). Bit tests use
+    Scalar reference implementation (see _simhash_frame for the hot
+    path). One aggregate pass carrying a 16-counter vote array, so
+    each token is md5-hashed exactly once (a per-bit formulation
+    would recompute the hash array SIMHASH_BITS times). Bit tests use
     div/mod arithmetic because Spark's shift functions take literal
     shift amounts and the lambda's bit index is a column.
     """
@@ -489,11 +531,10 @@ def _simhash_sql() -> str:
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signatures (16-bit, token-level, md5 bit votes).
 
-    All-integer arithmetic → bit-exact oracle. Scale: embarrassingly
-    parallel single pass, no shuffle.
+    All-integer arithmetic → bit-exact oracle. Scale: one pass whose
+    shuffle is n_docs × 17 ints after map-side combine (_simhash_frame).
     """
-    docs = _docs(spark, sf_dir)
-    return docs.select("doc_id", _simhash_col(TX.tokens("text")).alias("simhash"))
+    return _simhash_frame(_docs(spark, sf_dir))
 
 
 @query(
@@ -522,9 +563,50 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates. Output is provably identical to the all-pairs scan
     (which is what the SQL oracle runs), but the join is hash-based —
     the 100 TB path.
+
+    Physical shape is cost-gated like dedup_ngram_jaccard. The test
+    corpus is dup-heavy (4910 true pairs in 5000 docs): simhashes
+    cluster, so every 5/6-bit segment bucket is huge and the banded
+    candidate set degenerates toward 3× all-pairs — a measured
+    8-14 s of joins for what is 12.5M XOR+popcounts, ~0.1 s of
+    numpy. Below SIMHASH_LOCAL_MAX_DOCS the signatures (16 bytes/doc)
+    are collected and the exact pair scan runs locally; above it, the
+    banded equi-joins are the distributed path (at that scale the
+    signature should widen to 64 bits / 4 segments, which un-clusters
+    the buckets; sig is cached and materialized once, the Hamming
+    filter runs before the pair dedup so dropDuplicates shuffles only
+    true pairs).
     """
     docs = _docs(spark, sf_dir)
-    sig = docs.select("doc_id", _simhash_col(TX.tokens("text")).alias("simhash")).cache()
+    sig = _simhash_frame(docs)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    if n_docs <= SIMHASH_LOCAL_MAX_DOCS:
+        import numpy as np
+
+        out_schema = "doc_a long, doc_b long, hamming int"
+        pdf = sig.toPandas()
+        if pdf.empty:
+            return spark.createDataFrame([], out_schema)
+        ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        h = pdf["simhash"].to_numpy(dtype=np.uint16)  # SIMHASH_BITS = 16
+        x = h[:, None] ^ h[None, :]
+        pop8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+        pc = pop8[x & 0xFF] + pop8[x >> 8]
+        ai, bj = np.nonzero((pc <= 2) & (ids[:, None] < ids[None, :]))
+        import pandas as pd
+
+        res = pd.DataFrame(
+            {
+                "doc_a": ids[ai],
+                "doc_b": ids[bj],
+                "hamming": pc[ai, bj].astype(np.int32),
+            }
+        )
+        if res.empty:
+            return spark.createDataFrame([], out_schema)
+        return spark.createDataFrame(res, out_schema)
+    sig = sig.cache()
+    sig.count()
     # segments: bits [0,5], [6,10], [11,15]
     segments = (
         (0, 0x3F),  # low 6 bits
@@ -532,25 +614,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         (11, 0x1F),  # high 5 bits
     )
     cands = None
-    for seg_id, (shift, mask) in enumerate(segments):
+    for shift, mask in segments:
         seg = F.shiftright("simhash", shift).bitwiseAND(F.lit(mask))
         keyed = sig.select("doc_id", "simhash", seg.alias("seg"))
-        a, b = keyed.alias("a"), keyed.alias("b")
-        pairs = a.join(
+        b = keyed.alias("b")
+        pairs = keyed.alias("a").join(
             b, (F.col("a.seg") == F.col("b.seg")) & (F.col("a.doc_id") < F.col("b.doc_id"))
         ).select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
         )
         cands = pairs if cands is None else cands.unionByName(pairs)
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        cands.dropDuplicates(["doc_a", "doc_b"])
-        .select("doc_a", "doc_b", ham.alias("hamming"))
-        .filter(F.col("hamming") <= 2)
-    )
+    return cands.filter(F.col("hamming") <= 2).dropDuplicates(["doc_a", "doc_b"])
 
 
 # ---------------------------------------------------------------------------

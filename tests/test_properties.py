@@ -89,11 +89,20 @@ def test_topk_with_tiebreak_is_deterministic(spark, vals):
 @SETTINGS
 @given(doc=st.text(alphabet="ab cd", min_size=0, max_size=60))
 def test_simhash_fits_bit_width(spark, doc):
-    from bigdata_riveranalysis_spark.plans.llmdata import SIMHASH_BITS, _simhash_col
+    """Also differential: the codegen groupBy formulation
+    (_simhash_frame, the hot path) must equal the scalar array-lambda
+    reference (_simhash_col) on arbitrary text."""
+    from bigdata_riveranalysis_spark.plans.llmdata import (
+        SIMHASH_BITS,
+        _simhash_col,
+        _simhash_frame,
+    )
 
-    df = spark.createDataFrame([(doc,)], "text string")
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
     h = df.select(_simhash_col(TX.tokens("text")).alias("h")).collect()[0].h
     assert 0 <= h < (1 << SIMHASH_BITS)
+    h2 = _simhash_frame(df).collect()[0].simhash
+    assert h2 == h
 
 
 @SETTINGS
