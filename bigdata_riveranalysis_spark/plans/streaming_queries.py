@@ -72,15 +72,18 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _run_stream(df: DataFrame, spark: SparkSession, output_mode: str) -> DataFrame:
     # Stateful streaming pins one state-store instance per shuffle
     # partition for the query's lifetime; each instance has per-batch
-    # maintenance cost, so partitions beyond the executor-core count
-    # only add overhead (measured 5× on the bench corpus at 64 vs 32).
-    # On a real cluster this number is sized to state volume
-    # (keys × window horizon), not to a batch-shuffle heuristic, and
-    # cannot change across restarts of the same checkpoint.
+    # maintenance cost, so partition count trades parallelism against
+    # per-store overhead (measured on the bench corpus: 64 parts 5×
+    # slower than 32; cores/2 another ~35% faster than cores; below 8
+    # it degrades again as real work serializes). On a real cluster
+    # this number is sized to state volume (keys × window horizon),
+    # not to a batch-shuffle heuristic, and cannot change across
+    # restarts of the same checkpoint.
     name = "stream_result_" + uuid.uuid4().hex[:12]
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
-        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+        "spark.sql.shuffle.partitions",
+        str(max(8, spark.sparkContext.defaultParallelism // 2)),
     )
     try:
         q = (
