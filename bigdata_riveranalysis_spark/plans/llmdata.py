@@ -1099,3 +1099,112 @@ def text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("es")
     )
     return scored.select("doc_id", "s_en", "s_de", "s_fr", "s_es", pred.alias("predicted_lang"))
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — centroid-partitioned similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ann_ivf_cells",
+    oracle=f"""
+    WITH ex AS (
+        SELECT label, u.dim - 1 AS dim, u.v
+        FROM embeddings,
+             LATERAL (SELECT unnest(embedding) AS v,
+                             generate_subscripts(embedding, 1) AS dim) u
+    ),
+    cents AS (
+        SELECT label AS cell, list(mu ORDER BY dim) AS c
+        FROM (SELECT label, dim, avg(CAST(v AS DOUBLE)) AS mu
+              FROM ex GROUP BY label, dim)
+        GROUP BY label
+    ),
+    scored AS (
+        SELECT e.vec_id, e.embedding, c.cell,
+               {VX.cosine_sql("e.embedding", "c.c")} AS cc
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    assign AS (
+        SELECT vec_id, embedding, cell
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY cc DESC, cell) AS rn
+              FROM scored)
+        WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qe, cell
+          FROM assign WHERE vec_id < 10),
+    pairs AS (
+        SELECT q.qid, a.vec_id AS nid, q.cell,
+               {VX.cosine_sql("q.qe", "a.embedding")} AS cos
+        FROM q JOIN assign a ON q.cell = a.cell AND a.vec_id <> q.qid
+    ),
+    ranked AS (
+        SELECT qid AS query_id, nid AS neighbor_id, cell, cos,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+        FROM pairs
+    )
+    SELECT query_id, neighbor_id, cell, round(cos, 6) AS cosine, rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a coarse quantizer partitions the corpus into
+    cells; queries search only their nearest cell (nprobe=1).
+
+    The quantizer is one k-means-style assignment step seeded by the
+    label groups: centroids are per-label dim-wise means (the
+    embedding_centroids computation, kept as arrays), and every
+    vector — including the queries — is assigned to its
+    nearest-by-cosine centroid, NOT its label, so the cell structure
+    is genuinely data-derived and deterministic (ties break on cell
+    id), which is what lets the SQL oracle reproduce it bit-for-bit.
+
+    Scale: the centroid table is k rows (broadcast); assignment is a
+    broadcast cross-join + per-vector argmax — map-side except one
+    shuffle of n×k scored rows (a groupBy-max_by formulation with
+    partial aggregation would shrink that to n map-side). The search
+    join shuffles on cell, the IVF invariant: each query compares
+    against ~n/k candidates instead of n. Recall < 1 by design at
+    cell borders; raise nprobe (join top-p cells per query) for
+    recall without changing the plan shape.
+    """
+    emb = _embs(spark, sf_dir)
+    ex = emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+    dims = ex.groupBy("label", "dim").agg(F.avg(F.col("v").cast("double")).alias("mu"))
+    cents = (
+        dims.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "mu"))), lambda s: s["mu"]
+            ).alias("c")
+        )
+        .select(F.col("label").alias("cell"), "c")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "embedding", "cell", VX.cosine("embedding", "c").alias("cc")
+    )
+    wa = W.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("cell"))
+    assign = (
+        scored.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cell")
+    )
+    q = assign.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "cell"
+    )
+    pairs = assign.join(F.broadcast(q), ["cell"]).filter(
+        F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "cell",
+        VX.cosine(F.col("qe"), F.col("embedding")).alias("cos"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "neighbor_id", "cell", F.round("cos", 6).alias("cosine"), "rnk")
+    )

@@ -771,3 +771,89 @@ def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
         F.count("*").alias("n_orders"),
     )
+
+
+# --------------------------------------------------------------------------
+# Subqueries (Catalyst decorrelation) and percentile aggregates
+# --------------------------------------------------------------------------
+
+_SUBQ_BRAND_AVG_SQL = """
+    SELECT p_brand, p_partkey, round(p_retailprice, 4) AS retailprice
+    FROM part p
+    WHERE p_retailprice > 1.05 * (
+        SELECT avg(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+    )
+"""
+
+
+@query("subq_parts_above_brand_avg", oracle=_SUBQ_BRAND_AVG_SQL)
+def subq_parts_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: parts priced >5% above their
+    brand's average (5%: the synthetic price spread is tight). Catalyst decorrelates this into one aggregate
+    per brand + an equi-join (RewriteCorrelatedScalarSubquery) — no
+    per-row subquery execution, so the plan is two scans + a
+    broadcast join at any scale. The engine runs the exact SQL the
+    oracle runs: the point is the optimizer surface, not the syntax.
+    """
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_SUBQ_BRAND_AVG_SQL)
+
+
+_SUBQ_EXISTS_SQL = """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM orders o2
+        WHERE o2.o_custkey = c.c_custkey AND o2.o_orderpriority = '5-LOW'
+    )
+"""
+
+
+@query("subq_exists_customer_orders", oracle=_SUBQ_EXISTS_SQL)
+def subq_exists_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / NOT EXISTS predicate subqueries: big-spender customers
+    with no low-priority orders. Catalyst rewrites them to LEFT SEMI
+    and LEFT ANTI joins on o_custkey (RewritePredicateSubquery) — the
+    same physical shape as the explicit semi/anti-join queries, shown
+    here through the SQL surface a reference user would write.
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_SUBQ_EXISTS_SQL)
+
+
+@query(
+    "agg_percentiles_lineitem",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of extended price per return
+    flag (Spark `percentile` ≡ DuckDB `quantile_cont`, both linear
+    interpolation over order statistics).
+
+    Scale note: exact percentile buffers each group's values — fine
+    for a handful of groups, wrong for high-cardinality ones; at
+    100 TB swap in approx_percentile (t-digest sketch, mergeable
+    partials, bounded memory) the same way approx_distinct_customers
+    stands in for exact COUNT(DISTINCT).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+        F.count("*").alias("n_rows"),
+    )
