@@ -857,3 +857,39 @@ def agg_percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
         F.count("*").alias("n_rows"),
     )
+
+
+@query(
+    "unpivot_lineitem_measures",
+    oracle="""
+    WITH u AS (
+        SELECT 'l_quantity' AS measure, l_quantity AS amount FROM lineitem
+        UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+    )
+    SELECT measure, count(*) AS n, round(sum(amount), 4) AS total,
+           round(avg(amount), 4) AS mean
+    FROM u GROUP BY measure
+    """,
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) the four lineitem measures to long form, then
+    summarize per measure — the wide→long reshape every metrics
+    pipeline needs. Spark's `unpivot` compiles to a generate/expand
+    node (each input row emits 4), so it stays narrow: the only
+    shuffle is the 4-group aggregate, whose partial aggregation
+    reduces each task to 4 rows regardless of input size.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_orderkey"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="amount",
+    )
+    return long.groupBy("measure").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("amount"), 4).alias("total"),
+        F.round(F.avg("amount"), 4).alias("mean"),
+    )

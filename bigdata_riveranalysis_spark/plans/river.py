@@ -180,3 +180,67 @@ def sensor_monthly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.percentile("value", F.lit(0.5)), 4).alias("median_value"),
         )
     )
+
+
+@query(
+    "sensor_gapfill_ffill",
+    oracle="""
+    WITH r AS (
+        SELECT user_id AS sensor_id, time_bucket(INTERVAL '1 hour', ts) AS h,
+               avg(value) AS v, count(*) AS n
+        FROM events WHERE user_id < 5 GROUP BY 1, 2
+    ),
+    b AS (SELECT min(h) AS h0, max(h) AS h1 FROM r),
+    hours AS (SELECT unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS h FROM b),
+    grid AS (SELECT s.sensor_id, hours.h
+             FROM (SELECT DISTINCT sensor_id FROM r) s CROSS JOIN hours),
+    j AS (SELECT g.sensor_id, g.h, r.v, coalesce(r.n, 0) AS n
+          FROM grid g LEFT JOIN r ON r.sensor_id = g.sensor_id AND r.h = g.h)
+    SELECT sensor_id,
+           strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+           n AS n_readings,
+           round(last_value(v IGNORE NULLS) OVER (
+               PARTITION BY sensor_id ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS value_ffill,
+           CASE WHEN n = 0 THEN 1 ELSE 0 END AS is_gap
+    FROM j
+    """,
+)
+def sensor_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a dense hourly spine per sensor
+    (sequence + explode — generated, not scanned), left-joined to the
+    hourly aggregates, missing hours forward-filled with
+    last(ignorenulls) over an unbounded-preceding window. This is the
+    resample/ffill operator of the README's monitoring dashboard —
+    a gap in a sensor's feed must show the last known value, flagged.
+
+    Scale: the spine is sensors × hours rows built from one tiny
+    aggregate (no scan); the fill window partitions by sensor, so
+    state is one value per sensor per partition. Hot sensors don't
+    skew — every sensor has exactly the same spine length.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    hourly = ev.groupBy(
+        F.col("user_id").alias("sensor_id"),
+        F.date_trunc("hour", "ts").alias("h"),
+    ).agg(F.avg("value").alias("v"), F.count("*").alias("n"))
+    bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    hours = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    grid = hourly.select("sensor_id").distinct().crossJoin(F.broadcast(hours))
+    j = grid.join(hourly, ["sensor_id", "h"], "left").select(
+        "sensor_id", "h", "v", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    w = (
+        W.partitionBy("sensor_id")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return j.select(
+        "sensor_id",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.col("n").alias("n_readings"),
+        F.round(F.last("v", ignorenulls=True).over(w), 4).alias("value_ffill"),
+        F.when(F.col("n") == 0, 1).otherwise(0).alias("is_gap"),
+    )

@@ -225,3 +225,67 @@ def stream_threshold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "severity",
     )
     return _run_stream(alerts, spark, "append")
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id AS user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           round(p.value, 4) AS purchase_value
+    FROM events p JOIN events c ON p.user_id = c.user_id
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+      AND c.ts >= p.ts - INTERVAL '30 minutes' AND c.ts < p.ts
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: each purchase joined to the clicks
+    of the same user in the 30 minutes before it — two independent
+    file streams, both watermarked, joined on user_id with an
+    event-time range condition.
+
+    The time bound + watermarks are what make this run with bounded
+    state at 100 TB/day: Spark evicts a click from join state once
+    the purchase-side watermark passes click_ts + 30 min, so state
+    holds ~30 min × click rate, not the whole history. An inner join
+    emits matches as both sides arrive, so with availableNow
+    processing the result equals the batch join the oracle runs
+    (watermarks bound state; nothing is dropped at end of input).
+    """
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") < F.col("p_ts")),
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.round("p_value", 4).alias("purchase_value"),
+    )
+    return _run_stream(joined, spark, "append")
