@@ -80,3 +80,106 @@ def extract_features(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+#: Frame-sampling geometry (bytes): a "frame" is FRAME_LEN bytes, one
+#: sampled every FRAME_STRIDE bytes from the payload start.
+FRAME_LEN = 64
+FRAME_STRIDE = 128
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_no", T.IntegerType(), False),
+        T.StructField("frame_len", T.IntegerType(), True),
+        T.StructField("frame_first_byte", T.IntegerType(), True),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def _sample_frames(payload: bytes) -> list[tuple[int, bytes]]:
+    """STUB frame sampler — deterministic byte-slice "frames".
+
+    A real implementation would seek keyframes with a video demuxer
+    (PyAV, ffmpeg) at a target fps; the container has no media
+    libraries, so frames are fixed-stride byte windows. The Spark
+    contract — binary in, one row per sampled frame out — is the real
+    one.
+    """
+    return [
+        (i, payload[off : off + FRAME_LEN])
+        for i, off in enumerate(range(0, len(payload), FRAME_STRIDE))
+    ]
+
+
+def sample_frames(df: DataFrame) -> DataFrame:
+    """Frame sampling as a 1→N Arrow-batched operator.
+
+    mapInPandas (not a UDF + explode) because the fan-out ratio is
+    data-dependent and the frames should never materialize as one
+    giant array value per row — each yielded batch streams straight
+    into the child operator. Scale: narrow (no shuffle); payload
+    partition sizing is the only knob, same as extract_features.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "frame_no": [],
+                "frame_len": [],
+                "frame_first_byte": [],
+                "frame": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for i, frame in _sample_frames(payload):
+                    out["doc_id"].append(doc_id)
+                    out["frame_no"].append(i)
+                    out["frame_len"].append(len(frame))
+                    out["frame_first_byte"].append(frame[0] if frame else None)
+                    out["frame"].append(frame)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def _resize_payload(payload: bytes, target: int) -> bytes:
+    """STUB resize — deterministic downsample: every k-th byte so the
+    output is ≤ target bytes (a real implementation decodes and
+    resamples pixels; the contract — binary in, smaller binary out —
+    is identical)."""
+    if len(payload) <= target:
+        return payload
+    step = -(-len(payload) // target)  # ceil division
+    return payload[::step]
+
+
+def resize_assets(df: DataFrame, target_bytes: int = 128) -> DataFrame:
+    """Resize/downsample each payload to ≤ target_bytes (stub codec),
+    preserving the (payload, meta) convention so resized assets flow
+    into the same downstream operators."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = pdf["payload"].map(lambda p: _resize_payload(p, target_bytes))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": resized,
+                    "mime": pdf["meta"].map(lambda m: m["mime"]),
+                    "byte_len": resized.map(len),
+                }
+            )
+
+    return df.mapInPandas(
+        run,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType(), True),
+                T.StructField("mime", T.StringType(), True),
+                T.StructField("byte_len", T.LongType(), True),
+            ]
+        ),
+    )

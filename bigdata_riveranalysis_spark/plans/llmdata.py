@@ -1208,3 +1208,39 @@ def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("query_id", "neighbor_id", "cell", F.round("cos", 6).alias("cosine"), "rnk")
     )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, text, strlen(text) AS L,
+               unnest(range(0, CAST(ceil(strlen(text) / 128.0) AS BIGINT))) AS frame_no
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(frame_no AS INTEGER) AS frame_no,
+           CAST(least(64, L - frame_no * 128) AS INTEGER) AS frame_len,
+           ascii(substr(text, CAST(frame_no * 128 + 1 AS INTEGER), 1)) AS frame_first_byte
+    FROM f
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads: 1→N fan-out via
+    mapInPandas (operators/multimodal.py::sample_frames). The sampler
+    is a deterministic byte-stride stub (no media libs in the
+    container), which is exactly what lets the oracle re-derive every
+    frame's length and first byte from the source text (ASCII corpus:
+    byte offsets == char offsets). The binary frame column itself is
+    dropped for the comparison — DuckDB hashes BLOBs differently —
+    but is exercised by the Spark job.
+    """
+    from bigdata_riveranalysis_spark.operators.multimodal import (
+        attach_payload,
+        sample_frames,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return sample_frames(attach_payload(docs)).select(
+        "doc_id", "frame_no", "frame_len", "frame_first_byte"
+    )

@@ -81,3 +81,37 @@ def test_whole_stage_codegen_covers_scalar_battery(spark):
     assert plan.lstrip().startswith("*(")
     # No Python UDFs anywhere in the scalar path.
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_multimodal_resize_and_frames(spark):
+    """Resize keeps the (payload, meta) convention with payloads
+    bounded by the target; frame sampling fans out 1→N with exact
+    stride geometry."""
+    from bigdata_riveranalysis_spark.operators.multimodal import (
+        FRAME_LEN,
+        FRAME_STRIDE,
+        attach_payload,
+        resize_assets,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a" * 300), (2, "xy"), (3, "b" * 128)], "doc_id long, text string"
+    )
+    assets = attach_payload(df)
+
+    resized = {r.doc_id: r for r in resize_assets(assets, target_bytes=100).collect()}
+    assert all(len(r.payload) <= 100 for r in resized.values())
+    assert resized[2].payload == b"xy"  # under target → untouched
+    assert resized[1].byte_len == len(resized[1].payload)
+
+    frames = sample_frames(assets).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # 300 bytes / stride 128 → frames at 0, 128, 256
+    assert [f.frame_no for f in sorted(by_doc[1], key=lambda f: f.frame_no)] == [0, 1, 2]
+    last = max(by_doc[1], key=lambda f: f.frame_no)
+    assert last.frame_len == 300 - 2 * FRAME_STRIDE  # tail frame truncates
+    assert all(f.frame_len <= FRAME_LEN for f in frames)
+    assert by_doc[2][0].frame == b"xy"
