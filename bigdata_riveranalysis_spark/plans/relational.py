@@ -850,12 +850,22 @@ def agg_percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     stands in for exact COUNT(DISTINCT).
     """
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("p50"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
-        F.count("*").alias("n_rows"),
+    # One percentile aggregate with an array of fractions: the group's
+    # values buffer and sort ONCE, not once per requested percentile.
+    ps = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75), F.lit(0.99))
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(ps.alias("ps"), F.count("*").alias("n_rows"))
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("ps", 1), 4).alias("p25"),
+            F.round(F.element_at("ps", 2), 4).alias("p50"),
+            F.round(F.element_at("ps", 3), 4).alias("p75"),
+            F.round(F.element_at("ps", 4), 4).alias("p99"),
+            "n_rows",
+        )
     )
 
 
