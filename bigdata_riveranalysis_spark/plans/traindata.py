@@ -1,0 +1,384 @@
+"""Training-data curation operators: the corpus-to-training-set stage.
+
+SURVEY.md §2b's LLM-data extension covers dedup/similarity/text-stats;
+this module adds the curation steps that sit between a cleaned corpus
+and a training run — the operators a 100 TB data pipeline runs last:
+
+  * deterministic train/val/test splitting (hash-bucketed, so the
+    split is stable across runs and cluster sizes — no RNG state);
+  * stratified source sampling (domain mixing) driven by a broadcast
+    mixture-weight table — the "sample The Pile at these ratios" op;
+  * PII scrubbing (email / phone / IPv4 masking) with audit counts;
+  * benchmark-contamination screening (n-gram overlap against a held
+    eval set — the GPT-3/Llama decontamination move);
+  * greedy sequence packing into fixed token budgets (what a
+    tokenizer-sharding job does before writing training shards).
+
+Determinism contract (same as plans/llmdata.py): hashing is md5-based
+via functions.text.hash32 — bit-identical in Spark and DuckDB — so
+every operator here has an exact SQL oracle, including the sampling
+decisions themselves.
+
+Scale design notes:
+  * Split + sample are narrow (filter/project only — no shuffle): a
+    hash of the key compares against a threshold per row. At 100 TB
+    these run at scan speed and the only exchange is the final stats
+    aggregation.
+  * The mixture-weight join broadcasts a <1 KB dim table.
+  * Contamination explodes eval-set shingles only after a distinct on
+    the (tiny) eval side; the join's shuffle key is the shingle, and
+    the df-cap note from dedup_ngram_jaccard applies unchanged.
+  * Packing is a per-source window cumsum — one shuffle on source,
+    and at 100 TB the partition key would widen to (source, shard_id)
+    chosen so each window fits an executor; noted inline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from bigdata_riveranalysis_spark.functions import text as TX
+from bigdata_riveranalysis_spark.plans.registry import query
+from bigdata_riveranalysis_spark.sources.tables import load_table
+
+#: train/val/test bucket edges out of 100 hash buckets (90/5/5).
+SPLIT_TRAIN_END = 90
+SPLIT_VAL_END = 95
+
+#: Domain-mixing weights per source, in keep-permille (out of 1000).
+#: A real pipeline reads this from config; it is data, not code —
+#: hence the broadcast-join formulation rather than a CASE chain.
+MIX_WEIGHTS = {"src0": 1000, "src1": 750, "src2": 750, "src3": 500, "src4": 500}
+MIX_DEFAULT_PERMILLE = 250
+
+#: Token budget per packed training sequence.
+PACK_BUDGET = 512
+
+#: Contamination screen: word n-gram order shared with the eval set.
+CONTAM_NGRAM = 5
+EVAL_SOURCE = "src0"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.repartition(spark.sparkContext.defaultParallelism)
+
+
+def _bucket(col: F.Column, mod: int) -> F.Column:
+    """Deterministic hash bucket in [0, mod): portable across engines
+    and across cluster topologies (unlike rand() or monotonically
+    increasing ids). This is what makes the split reproducible."""
+    return TX.hash32(col) % mod
+
+
+def _bucket_sql(expr: str, mod: int) -> str:
+    return f"{TX.hash32_sql(expr)} % {mod}"
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "split_train_val_hash",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT source, n_chars,
+               CASE WHEN {_bucket_sql("CAST(doc_id AS VARCHAR)", 100)} < {SPLIT_TRAIN_END} THEN 'train'
+                    WHEN {_bucket_sql("CAST(doc_id AS VARCHAR)", 100)} < {SPLIT_VAL_END}   THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT split, source, count(*) AS n_docs, sum(n_chars) AS n_chars_total
+    FROM assigned GROUP BY split, source
+    """,
+)
+def split_train_val_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split by hashed doc_id.
+
+    The assignment is a pure function of the document key — stable
+    under re-runs, repartitioning, and incremental corpus growth
+    (adding documents never moves an existing one between splits),
+    which rand()-based splits cannot guarantee. Narrow plan: the
+    split column costs one md5 per row at scan speed; the only
+    shuffle is the audit aggregation emitted here.
+    """
+    docs = _docs(spark, sf_dir)
+    b = _bucket(F.col("doc_id").cast("string"), 100)
+    split = (
+        F.when(b < SPLIT_TRAIN_END, "train")
+        .when(b < SPLIT_VAL_END, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "source", "n_chars")
+        .groupBy("split", "source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars_total"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified source sampling (domain mixing)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sample_domain_mix",
+    oracle=f"""
+    WITH weights(source, permille) AS (
+        VALUES {", ".join(f"('{s}', {p})" for s, p in MIX_WEIGHTS.items())}
+    ),
+    decided AS (
+        SELECT d.source,
+               CASE WHEN {_bucket_sql("CAST(d.doc_id AS VARCHAR)", 1000)}
+                         < coalesce(w.permille, {MIX_DEFAULT_PERMILLE})
+                    THEN 1 ELSE 0 END AS kept
+        FROM documents d LEFT JOIN weights w ON d.source = w.source
+    )
+    SELECT source, count(*) AS n_total, sum(kept) AS n_kept,
+           round(sum(kept) * 1.0 / count(*), 4) AS realized_rate
+    FROM decided GROUP BY source
+    """,
+)
+def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing: per-source keep rates from a broadcast weight
+    table, decided by hash bucket — deterministic stratified sampling.
+
+    The weight table is configuration (a few hundred sources at
+    most), so the join is an explicit broadcast — no shuffle of the
+    corpus. Each row's keep/drop decision is a pure function of
+    (doc_id, its source's weight): re-running the pipeline or scaling
+    the cluster reproduces the identical sample, and per-source rates
+    are exact in expectation with no coordination. At 100 TB this is
+    the only sane way to mix domains — rand() sampling loses
+    reproducibility, and per-source .limit(n) serializes on a single
+    partition per source.
+    """
+    docs = _docs(spark, sf_dir)
+    weights = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            list(MIX_WEIGHTS.items()), "source string, permille int"
+        )
+    )
+    kept = F.when(
+        _bucket(F.col("doc_id").cast("string"), 1000)
+        < F.coalesce(F.col("permille"), F.lit(MIX_DEFAULT_PERMILLE)),
+        1,
+    ).otherwise(0)
+    return (
+        docs.join(weights, "source", "left")
+        .select("source", kept.alias("kept"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum("kept").alias("n_kept"),
+            F.round(F.sum("kept") / F.count("*"), 4).alias("realized_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+#: Mask patterns chosen for identical semantics in Java regex (Spark)
+#: and RE2 (DuckDB): no backreferences, no lookaround.
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+PII_IPV4 = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+
+@query(
+    "pii_redact_stats",
+    oracle=f"""
+    WITH scrubbed AS (
+        SELECT doc_id, source,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '{PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{PII_PHONE}', '<PHONE>', 'g'),
+                   '{PII_IPV4}', '<IP>', 'g') AS clean,
+               len(regexp_extract_all(text, '{PII_EMAIL}')) AS n_email,
+               len(regexp_extract_all(text, '{PII_PHONE}')) AS n_phone,
+               len(regexp_extract_all(text, '{PII_IPV4}'))  AS n_ip
+        FROM documents
+    )
+    SELECT source,
+           count(*)                                       AS n_docs,
+           sum(n_email)                                   AS emails_masked,
+           sum(n_phone)                                   AS phones_masked,
+           sum(n_ip)                                      AS ips_masked,
+           sum(CASE WHEN n_email + n_phone + n_ip > 0 THEN 1 ELSE 0 END) AS docs_touched,
+           sum(length(clean))                             AS clean_chars
+    FROM scrubbed GROUP BY source
+    """,
+)
+def pii_redact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (email / phone / IPv4 → typed mask tokens) with an
+    audit aggregate per source.
+
+    The scrub itself (`scrub_pii`) is the reusable operator; this
+    query emits the audit report a compliance pipeline keeps. All
+    regexes avoid Java/RE2 dialect divergence (no lookaround, no
+    backreferences) so the oracle is exact. The synthetic corpus
+    contains no PII — the oracle verifies the zero-redaction identity
+    end-to-end, and `tests/test_traindata.py` injects live PII rows
+    to verify the masking itself. Narrow plan: regex at scan speed,
+    aggregate-only shuffle.
+    """
+    scrubbed = scrub_pii(_docs(spark, sf_dir))
+    touched = F.when(
+        F.col("n_email") + F.col("n_phone") + F.col("n_ip") > 0, 1
+    ).otherwise(0)
+    return scrubbed.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_email").alias("emails_masked"),
+        F.sum("n_phone").alias("phones_masked"),
+        F.sum("n_ip").alias("ips_masked"),
+        F.sum(touched).alias("docs_touched"),
+        F.sum(F.length("clean")).alias("clean_chars"),
+    )
+
+
+def scrub_pii(docs: DataFrame) -> DataFrame:
+    """Add `clean` (masked text) and per-kind match counts to a
+    documents frame. Pure column expressions — whole-stage codegen."""
+    clean = F.col("text")
+    for pat, mask in ((PII_EMAIL, "<EMAIL>"), (PII_PHONE, "<PHONE>"), (PII_IPV4, "<IP>")):
+        clean = F.regexp_replace(clean, pat, mask)
+    count = lambda pat: F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0)))  # noqa: E731
+    return docs.withColumns(
+        {
+            "clean": clean,
+            "n_email": count(PII_EMAIL),
+            "n_phone": count(PII_PHONE),
+            "n_ip": count(PII_IPV4),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark-contamination screen
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "contamination_ngram_screen",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, {TX.TOKENS_SQL.format(c="text")} AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, source,
+               list_distinct({TX.word_shingles_sql("t", CONTAM_NGRAM)}) AS s
+        FROM toks WHERE len(t) >= {CONTAM_NGRAM}
+    ),
+    eval_grams AS (
+        SELECT DISTINCT unnest(s) AS g FROM sh WHERE source = '{EVAL_SOURCE}'
+    ),
+    train AS (
+        SELECT doc_id, len(s) AS n_grams, unnest(s) AS g FROM sh
+        WHERE source <> '{EVAL_SOURCE}'
+    )
+    SELECT t.doc_id, count(*) AS n_shared,
+           round(count(*) * 1.0 / any_value(t.n_grams), 4) AS shared_frac
+    FROM train t JOIN eval_grams e ON t.g = e.g
+    GROUP BY t.doc_id
+    """,
+)
+def contamination_ngram_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination screen: for each training doc, how many of its
+    distinct word 5-grams appear anywhere in the held-out eval set
+    (here: source '{EVAL_SOURCE}' stands in for the benchmark suite).
+
+    The standard LLM decontamination operator (GPT-3 appendix C /
+    Llama 2 §A.6 use 8-13-gram variants of exactly this). Plan shape:
+    the eval side collapses to DISTINCT n-grams first — benchmarks
+    are tiny relative to the corpus, so at 100 TB that side is a few
+    million grams and the join broadcasts; the training side streams
+    through exploded at scan speed. Shuffle key is the gram; the
+    df-cap skew note from dedup_ngram_jaccard applies if the eval
+    set ever contains boilerplate grams.
+    """
+    docs = _docs(spark, sf_dir)
+    tok = TX.tokens("text")
+    sh = (
+        docs.select("doc_id", "source", tok.alias("t"))
+        .filter(F.size("t") >= CONTAM_NGRAM)
+        .select(
+            "doc_id",
+            "source",
+            F.array_distinct(TX.word_shingles(F.col("t"), CONTAM_NGRAM)).alias("s"),
+        )
+    )
+    eval_grams = (
+        sh.filter(F.col("source") == EVAL_SOURCE)
+        .select(F.explode("s").alias("g"))
+        .distinct()
+    )
+    train = sh.filter(F.col("source") != EVAL_SOURCE).select(
+        "doc_id", F.size("s").alias("n_grams"), F.explode("s").alias("g")
+    )
+    return (
+        train.join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shared"),
+            F.round(F.count("*") / F.any_value("n_grams"), 4).alias("shared_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Greedy sequence packing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "seq_pack_greedy",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, source,
+               len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_tok
+        FROM documents
+    ),
+    binned AS (
+        SELECT source, n_tok,
+               CAST(floor((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tok) / {PACK_BUDGET}) AS BIGINT) AS bin
+        FROM sized
+    )
+    SELECT source, bin, count(*) AS n_docs, sum(n_tok) AS tokens_in_bin
+    FROM binned GROUP BY source, bin
+    """,
+)
+def seq_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: stream each source's docs in doc_id
+    order, cut a new pack whenever the running token count crosses
+    the {PACK_BUDGET}-token budget (bin = exclusive-cumsum div
+    budget — the one-pass streaming packer; docs longer than the
+    budget occupy their own overflowing bin rather than being split,
+    matching pack-then-truncate training setups).
+
+    One shuffle (window partition on source). At 100 TB a single
+    source can exceed an executor's window, so the real partition key
+    widens to (source, hash-bucket-of-doc_id) — each bucket packs
+    independently and bins stay budget-bounded; the formulation here
+    is that plan with one bucket.
+    """
+    docs = _docs(spark, sf_dir)
+    n_tok = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0))
+    )
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    sized = docs.select("doc_id", "source", n_tok.alias("n_tok"))
+    binned = sized.select(
+        "source",
+        "n_tok",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / PACK_BUDGET).alias("bin"),
+    )
+    return binned.groupBy("source", "bin").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("tokens_in_bin")
+    )
