@@ -1,0 +1,148 @@
+"""Skew-resilient plan shapes, demonstrated as oracle-checked queries.
+
+AQE's skew handling (enabled in session.py) splits oversized shuffle
+partitions at runtime, but two shapes still need explicit treatment
+at 100 TB and belong in the engine's repertoire as first-class
+operators — each formulated so its *result* is identical to the naive
+plan (which is exactly what the DuckDB oracle runs):
+
+  * **salted two-phase aggregation** — a groupBy whose key space is
+    tiny (here: 3 return flags over the whole lineitem table) hashes
+    every row of a key to ONE reducer; no partition split can help
+    because the skew is in the key itself, not the partitioning.
+    Salting widens the key for a partial aggregate, then a second
+    (tiny) aggregate merges the partials. All the engine's aggregates
+    are algebraic (sum/count/min/max → avg), so the two-phase result
+    is exact.
+
+  * **salted replicate join** — a fact⋈dim equi-join on a hot key
+    sends every hot-key row to one join task under sort-merge. The
+    fix: deterministic salt on the fact side, dim side exploded ×S
+    (dims are small — replication is cheap), join on (key, salt).
+    When the dim broadcasts this is moot; the salted shape is for the
+    regime where the "small" side is too big to broadcast but still
+    ≪ fact (e.g. a 10 GB user dim against a 100 TB event log).
+
+Both salts are md5-derived (functions.text.hash32) — deterministic,
+reproducible across runs and cluster sizes, never rand().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_riveranalysis_spark.functions import text as TX
+from bigdata_riveranalysis_spark.plans.registry import query
+from bigdata_riveranalysis_spark.sources.tables import load_table
+
+#: Salt fan-out. Locally modest; at 100 TB size it so that
+#: rows-per-(key,salt) ≈ a healthy shuffle-partition target
+#: (hot-key rows / S ≲ maxPartitionBytes worth of rows).
+SALT_BUCKETS = 16
+
+#: Per-event-type handling config — a literal dim table (like
+#: traindata.MIX_WEIGHTS: configuration as data, joined not hardcoded).
+EVENT_TYPE_DIM = {
+    "click": ("engagement", 1.0),
+    "view": ("engagement", 0.5),
+    "purchase": ("revenue", 10.0),
+    "signup": ("growth", 5.0),
+    "error": ("ops", 0.0),
+}
+
+
+@query(
+    "agg_salted_skew",
+    oracle="""
+    SELECT l_returnflag,
+           count(*)                      AS n_rows,
+           round(sum(l_quantity), 4)     AS sum_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(max(l_discount), 4)     AS max_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a 3-key groupBy.
+
+    Phase 1 groups by (l_returnflag, salt) — SALT_BUCKETS× more
+    reducers share each hot key's rows; phase 2 merges the ≤ keys×S
+    partial rows (trivial). avg is carried as (sum, count) through
+    phase 1 — the decomposition that makes it algebraic; the oracle
+    is the plain one-phase GROUP BY, proving the rewrite exact.
+
+    (Spark's own partial/final hash aggregation already gives this
+    for a plain groupBy — the explicit salt matters for the cases
+    partial agg can't save: high-cardinality-under-the-hot-key
+    composites like groupBy(key).agg(collect_list/percentile/
+    count_distinct), where the map-side combine buys little and all
+    of a key's rows still meet at one reducer. The demo keys on the
+    3-value flag to make the skew unmistakable.)
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    salt = TX.hash32(F.col("l_orderkey").cast("string")) % SALT_BUCKETS
+    partial = (
+        li.groupBy("l_returnflag", salt.alias("salt"))
+        .agg(
+            F.count("*").alias("c"),
+            F.sum("l_quantity").alias("sq"),
+            F.sum("l_extendedprice").alias("sp"),
+            F.max("l_discount").alias("md"),
+        )
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(
+            F.sum("c").alias("n_rows"),
+            F.round(F.sum("sq"), 4).alias("sum_qty"),
+            F.round(F.sum("sp") / F.sum("c"), 4).alias("avg_price"),
+            F.round(F.max("md"), 4).alias("max_disc"),
+        )
+    )
+
+
+@query(
+    "join_salted_replicate",
+    oracle=f"""
+    WITH dim(event_type, category, weight) AS (
+        VALUES {", ".join(f"('{k}', '{c}', {w})" for k, (c, w) in EVENT_TYPE_DIM.items())}
+    )
+    SELECT d.category,
+           count(*)                        AS n_events,
+           round(sum(e.value * d.weight), 4) AS weighted_value
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY d.category
+    """,
+)
+def join_salted_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted replicate join: events (5 hot keys, ~uniform but each
+    key = 20% of the table) ⋈ an event-type config dim.
+
+    Fact side gets salt = hash32(event_id) % S; dim side cross-joins
+    a 0..S-1 spine so every (event_type, salt) pair exists once; the
+    equi-join on (event_type, salt) then spreads each hot key over S
+    tasks. Deterministic → reproducible plans AND results; the oracle
+    is the unsalted join.
+
+    Here the dim is 5 rows so production would broadcast (and Spark
+    does — the salted demo disables that conversion for itself to
+    exercise the shuffle path); the shape is sized for the
+    too-big-to-broadcast middle dim.
+    """
+    events = load_table(spark, sf_dir, "events")
+    dim = events.sparkSession.createDataFrame(
+        [(k, c, w) for k, (c, w) in EVENT_TYPE_DIM.items()],
+        "event_type string, category string, weight double",
+    )
+    salt_spine = F.explode(F.sequence(F.lit(0), F.lit(SALT_BUCKETS - 1))).alias("salt")
+    dim_rep = dim.select("*", salt_spine)
+    fact = events.withColumn(
+        "salt", (TX.hash32(F.col("event_id").cast("string")) % SALT_BUCKETS).cast("int")
+    )
+    joined = fact.hint("shuffle_hash").join(dim_rep, ["event_type", "salt"])
+    return joined.groupBy("category").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(F.col("value") * F.col("weight")), 4).alias("weighted_value"),
+    )

@@ -44,6 +44,42 @@ def write_partitioned_parquet(
     writer.parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    path: str,
+    *,
+    bucket_by: tuple[str, ...],
+    n_buckets: int,
+    sort_by: tuple[str, ...] = (),
+    mode: str = "error",
+) -> None:
+    """Bucketed (hash-clustered) parquet table — the co-located-join
+    layout.
+
+    Both sides of a recurring fact⋈fact join written with the same
+    ``bucket_by`` / ``n_buckets`` join with ZERO exchanges: each
+    bucket file pair joins independently (and with ``sort_by`` on the
+    join key, with zero sorts too — pre-sorted sort-merge). At 100 TB
+    this converts every repeated join/groupBy on the bucket key from
+    a full shuffle into a scan; the write pays one shuffle, once.
+    Pinned by tests/test_sinks_and_plans.py::test_bucketed_join_elides_shuffle.
+
+    Bucketed layout requires a catalog entry (`saveAsTable`; bucket
+    metadata lives in the table catalog, not the files), with the
+    data at ``path`` — in-memory catalog locally, Hive/Glue/Unity on
+    a cluster.
+    """
+    writer = (
+        df.write.mode(mode)
+        .option("path", path)
+        .bucketBy(n_buckets, *bucket_by)
+    )
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.format("parquet").saveAsTable(table)
+
+
 def write_csv(df: DataFrame, path: str, *, mode: str = "error") -> None:
     """Header'd CSV sink — the reference's output format
     (index-less to_csv ≡ Spark's header CSV)."""

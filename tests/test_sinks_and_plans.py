@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from bigdata_riveranalysis_spark.sources.sinks import (
+    write_bucketed_table,
     write_csv,
     write_json_lines,
     write_partitioned_parquet,
@@ -71,6 +72,57 @@ def test_dimension_joins_broadcast(spark):
     plan = _plan(REGISTRY["join_dims_customer_geo"].fn(spark, SF_ORACLE))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bucketed_join_elides_shuffle(spark, tmp_path):
+    """Two tables bucketed+sorted on the join key must sort-merge join
+    with no Exchange and no Sort — the layout that turns a recurring
+    100 TB fact⋈fact join into a co-located scan."""
+    orders = load_table(spark, SF_ORACLE, "orders")
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    try:
+        write_bucketed_table(
+            orders, "b_orders", str(tmp_path / "b_orders"),
+            bucket_by=("o_orderkey",), n_buckets=8, sort_by=("o_orderkey",),
+        )
+        write_bucketed_table(
+            li.select("l_orderkey", "l_extendedprice"),
+            "b_lineitem", str(tmp_path / "b_lineitem"),
+            bucket_by=("l_orderkey",), n_buckets=8, sort_by=("l_orderkey",),
+        )
+        a = spark.table("b_orders")
+        b = spark.table("b_lineitem")
+        # Disable AQE's broadcast conversion so the bucketed SMJ shape
+        # itself is what's under test (and is what a fact⋈fact sees).
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = a.join(b, a.o_orderkey == b.l_orderkey).groupBy("o_orderstatus").count()
+            plan = _plan(j)
+            assert "SortMergeJoin" in plan
+            # Nothing below the join exchanges: its children read the
+            # bucketed files directly. (The groupBy above it may still
+            # shuffle — that Exchange prints before the join node.)
+            below_join = plan.split("SortMergeJoin", 1)[1]
+            assert "Exchange" not in below_join
+            assert j.count() == 3
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_plans_spread_hot_keys(spark):
+    """The salted aggregate must contain two hash-aggregate pairs
+    (partial+final × two phases) and the salted join must not
+    broadcast — otherwise the salt is decoration."""
+    from bigdata_riveranalysis_spark.plans.registry import REGISTRY
+
+    agg_plan = _plan(REGISTRY["agg_salted_skew"].fn(spark, SF_ORACLE))
+    assert agg_plan.count("HashAggregate") >= 4
+    join_plan = _plan(REGISTRY["join_salted_replicate"].fn(spark, SF_ORACLE))
+    assert "BroadcastHashJoin" not in join_plan
+    assert "ShuffledHashJoin" in join_plan or "SortMergeJoin" in join_plan
 
 
 def test_whole_stage_codegen_covers_scalar_battery(spark):
