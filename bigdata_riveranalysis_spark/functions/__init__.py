@@ -1,1 +1,1 @@
-from bigdata_riveranalysis_spark.functions import text, vectors  # noqa: F401
+from bigdata_riveranalysis_spark.functions import arrays, text, vectors  # noqa: F401

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from bigdata_riveranalysis_spark.functions import text as TX
 from bigdata_riveranalysis_spark.functions import vectors as VX
+from bigdata_riveranalysis_spark.functions.arrays import explode_nonempty
 from bigdata_riveranalysis_spark.plans.registry import query
 from bigdata_riveranalysis_spark.sources.tables import load_table
 
@@ -392,7 +393,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         local = _jaccard_local(spark, sh)
         if local is not None:
             return local
-    ex = sh.select("doc_id", "n", F.explode("s").alias("g"))
+    # explode_nonempty (s is computed + non-empty by the size filter):
+    # plain explode triggers InferFiltersFromGenerate, which inlines
+    # the whole tokenize→shingle pipeline into an inferred filter and
+    # re-evaluates it per row — a measured 26× on this stage. Part of
+    # the "8-24 s" this docstring's local-path gate was built against
+    # was exactly that recompute, not join skew alone.
+    ex = sh.select("doc_id", "n", explode_nonempty("s").alias("g"))
     a, b = ex.alias("a"), ex.alias("b")
     # Size-ratio prune inside the join condition: J(A,B) ≤ min/max of
     # the set sizes, so J ≥ t ⇒ |A| and |B| within a 1/t factor —
@@ -451,7 +458,10 @@ def _simhash_frame(docs: DataFrame) -> DataFrame:
     non-NULL).
     """
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("long")
-    ex = docs.select("doc_id", F.explode(TX.tokens("text")).alias("tok")).select(
+    # split() yields ≥1 element for any non-NULL string, so the
+    # explode_nonempty contract holds; plain explode would re-split
+    # each row 2× extra inside an inferred filter (functions/arrays.py).
+    ex = docs.select("doc_id", explode_nonempty(TX.tokens("text")).alias("tok")).select(
         "doc_id", h.alias("h")
     )
     votes = [

@@ -40,6 +40,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from bigdata_riveranalysis_spark.functions import text as TX
+from bigdata_riveranalysis_spark.functions.arrays import explode_nonempty
 from bigdata_riveranalysis_spark.plans.registry import query
 from bigdata_riveranalysis_spark.sources.tables import load_table
 
@@ -313,13 +314,17 @@ def contamination_ngram_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(TX.word_shingles(F.col("t"), CONTAM_NGRAM)).alias("s"),
         )
     )
+    # explode_nonempty, not explode: `s` is a computed 5-gram pipeline
+    # and non-empty by the size(t) filter above; a plain explode makes
+    # InferFiltersFromGenerate re-evaluate that pipeline per row
+    # (measured 15.1 s vs 0.58 s at sf0.1 — functions/arrays.py).
     eval_grams = (
         sh.filter(F.col("source") == EVAL_SOURCE)
-        .select(F.explode("s").alias("g"))
+        .select(explode_nonempty("s").alias("g"))
         .distinct()
     )
     train = sh.filter(F.col("source") != EVAL_SOURCE).select(
-        "doc_id", F.size("s").alias("n_grams"), F.explode("s").alias("g")
+        "doc_id", F.size("s").alias("n_grams"), explode_nonempty("s").alias("g")
     )
     return (
         train.join(F.broadcast(eval_grams), "g")
