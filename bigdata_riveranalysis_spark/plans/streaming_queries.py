@@ -230,6 +230,50 @@ def stream_threshold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_static_enrich",
+    oracle="""
+    SELECT e.event_id,
+           e.user_id,
+           c.c_mktsegment AS segment,
+           c.c_nationkey  AS nationkey,
+           round(e.value, 4) AS value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the purchase stream joined to
+    the static customer dimension — the canonical streaming-ETL
+    lookup. Stateless on the stream side (no watermark needed for an
+    inner stream-static join; each micro-batch joins against the
+    current dim snapshot), and the dim broadcasts, so at 100 TB/day
+    the stream never shuffles: enrichment happens map-side at ingest
+    rate. The static side is re-planned per micro-batch, which is
+    what makes slowly-changing dims pick up updates between batches.
+    """
+    from bigdata_riveranalysis_spark.sources.tables import load_table
+
+    purchases = _events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    customer = F.broadcast(
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_nationkey"
+        )
+    )
+    enriched = purchases.join(
+        customer, purchases.user_id == customer.c_custkey
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.round("value", 4).alias("value"),
+    )
+    return _run_stream(enriched, spark, "append")
+
+
+@query(
     "stream_stream_join",
     oracle="""
     SELECT p.event_id AS purchase_id, c.event_id AS click_id,

@@ -91,6 +91,14 @@ def write_json_lines(df: DataFrame, path: str, *, mode: str = "error") -> None:
     df.write.mode(mode).json(path)
 
 
+def write_orc(df: DataFrame, path: str, *, mode: str = "error") -> None:
+    """ORC sink — the other columnar interchange format (Hive-side
+    ecosystems). Same pushdown/pruning properties as parquet on read;
+    kept for interop, parquet remains the engine's canonical format.
+    """
+    df.write.mode(mode).orc(path)
+
+
 def publish_kafka(
     df: DataFrame, *, bootstrap_servers: str, topic: str
 ) -> None:

@@ -232,3 +232,49 @@ def test_ewma_state_survives_micro_batches(spark, tmp_path):
     # batch 2 reading folded into batch-1 state: 0.5*100 + 0.5*10 = 55
     assert rows[3].ewma == 55.0 and rows[3].is_spike
     assert rows[4].ewma == 5.0 and not rows[4].is_spike
+
+
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Kill-and-restart semantics: a second run of the same query from
+    the same checkpoint must pick up only NEW files and never
+    re-emit rows the first run already wrote — the exactly-once
+    contract the reference's console pipeline (no checkpoint at all)
+    could not make."""
+    from bigdata_riveranalysis_spark.streaming.sinks import start_parquet_sink
+
+    b1 = [_ev(i, f"2024-01-01 00:0{i}:00", value=float(i)) for i in range(4)]
+    src = _write_files(tmp_path, [b1])
+    out_dir, ckpt = str(tmp_path / "out_restart"), str(tmp_path / "ckpt_restart")
+
+    q = start_parquet_sink(file_json_stream(spark, src), out_dir, ckpt,
+                           trigger_available_now=True)
+    q.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == 4
+
+    # new data lands while the query is down
+    b2 = [_ev(10 + i, f"2024-01-01 01:0{i}:00", value=100.0 + i) for i in range(3)]
+    p = tmp_path / "stream_src" / "batch_late.json"
+    p.write_text("\n".join(json.dumps(r) for r in b2) + "\n")
+
+    q2 = start_parquet_sink(file_json_stream(spark, src), out_dir, ckpt,
+                            trigger_available_now=True)
+    q2.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 7  # 4 old + 3 new, no re-emission
+    ids = sorted(r.event_id for r in got.select("event_id").collect())
+    assert ids == [0, 1, 2, 3, 10, 11, 12]
+
+
+def test_orc_round_trip(spark, tmp_path):
+    from bigdata_riveranalysis_spark.sources.sinks import write_orc
+    from bigdata_riveranalysis_spark.sources.tables import load_table
+
+    from .conftest import SF_ORACLE
+
+    nation = load_table(spark, SF_ORACLE, "nation")
+    out = str(tmp_path / "nation_orc")
+    write_orc(nation, out)
+    back = spark.read.orc(out)
+    assert back.count() == 25
+    assert {r.n_name for r in back.collect()} == {r.n_name for r in nation.collect()}
