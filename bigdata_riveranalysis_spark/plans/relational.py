@@ -497,6 +497,77 @@ def window_lag_price_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "window_rank_suite",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           rank()         OVER w AS rnk,
+           dense_rank()   OVER w AS drnk,
+           ntile(4)       OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cume
+    FROM orders
+    WHERE o_custkey < 50
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function surface over one window: rank /
+    dense_rank / ntile / percent_rank / cume_dist (row_number, lag,
+    top-k live in the sibling window queries). One shuffle on the
+    partition key serves all five — Spark evaluates them in a single
+    Window operator, which is the point: adding a ranking column to
+    an existing window is free at 100 TB, adding a new partition key
+    is another full exchange."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
+    "scalar_array_functions",
+    oracle="""
+    SELECT p_partkey,
+           len(parts)                                     AS n_parts,
+           list_sort(list_distinct(parts))[1]             AS first_tok,
+           array_to_string(list_reverse_sort(parts), '-') AS rev_joined,
+           list_contains(parts, 'widget')                 AS has_widget,
+           round(list_sum(list_transform(parts, t -> length(t))) * 1.0
+                 / len(parts), 4)                         AS avg_tok_len
+    FROM (SELECT p_partkey,
+                 regexp_split_to_array(trim(p_name), '\\s+') AS parts
+          FROM part)
+    """,
+)
+def scalar_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function battery (size / array_distinct / array_sort /
+    sort desc + join / array_contains / transform + aggregate) — the
+    higher-order-function surface the LLM-data operators build on,
+    exercised standalone. All codegen'd JVM expressions; the per-row
+    array work is embarrassingly parallel at any scale."""
+    part = load_table(spark, sf_dir, "part")
+    parts = F.split(F.trim(F.col("p_name")), r"\s+")
+    tok_lens = F.transform(parts, lambda t: F.length(t))
+    return part.select(
+        "p_partkey",
+        F.size(parts).alias("n_parts"),
+        F.array_sort(F.array_distinct(parts))[0].alias("first_tok"),
+        F.concat_ws("-", F.reverse(F.array_sort(parts))).alias("rev_joined"),
+        F.array_contains(parts, "widget").alias("has_widget"),
+        F.round(
+            F.aggregate(tok_lens, F.lit(0), lambda a, x: a + x) / F.size(parts), 4
+        ).alias("avg_tok_len"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Set operations
 # --------------------------------------------------------------------------
