@@ -940,6 +940,37 @@ def agg_percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("agg_approx_percentiles", oracle=None)
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL/Greenwald-Khanna-style sketch) — the
+    100 TB quantile path: bounded memory per group, one pass,
+    mergeable partials, accuracy set by the third argument (10000 →
+    ~0.01% rank error). The exact twin (agg_percentiles_lineitem) is
+    the oracle-checked version of this shape; this one is rows-only
+    BY DESIGN, like approx_distinct_customers — DuckDB's
+    approx_quantile is a different sketch with legitimately different
+    estimates.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = F.approx_percentile(
+        "l_extendedprice",
+        F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75), F.lit(0.99)),
+        F.lit(10000),
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(ps.alias("ps"), F.count("*").alias("n_rows"))
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("ps", 1), 4).alias("p25"),
+            F.round(F.element_at("ps", 2), 4).alias("p50"),
+            F.round(F.element_at("ps", 3), 4).alias("p75"),
+            F.round(F.element_at("ps", 4), 4).alias("p99"),
+            "n_rows",
+        )
+    )
+
+
 @query(
     "unpivot_lineitem_measures",
     oracle="""
