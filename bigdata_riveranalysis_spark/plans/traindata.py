@@ -337,6 +337,154 @@ def contamination_ngram_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Data-quality constraint report
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dq_constraint_report",
+    oracle="""
+    SELECT 'documents' AS tbl, 'doc_id_not_null' AS check_name,
+           count(*) AS n_rows, sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS n_violations
+    FROM documents
+    UNION ALL
+    SELECT 'documents', 'doc_id_unique', count(*),
+           count(*) - count(DISTINCT doc_id)
+    FROM documents
+    UNION ALL
+    SELECT 'documents', 'n_chars_matches_text', count(*),
+           sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+    FROM documents
+    UNION ALL
+    SELECT 'documents', 'lang_in_domain', count(*),
+           sum(CASE WHEN lang NOT IN ('en','de','fr','es','zh') THEN 1 ELSE 0 END)
+    FROM documents
+    UNION ALL
+    SELECT 'orders', 'custkey_in_customer', count(*),
+           sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations over the corpus + star
+    schema: not-null, key uniqueness, derived-column consistency,
+    domain membership, referential integrity — the constraint sweep a
+    pipeline runs before promoting a 100 TB snapshot.
+
+    Shape notes: the four documents checks are ONE scan each (count +
+    conditional sums are algebraic, map-side combined); uniqueness is
+    count vs count(distinct) — the only shuffle on the corpus side.
+    Referential integrity is a broadcast-able left join counting
+    orphans. Violations are COUNTED, not collected: the report stays
+    k rows regardless of table size, and a quarantine pass (filter on
+    the same predicates) fetches offenders only when a count is
+    non-zero.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+
+    def check(df: DataFrame, tbl: str, name: str, violation) -> DataFrame:
+        return df.agg(
+            F.lit(tbl).alias("tbl"),
+            F.lit(name).alias("check_name"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(violation, 1).otherwise(0)).alias("n_violations"),
+        ).select("tbl", "check_name", "n_rows", "n_violations")
+
+    uniq = docs.agg(
+        F.lit("documents").alias("tbl"),
+        F.lit("doc_id_unique").alias("check_name"),
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.count_distinct("doc_id")).alias("n_violations"),
+    ).select("tbl", "check_name", "n_rows", "n_violations")
+    ref = check(
+        orders.join(
+            F.broadcast(customer.select("c_custkey")),
+            orders.o_custkey == F.col("c_custkey"),
+            "left",
+        ),
+        "orders",
+        "custkey_in_customer",
+        F.col("c_custkey").isNull(),
+    )
+    return (
+        check(docs, "documents", "doc_id_not_null", F.col("doc_id").isNull())
+        .unionByName(uniq)
+        .unionByName(
+            check(
+                docs,
+                "documents",
+                "n_chars_matches_text",
+                F.col("n_chars") != F.length("text"),
+            )
+        )
+        .unionByName(
+            check(
+                docs,
+                "documents",
+                "lang_in_domain",
+                ~F.col("lang").isin("en", "de", "fr", "es", "zh"),
+            )
+        )
+        .unionByName(ref)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (new-batch vs corpus) dedup
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_incremental_exact",
+    oracle="""
+    WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+    new_batch AS (
+        SELECT doc_id, md5(text) AS h FROM documents, mx
+        WHERE doc_id >= CAST(floor(m * 0.9) AS BIGINT)
+    ),
+    corpus AS (
+        SELECT md5(text) AS h, min(doc_id) AS first_seen
+        FROM documents, mx
+        WHERE doc_id < CAST(floor(m * 0.9) AS BIGINT)
+        GROUP BY md5(text)
+    )
+    SELECT n.doc_id, c.first_seen,
+           CASE WHEN c.first_seen IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+    FROM new_batch n LEFT JOIN corpus c ON n.h = c.h
+    """,
+)
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: today's ingest batch checked against the
+    historical corpus index — the shape production dedup actually
+    runs (a full-corpus self-join per day at 100 TB would be
+    quadratic in wall-clock across days; checking the new N rows
+    against a precomputed content-hash index is linear in the batch).
+
+    The corpus side here is derived on the fly (grouped content
+    hashes); in production it is a *persisted* index (a bucketed
+    table keyed on the hash — see write_bucketed_table), so the daily
+    job scans only the batch, shuffles only batch-side hashes, and
+    the join against the bucketed index is co-located.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cutoff = docs.agg(F.floor(F.max("doc_id") * 0.9).cast("long")).collect()[0][0]
+    new_batch = docs.filter(F.col("doc_id") >= cutoff).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    corpus = (
+        docs.filter(F.col("doc_id") < cutoff)
+        .groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("first_seen"))
+    )
+    return new_batch.join(corpus, "h", "left").select(
+        "doc_id",
+        "first_seen",
+        F.when(F.col("first_seen").isNotNull(), 1).otherwise(0).alias("is_dup"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Greedy sequence packing
 # ---------------------------------------------------------------------------
 
