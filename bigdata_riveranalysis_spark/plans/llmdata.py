@@ -1196,22 +1196,25 @@ def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding", "cell", VX.cosine("embedding", "c").alias("cc")
     )
     wa = W.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("cell"))
-    # The assignment feeds BOTH join sides (queries + candidates), so
-    # Spark computes the quantizer chain twice — left that way on
-    # purpose: an A/B at sf0.1 put .cache() at 2.44 s vs 2.08 s
-    # uncached (the recompute is cheaper than the materialization
-    # barrier at this size). On a real deployment the assignment is
-    # persisted to storage regardless — it IS the IVF index, built
-    # once and reused across every query batch — and at large k the
-    # `embedding` column moves out of this window's shuffle and joins
-    # back by vec_id (n×k arrays through the rank exchange is the
-    # scale bottleneck; at k=5 the array transit is the cheaper).
-    assign = (
-        scored.withColumn("rn", F.row_number().over(wa))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cell")
-    )
-    q = assign.filter(F.col("vec_id") < 10).select(
+
+    def argmax_cell(scores: DataFrame) -> DataFrame:
+        return (
+            scores.withColumn("rn", F.row_number().over(wa))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "embedding", "cell")
+        )
+
+    # Candidate side: the full corpus assignment. Query side: the SAME
+    # argmax, but over scored.filter(vec_id < 10) — the predicate
+    # pushes into the parquet scan, so the query chain quantizes 10
+    # vectors, not the corpus. (Deriving q from the full `assign`
+    # would compute the heavy chain twice; .cache() A/B'd worse at
+    # this size — 2.44 s vs 2.08 s — because of the materialization
+    # barrier. In production the full assignment is persisted storage
+    # regardless: it IS the IVF index, and query batches quantize
+    # only themselves against the centroid table, exactly this shape.)
+    assign = argmax_cell(scored)
+    q = argmax_cell(scored.filter(F.col("vec_id") < 10)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "cell"
     )
     pairs = assign.join(F.broadcast(q), ["cell"]).filter(
