@@ -63,6 +63,60 @@ def start_alert_sink(
     return writer.start()
 
 
+def start_upsert_sink(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    key_cols: tuple[str, ...],
+    *,
+    output_mode: str = "update",
+    trigger_available_now: bool = False,
+) -> StreamingQuery:
+    """Keyed upsert into a parquet serving table via foreachBatch —
+    the MERGE-shaped sink for update-mode aggregations (latest value
+    per key visible to readers, not an append log).
+
+    Each micro-batch: read the current table, anti-join out the keys
+    the batch replaces, union the batch, rewrite. Rewriting the whole
+    table is correct here and fine for a *serving* table (these are
+    small by construction — one row per key); a 100 TB-keyspace sink
+    instead partitions the table by a key prefix and rewrites only
+    the partitions the batch touches (same handler, plus dynamic
+    partition overwrite), or targets a real MERGE sink (Delta/Iceberg).
+    Idempotence: re-running a batch after a crash converges to the
+    same table state because the upsert is keyed, not positional.
+    The rewrite goes through a shadow directory + atomic swap (you
+    cannot overwrite a parquet path that the same job is reading);
+    on an object store the swap becomes a table-pointer flip, which
+    is precisely what Delta/Iceberg commit logs formalize.
+    """
+    import shutil
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.dropDuplicates(list(key_cols))
+        tmp = f"{path}__b{batch_id}"
+        try:
+            current = spark.read.parquet(path)
+            merged = current.join(
+                F.broadcast(batch.select(*key_cols)), list(key_cols), "left_anti"
+            ).unionByName(batch)
+        except Exception:  # first batch: table doesn't exist yet
+            merged = batch
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(path, ignore_errors=True)
+        shutil.move(tmp, path)
+
+    writer = (
+        df.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_kafka_sink(
     df: DataFrame,
     checkpoint: str,

@@ -278,3 +278,49 @@ def test_orc_round_trip(spark, tmp_path):
     back = spark.read.orc(out)
     assert back.count() == 25
     assert {r.n_name for r in back.collect()} == {r.n_name for r in nation.collect()}
+
+
+def test_upsert_sink_keeps_latest_per_key(spark, tmp_path):
+    """Update-mode aggregation through the keyed upsert sink: after
+    two micro-batches the serving table holds ONE row per sensor with
+    the latest running aggregate, not an append history."""
+    from bigdata_riveranalysis_spark.streaming.sinks import start_upsert_sink
+
+    b1 = [_ev(1, "2024-01-01 00:00:00", user_id=1, value=10.0),
+          _ev(2, "2024-01-01 00:01:00", user_id=2, value=20.0)]
+    b2 = [_ev(3, "2024-01-01 00:02:00", user_id=1, value=30.0)]
+    src = _write_files(tmp_path, [b1, b2])
+    stream = file_json_stream(spark, src, max_files_per_trigger=1)
+    agg = stream.groupBy("user_id").agg(
+        F.count("*").alias("n"), F.sum("value").alias("total")
+    )
+    out, ckpt = str(tmp_path / "serve"), str(tmp_path / "ckpt_upsert")
+    q = start_upsert_sink(agg, out, ckpt, ("user_id",), trigger_available_now=True)
+    q.awaitTermination(120)
+    rows = {r.user_id: r for r in spark.read.parquet(out).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].n == 2 and rows[1].total == 40.0  # both batches folded
+    assert rows[2].n == 1 and rows[2].total == 20.0
+
+
+def test_observe_metrics_on_batch_query(spark):
+    """df.observe: accumulator-style metrics ride the job (no second
+    scan) — the operational hook a 100 TB pipeline uses to assert
+    row counts / null rates without re-reading the input."""
+    from bigdata_riveranalysis_spark.sources.tables import load_table
+
+    from .conftest import SF_ORACLE
+
+    from pyspark.sql import Observation
+
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    obs = Observation("scan_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_scanned"),
+        F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0)).alias("null_qty"),
+    )
+    observed.filter(F.col("l_quantity") > 25).groupBy("l_returnflag").count().collect()
+    got = obs.get
+    assert got["rows_scanned"] == li.count()  # all rows observed pre-filter
+    assert got["null_qty"] == 0
