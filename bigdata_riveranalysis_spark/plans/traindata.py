@@ -371,64 +371,60 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain membership, referential integrity — the constraint sweep a
     pipeline runs before promoting a 100 TB snapshot.
 
-    Shape notes: the four documents checks are ONE scan each (count +
-    conditional sums are algebraic, map-side combined); uniqueness is
-    count vs count(distinct) — the only shuffle on the corpus side.
-    Referential integrity is a broadcast-able left join counting
-    orphans. Violations are COUNTED, not collected: the report stays
-    k rows regardless of table size, and a quarantine pass (filter on
-    the same predicates) fetches offenders only when a count is
-    non-zero.
+    Shape notes: ALL per-table expectations evaluate in ONE scan —
+    each check is an algebraic conditional sum, so the whole suite is
+    a single aggregate row, unpivoted into report rows afterwards (at
+    100 TB, four separate check-queries would read the table four
+    times; an expectation suite must be one pass). Uniqueness rides
+    the same aggregate as count vs count(distinct). Referential
+    integrity is a broadcast left join counting orphans. Violations
+    are COUNTED, not collected: the report stays k rows regardless of
+    table size, and a quarantine pass (filter on the same predicates)
+    fetches offenders only when a count is non-zero.
     """
     docs = load_table(spark, sf_dir, "documents")
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
 
-    def check(df: DataFrame, tbl: str, name: str, violation) -> DataFrame:
-        return df.agg(
-            F.lit(tbl).alias("tbl"),
-            F.lit(name).alias("check_name"),
-            F.count("*").alias("n_rows"),
-            F.sum(F.when(violation, 1).otherwise(0)).alias("n_violations"),
-        ).select("tbl", "check_name", "n_rows", "n_violations")
-
-    uniq = docs.agg(
-        F.lit("documents").alias("tbl"),
-        F.lit("doc_id_unique").alias("check_name"),
+    viol = lambda cond: F.sum(F.when(cond, 1).otherwise(0))  # noqa: E731
+    one_pass = docs.agg(
         F.count("*").alias("n_rows"),
-        (F.count("*") - F.count_distinct("doc_id")).alias("n_violations"),
-    ).select("tbl", "check_name", "n_rows", "n_violations")
-    ref = check(
+        viol(F.col("doc_id").isNull()).alias("doc_id_not_null"),
+        (F.count("*") - F.count_distinct("doc_id")).alias("doc_id_unique"),
+        viol(F.col("n_chars") != F.length("text")).alias("n_chars_matches_text"),
+        viol(~F.col("lang").isin("en", "de", "fr", "es", "zh")).alias("lang_in_domain"),
+    )
+    checks = ("doc_id_not_null", "doc_id_unique", "n_chars_matches_text", "lang_in_domain")
+    doc_report = one_pass.select(
+        F.lit("documents").alias("tbl"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("check_name"),
+                        F.col("n_rows").cast("long").alias("n_rows"),
+                        F.col(c).cast("long").alias("n_violations"),
+                    )
+                    for c in checks
+                ]
+            )
+        ).alias("r"),
+    ).select("tbl", "r.check_name", "r.n_rows", "r.n_violations")
+    ref = (
         orders.join(
             F.broadcast(customer.select("c_custkey")),
             orders.o_custkey == F.col("c_custkey"),
             "left",
-        ),
-        "orders",
-        "custkey_in_customer",
-        F.col("c_custkey").isNull(),
-    )
-    return (
-        check(docs, "documents", "doc_id_not_null", F.col("doc_id").isNull())
-        .unionByName(uniq)
-        .unionByName(
-            check(
-                docs,
-                "documents",
-                "n_chars_matches_text",
-                F.col("n_chars") != F.length("text"),
-            )
         )
-        .unionByName(
-            check(
-                docs,
-                "documents",
-                "lang_in_domain",
-                ~F.col("lang").isin("en", "de", "fr", "es", "zh"),
-            )
+        .agg(
+            F.lit("orders").alias("tbl"),
+            F.lit("custkey_in_customer").alias("check_name"),
+            F.count("*").alias("n_rows"),
+            viol(F.col("c_custkey").isNull()).alias("n_violations"),
         )
-        .unionByName(ref)
+        .select("tbl", "check_name", "n_rows", "n_violations")
     )
+    return doc_report.unionByName(ref)
 
 
 # ---------------------------------------------------------------------------
