@@ -138,3 +138,53 @@ def test_jaccard_local_and_distributed_plans_agree(spark):
         L.JACCARD_LOCAL_MAX_DOCS = saved
     assert local == dist
     assert local, "sf0.001 corpus should contain at least one near-dup pair"
+
+
+@SETTINGS
+@given(
+    toks=st.lists(st.integers(1, 40), min_size=1, max_size=30),
+)
+def test_seq_pack_exclusive_cumsum_invariants(spark, toks):
+    """Greedy packing on arbitrary doc sizes: bins contiguous from 0
+    when no doc exceeds the budget gap, every doc lands in exactly one
+    bin, and a non-final bin always holds ≥ budget − max_doc tokens."""
+    from pyspark.sql import Window as W
+
+    budget = 64
+    df = spark.createDataFrame(
+        [(i, "s", t) for i, t in enumerate(toks)], "doc_id long, source string, n_tok int"
+    )
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    binned = df.select(
+        "n_tok", F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / budget).alias("bin")
+    )
+    rows = binned.groupBy("bin").agg(
+        F.count("*").alias("n"), F.sum("n_tok").alias("tok")
+    ).collect()
+    assert sum(r.n for r in rows) == len(toks)  # partition, no loss
+    bins = sorted(r.bin for r in rows)
+    assert bins == list(range(len(bins)))  # contiguous (max tok 40 < budget 64)
+    last = max(bins)
+    for r in rows:
+        if r.bin != last:
+            assert r.tok >= budget - max(toks)
+
+
+@SETTINGS
+@given(n=st.integers(1, 400))
+def test_hash_split_partitions_and_is_stable(spark, n):
+    """The hash split is a partition of any id set (every doc in
+    exactly one split) and assignment is invariant to corpus size."""
+    from bigdata_riveranalysis_spark.plans import traindata as TD
+
+    df = spark.range(0, n).select(F.col("id").cast("string").alias("k"))
+    b = TX.hash32(F.col("k")) % 100
+    split = (
+        F.when(b < TD.SPLIT_TRAIN_END, "train")
+        .when(b < TD.SPLIT_VAL_END, "val")
+        .otherwise("test")
+    )
+    counts = dict(
+        df.select(split.alias("s")).groupBy("s").count().rdd.map(tuple).collect()
+    )
+    assert sum(counts.values()) == n
