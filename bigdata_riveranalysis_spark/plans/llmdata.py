@@ -245,6 +245,95 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_pairs_oracle() -> str:
+    """The registered dedup_minhash_lsh oracle, as a subquery — the
+    components oracle builds on the SAME pair semantics, textually."""
+    from bigdata_riveranalysis_spark.plans.registry import REGISTRY
+
+    return REGISTRY["dedup_minhash_lsh"].oracle
+
+
+@query(
+    "dedup_cluster_components",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS (SELECT doc_a, doc_b FROM ({_lsh_pairs_oracle()}) p),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach AS (
+        SELECT node, node AS lbl FROM nodes
+        UNION
+        SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node AS doc_id, min(lbl) AS canonical_id FROM reach GROUP BY node)
+    SELECT doc_id, canonical_id,
+           count(*) OVER (PARTITION BY canonical_id) AS component_size
+    FROM comp
+    """,
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph — the final
+    stage of fuzzy dedup: pairwise matches become CLUSTERS, each doc
+    labeled with its component's canonical (minimum) doc_id, so
+    keep-one-per-cluster is a trivial filter.
+
+    Spark plan: iterative min-label propagation. Each round is one
+    distributed join (labels → neighbors) + min-aggregate; the driver
+    only tests convergence (a count), never touches the data. Rounds
+    = graph diameter; near-dup components are shallow (dups of a doc
+    are dups of each other), so this converges in 2-4 rounds. Lineage
+    is cut per round with localCheckpoint — without it each iteration
+    REPLANS all prior joins and the DAG grows quadratically. At
+    graph-shaped 100 TB the same loop runs with the large-star/
+    small-star rewrites (alternating min-propagation variants that
+    provably collapse diameter in O(log n) rounds) and checkpoints to
+    storage instead of memory — the per-round dataflow is unchanged.
+
+    The DuckDB oracle computes the same fixpoint declaratively with a
+    recursive CTE over the registered LSH-pair SQL (min reachable id
+    == component minimum).
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.unionByName(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .toDF("src", "dst")
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint()
+    )
+    while True:
+        nbr_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("nbr_node"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new = (
+            labels.join(nbr_min, labels.node == F.col("nbr_node"), "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias("lbl"),
+                F.col("lbl").alias("old"),
+            )
+            .localCheckpoint()
+        )
+        changed = new.filter(F.col("lbl") < F.col("old")).count()
+        labels = new.select("node", "lbl")
+        if changed == 0:
+            break
+    comp = labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("canonical_id"))
+    wsz = W.partitionBy("canonical_id")
+    return comp.select(
+        "doc_id", "canonical_id", F.count("*").over(wsz).alias("component_size")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact n-gram Jaccard near-dup
 # ---------------------------------------------------------------------------
