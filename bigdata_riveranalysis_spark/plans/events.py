@@ -89,7 +89,7 @@ def events_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_sessionize",
     oracle="""
     WITH flagged AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, event_id, ts, value,
                CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
                          OR lag(ts) OVER w IS NULL
                     THEN 1 ELSE 0 END AS new_session
@@ -97,7 +97,13 @@ def events_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
         SELECT user_id, ts, value,
-               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+               -- ORDER BY (ts, event_id): ties on ts within a user exist in the
+               -- corpus; without the unique trailing key the cumulative sum is
+               -- engine-order-dependent at a tie spanning a session boundary
+               -- (SURVEY.md watch-list #4; VERDICT r1 'What's wrong' #1).
+               -- CAST: DuckDB sums integers to HUGEINT (int128); Spark emits
+               -- BIGINT — strict hashers see different types without the cast.
+               CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         FROM flagged
     )
     SELECT user_id, session_id,
@@ -122,7 +128,14 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_session",
         F.when(F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > SESSION_GAP_US), 1).otherwise(0),
     )
-    wsum = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, W.currentRow)
+    # (ts, event_id) ordering — event_id is the unique tie-break; ordering by
+    # ts alone makes the session id at a same-ts boundary depend on internal
+    # row order (watch-list #4).
+    wsum = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
     return (
         flagged.withColumn("session_id", F.sum("new_session").over(wsum))
         .groupBy("user_id", "session_id")
@@ -178,11 +191,14 @@ def events_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_pivot_daily",
     oracle="""
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-           sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS click,
-           sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS error,
-           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-           sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS signup,
-           sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS view
+           -- count(*) FILTER yields BIGINT; sum(CASE...) would be HUGEINT
+           -- (int128) in DuckDB, which canonicalizes differently from Spark's
+           -- BIGINT in strict hashers (VERDICT r1 'What's wrong' #2).
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'error')    AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'view')     AS view
     FROM events
     GROUP BY 1
     """,

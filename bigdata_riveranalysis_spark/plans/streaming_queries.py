@@ -143,14 +143,14 @@ def stream_windowed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session_windows",
     oracle="""
     WITH flagged AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, event_id, ts, value,
                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                          > INTERVAL '30 minutes'
                     THEN 1 ELSE 0 END AS new_sess
         FROM events
     ), grouped AS (
         SELECT user_id, ts, value,
-               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                    ROWS UNBOUNDED PRECEDING) AS sess_no
         FROM flagged
     )

@@ -93,7 +93,7 @@ def _bucket_sql(expr: str, mod: int) -> str:
                     ELSE 'test' END AS split
         FROM documents
     )
-    SELECT split, source, count(*) AS n_docs, sum(n_chars) AS n_chars_total
+    SELECT split, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars_total
     FROM assigned GROUP BY split, source
     """,
 )
@@ -139,7 +139,7 @@ def split_train_val_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN 1 ELSE 0 END AS kept
         FROM documents d LEFT JOIN weights w ON d.source = w.source
     )
-    SELECT source, count(*) AS n_total, sum(kept) AS n_kept,
+    SELECT source, count(*) AS n_total, CAST(sum(kept) AS BIGINT) AS n_kept,
            round(sum(kept) * 1.0 / count(*), 4) AS realized_rate
     FROM decided GROUP BY source
     """,
@@ -208,11 +208,11 @@ PII_IPV4 = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
     )
     SELECT source,
            count(*)                                       AS n_docs,
-           sum(n_email)                                   AS emails_masked,
-           sum(n_phone)                                   AS phones_masked,
-           sum(n_ip)                                      AS ips_masked,
-           sum(CASE WHEN n_email + n_phone + n_ip > 0 THEN 1 ELSE 0 END) AS docs_touched,
-           sum(length(clean))                             AS clean_chars
+           CAST(sum(n_email) AS BIGINT)                   AS emails_masked,
+           CAST(sum(n_phone) AS BIGINT)                   AS phones_masked,
+           CAST(sum(n_ip) AS BIGINT)                      AS ips_masked,
+           CAST(sum(CASE WHEN n_email + n_phone + n_ip > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_touched,
+           CAST(sum(length(clean)) AS BIGINT)             AS clean_chars
     FROM scrubbed GROUP BY source
     """,
 )
@@ -344,24 +344,25 @@ def contamination_ngram_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dq_constraint_report",
     oracle="""
+    WITH doc_pass AS (
+        SELECT count(*) AS n_rows,
+               CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS doc_id_not_null,
+               count(*) - count(DISTINCT doc_id) AS doc_id_unique,
+               CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_matches_text,
+               CAST(sum(CASE WHEN lang NOT IN ('en','de','fr','es','zh') THEN 1 ELSE 0 END) AS BIGINT) AS lang_in_domain
+        FROM documents
+    )
     SELECT 'documents' AS tbl, 'doc_id_not_null' AS check_name,
-           count(*) AS n_rows, sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS n_violations
-    FROM documents
+           n_rows, doc_id_not_null AS n_violations FROM doc_pass
     UNION ALL
-    SELECT 'documents', 'doc_id_unique', count(*),
-           count(*) - count(DISTINCT doc_id)
-    FROM documents
+    SELECT 'documents', 'doc_id_unique', n_rows, doc_id_unique FROM doc_pass
     UNION ALL
-    SELECT 'documents', 'n_chars_matches_text', count(*),
-           sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
-    FROM documents
+    SELECT 'documents', 'n_chars_matches_text', n_rows, n_chars_matches_text FROM doc_pass
     UNION ALL
-    SELECT 'documents', 'lang_in_domain', count(*),
-           sum(CASE WHEN lang NOT IN ('en','de','fr','es','zh') THEN 1 ELSE 0 END)
-    FROM documents
+    SELECT 'documents', 'lang_in_domain', n_rows, lang_in_domain FROM doc_pass
     UNION ALL
     SELECT 'orders', 'custkey_in_customer', count(*),
-           sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+           CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
     FROM orders LEFT JOIN customer ON o_custkey = c_custkey
     """,
 )
@@ -499,7 +500,7 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ROWS UNBOUNDED PRECEDING) - n_tok) / {PACK_BUDGET}) AS BIGINT) AS bin
         FROM sized
     )
-    SELECT source, bin, count(*) AS n_docs, sum(n_tok) AS tokens_in_bin
+    SELECT source, bin, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tokens_in_bin
     FROM binned GROUP BY source, bin
     """,
 )
