@@ -245,6 +245,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Pair-graph size cap for the driver union-find regime of
+#: dedup_cluster_components: 2M edges × ~(two ids + overhead) ≈ low
+#: hundreds of MB on the driver — explicit and bounded, like
+#: JACCARD_LOCAL_*. Above it the distributed label-propagation loop runs.
+COMPONENTS_LOCAL_MAX_EDGES = 2_000_000
+
+
 def _lsh_pairs_oracle() -> str:
     """The registered dedup_minhash_lsh oracle, as a subquery — the
     components oracle builds on the SAME pair semantics, textually."""
@@ -278,30 +285,77 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled with its component's canonical (minimum) doc_id, so
     keep-one-per-cluster is a trivial filter.
 
-    Spark plan: iterative min-label propagation. Each round is one
-    distributed join (labels → neighbors) + min-aggregate; the driver
-    only tests convergence (a count), never touches the data. Rounds
-    = graph diameter; near-dup components are shallow (dups of a doc
-    are dups of each other), so this converges in 2-4 rounds. Lineage
-    is cut per round with localCheckpoint — without it each iteration
-    REPLANS all prior joins and the DAG grows quadratically. At
-    graph-shaped 100 TB the same loop runs with the large-star/
-    small-star rewrites (alternating min-propagation variants that
-    provably collapse diameter in O(log n) rounds) and checkpoints to
-    storage instead of memory — the per-round dataflow is unchanged.
+    Regimes (both produce the identical labeling):
+      * **Local** (pair count ≤ COMPONENTS_LOCAL_MAX_EDGES): the pair
+        graph — NOT the corpus — is collected and union-find runs on
+        the driver. Near-dup pairs are sparse relative to documents
+        (only actual duplicates appear), so even a very large corpus
+        usually yields a graph of thousands of edges; the gate bounds
+        driver memory explicitly, mirroring JACCARD_LOCAL_*.
+      * **Distributed** (above the gate): iterative min-label
+        propagation — per round one join (labels→neighbors) folded
+        into a single min-aggregate, lineage cut with localCheckpoint
+        (storage-level checkpoint on a real cluster); convergence
+        tested with a LIMIT-1 existence probe, not a full count.
+        Rounds = graph diameter; near-dup components are shallow so
+        this converges in 2-4 rounds. The large-star/small-star
+        rewrites (O(log n) rounds) are the drop-in upgrade if a
+        pathological corpus ever yields deep components.
 
     The DuckDB oracle computes the same fixpoint declaratively with a
     recursive CTE over the registered LSH-pair SQL (min reachable id
     == component minimum).
     """
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.unionByName(
-            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-        )
-        .toDF("src", "dst")
-        .localCheckpoint()
+    # One materialization of the LSH stage feeds count + either regime.
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+    n_pairs = pairs.count()
+
+    if n_pairs <= COMPONENTS_LOCAL_MAX_EDGES:
+        comp = _components_local(spark, pairs)
+    else:
+        comp = _components_distributed(pairs)
+    wsz = W.partitionBy("canonical_id")
+    return comp.select(
+        "doc_id", "canonical_id", F.count("*").over(wsz).alias("component_size")
     )
+
+
+def _components_local(spark: SparkSession, pairs: DataFrame) -> DataFrame:
+    """Driver union-find over a size-gated pair graph → (doc_id, canonical_id)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs.collect():
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)  # min-id root ⇒ canonical = min
+    import pandas as pd
+
+    rows = [(node, find(node)) for node in parent]
+    schema = pairs.select(
+        F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("canonical_id")
+    ).schema
+    # Arrow-batched createDataFrame (pandas input) — the plain-list path
+    # parallelizes Python objects and pays a Python-worker spin-up per
+    # partition on first action (~3 s on local[32] for a 300-row frame).
+    pdf = pd.DataFrame(rows, columns=["doc_id", "canonical_id"])
+    return spark.createDataFrame(pdf, schema)
+
+
+def _components_distributed(pairs: DataFrame) -> DataFrame:
+    """Min-label propagation loop (the above-gate regime)."""
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("src", "dst").localCheckpoint()
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -309,29 +363,25 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     while True:
-        nbr_min = (
-            edges.join(labels, edges.src == labels.node)
-            .groupBy(F.col("dst").alias("nbr_node"))
-            .agg(F.min("lbl").alias("nbr_lbl"))
+        prop = edges.join(labels, edges.src == labels.node).select(
+            F.col("dst").alias("node"), "lbl"
         )
         new = (
-            labels.join(nbr_min, labels.node == F.col("nbr_node"), "left")
-            .select(
-                "node",
-                F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias("lbl"),
-                F.col("lbl").alias("old"),
-            )
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
             .localCheckpoint()
         )
-        changed = new.filter(F.col("lbl") < F.col("old")).count()
-        labels = new.select("node", "lbl")
-        if changed == 0:
+        improved = (
+            new.join(labels.withColumnRenamed("lbl", "old"), "node")
+            .filter(F.col("lbl") < F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if improved == 0:
             break
-    comp = labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("canonical_id"))
-    wsz = W.partitionBy("canonical_id")
-    return comp.select(
-        "doc_id", "canonical_id", F.count("*").over(wsz).alias("component_size")
-    )
+    return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("canonical_id"))
 
 
 # ---------------------------------------------------------------------------
@@ -349,11 +399,34 @@ JACCARD_LOCAL_MAX_DOCS = 20_000
 JACCARD_LOCAL_MAX_CELLS = 32_000_000
 JACCARD_LOCAL_MAX_FLOPS = 250e9
 
+#: Document-frequency cap for Jaccard shingles: a gram present in
+#: df > cap documents is boilerplate — it carries ~no pair signal at
+#: threshold 0.5 but creates a quadratic hot bucket in the inverted
+#: index (df² candidate pairs from that one gram). The cap is part of
+#: the operator's SEMANTICS (Jaccard over discriminative shingles) and
+#: is applied identically in the Spark plans, the local dense path,
+#: and the DuckDB oracle. Integer arithmetic only, so both engines
+#: compute the same cap: min(ABS, max(MIN, n_docs // 5)).
+JACCARD_DF_CAP_ABS = 100_000
+JACCARD_DF_CAP_MIN = 50
+
+
+def _jaccard_df_cap(n_docs: int) -> int:
+    return min(JACCARD_DF_CAP_ABS, max(JACCARD_DF_CAP_MIN, n_docs // 5))
+
+
+#: The same cap as a DuckDB scalar subquery (kept textually in sync
+#: with _jaccard_df_cap by construction).
+JACCARD_DF_CAP_SQL = (
+    f"(SELECT least({JACCARD_DF_CAP_ABS}, greatest({JACCARD_DF_CAP_MIN}, "
+    f"count(*) // 5)) FROM documents)"
+)
+
 #: Rows per matmul block in the local path (caps the n×block temp).
 _JACCARD_BLOCK = 2048
 
 
-def _jaccard_local(spark: SparkSession, sh: DataFrame) -> DataFrame | None:
+def _jaccard_local(spark: SparkSession, sh: DataFrame, df_cap: int) -> DataFrame | None:
     """Exact all-pairs Jaccard in the local (small-corpus) regime.
 
     One Arrow-batched job computes the shingle sets; everything after
@@ -388,6 +461,13 @@ def _jaccard_local(spark: SparkSession, sh: DataFrame) -> DataFrame | None:
     ids = pdf["doc_id"].to_numpy(dtype=np.int64)
     M = np.zeros((n, max(nv, 1)), dtype=np.float32)
     M[np.repeat(np.arange(n), sizes), codes] = 1.0
+    # df-cap (see JACCARD_DF_CAP_*): zero out boilerplate-gram columns
+    # and recompute sizes over the kept vocabulary — identical to the
+    # distributed plan's and the oracle's capped semantics.
+    if nv:
+        gram_df = np.bincount(codes, minlength=nv)
+        M[:, gram_df > df_cap] = 0.0
+        sizes = M.sum(axis=1).astype(np.int64)
     out_a, out_b, out_j = [], [], []
     for start in range(0, n, _JACCARD_BLOCK):
         stop = min(start + _JACCARD_BLOCK, n)
@@ -423,12 +503,17 @@ def _jaccard_local(spark: SparkSession, sh: DataFrame) -> DataFrame | None:
         FROM toks WHERE len(t) >= 2
     ),
     ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    gdf AS (SELECT g, count(*) AS df FROM ex GROUP BY g),
+    kept AS (
+        SELECT e.doc_id, e.g FROM ex e JOIN gdf ON e.g = gdf.g
+        WHERE gdf.df <= {JACCARD_DF_CAP_SQL}
+    ),
     common AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-        FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     ),
-    sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+    sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id)
     SELECT doc_a, doc_b,
            round(n_common * 1.0 / (sa.n + sb.n - n_common), 4) AS jaccard
     FROM common
@@ -452,9 +537,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       size-ratio prune in the join condition (J ≥ t ⇒ sizes within
       1/t — exact), pair-count aggregation. Shuffle key is the
       shingle; at 100 TB natural-text vocabularies are huge and
-      sparse, which is what this plan is shaped for, plus a
-      document-frequency cap on shingles (df > ~1e4 carries no signal
-      and causes quadratic hot buckets).
+      sparse, which is what this plan is shaped for.
+
+    Both regimes (and the oracle) apply the JACCARD_DF_CAP_* document
+    frequency cap first: boilerplate grams (df > cap) are dropped from
+    the sets before sizing and intersection. The cap is the semantics
+    — similarity over discriminative shingles — and the scale defense:
+    one every-doc gram otherwise creates a df² hot bucket in the
+    inverted index (this corpus has 931 such bigrams).
 
     Deciding from measured stats is the same move Catalyst makes
     choosing broadcast vs shuffle joins — the operator picks the
@@ -466,7 +556,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", tok.alias("t"))
         .filter(F.size("t") >= 2)
         .select("doc_id", F.array_distinct(TX.word_shingles(F.col("t"), 2)).alias("s"))
-        .withColumn("n", F.size("s"))
     )
     # Strategy stats: one scan-only job (count + total text chars — no
     # tokenize, no shuffle) decides the regime. A 100 TB corpus blows
@@ -475,11 +564,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = docs.agg(
         F.count("*").alias("n"), F.sum(F.length("text")).alias("chars")
     ).collect()[0]
+    df_cap = _jaccard_df_cap(stats.n)
     if (
         stats.n <= JACCARD_LOCAL_MAX_DOCS
         and (stats.chars or 0) <= JACCARD_LOCAL_MAX_CHARS
     ):
-        local = _jaccard_local(spark, sh)
+        local = _jaccard_local(spark, sh, df_cap)
         if local is not None:
             return local
     # explode_nonempty (s is computed + non-empty by the size filter):
@@ -488,7 +578,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-evaluates it per row — a measured 26× on this stage. Part of
     # the "8-24 s" this docstring's local-path gate was built against
     # was exactly that recompute, not join skew alone.
-    ex = sh.select("doc_id", "n", explode_nonempty("s").alias("g"))
+    ex0 = sh.select("doc_id", explode_nonempty("s").alias("g"))
+    # df-cap via one window over the gram key (same shuffle the pair
+    # join needs anyway), then re-size each doc over KEPT grams only.
+    ex = (
+        ex0.withColumn("df", F.count("*").over(W.partitionBy("g")))
+        .filter(F.col("df") <= df_cap)
+        .drop("df")
+        .withColumn("n", F.count("*").over(W.partitionBy("doc_id")))
+    )
     a, b = ex.alias("a"), ex.alias("b")
     # Size-ratio prune inside the join condition: J(A,B) ≤ min/max of
     # the set sizes, so J ≥ t ⇒ |A| and |B| within a 1/t factor —
@@ -523,30 +621,41 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash
 # ---------------------------------------------------------------------------
 
-SIMHASH_BITS = 16
+#: 60 bits = 15 hex chars of md5 — the widest md5 prefix whose unsigned
+#: value still fits a signed BIGINT in BOTH engines (16 chars could set
+#: bit 63 and overflow the cast). 60 bits un-clusters the segment
+#: buckets that a 16-bit signature degenerates into on dup-heavy
+#: corpora (r1 bench: 540k hamming≤2 "pairs" at sf0.1 were 16-bit
+#: collision noise, and materializing them WAS the query's cost).
+SIMHASH_BITS = 60
+SIMHASH_HEX = SIMHASH_BITS // 4  # md5 prefix length, 4 bits per hex char
+SIMHASH_HAMMING_MAX = 3  # ≤3 differing bits ⇒ ≥1 of 4 segments exact
+SIMHASH_SEGMENTS = tuple((15 * i, 0x7FFF) for i in range(4))  # 4 × 15-bit
 
 #: Below this doc count, dedup_simhash's exact pair scan runs locally
-#: on collected signatures (16 bytes/doc → ≤320 KB; the pair scan is
-#: n² popcounts, ≤0.4 GB-ops at the cap) instead of the banded joins.
-SIMHASH_LOCAL_MAX_DOCS = 20_000
+#: on collected signatures (8 bytes/doc; the pair scan is n² popcounts
+#: — ≤4M per-pair ops at the cap). Above it the banded segment joins
+#: run: with 60-bit signatures a 15-bit segment has 32768 buckets, so
+#: the candidate set tracks true duplicates, not n².
+SIMHASH_LOCAL_MAX_DOCS = 2_000
 
 
 def _simhash_frame(docs: DataFrame) -> DataFrame:
-    """SimHash signatures as explode → groupBy(doc_id) with 16
-    codegen'd conditional sums — the hot-path formulation.
+    """SimHash signatures as explode → groupBy(doc_id) with one
+    codegen'd conditional sum per bit — the hot-path formulation.
 
-    The per-row array-lambda version (_simhash_col) evaluates 16
-    interpreted lambdas per token; this one stays inside whole-stage
-    codegen end to end, and the groupBy's map-side partial aggregation
-    reduces each task's tokens to one 16-counter row per doc before
-    any shuffle — at 100 TB the shuffle carries n_docs × 17 ints, not
-    tokens. Semantics are identical (votes with multiplicity;
-    differential-tested against _simhash_col). Precondition: text is
-    non-NULL — `split` always yields ≥1 token so explode drops no
-    doc, but a NULL text would (the corpus schema guarantees
-    non-NULL).
+    The per-row array-lambda version (_simhash_col) evaluates
+    SIMHASH_BITS interpreted lambdas per token; this one stays inside
+    whole-stage codegen end to end, and the groupBy's map-side partial
+    aggregation reduces each task's tokens to one vote-counter row per
+    doc before any shuffle — at 100 TB the shuffle carries
+    n_docs × (SIMHASH_BITS+1) ints, not tokens. Semantics are
+    identical (votes with multiplicity; differential-tested against
+    _simhash_col). Precondition: text is non-NULL — `split` always
+    yields ≥1 token so explode drops no doc, but a NULL text would
+    (the corpus schema guarantees non-NULL).
     """
-    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("long")
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, SIMHASH_HEX), 16, 10).cast("long")
     # split() yields ≥1 element for any non-NULL string, so the
     # explode_nonempty contract holds; plain explode would re-split
     # each row 2× extra inside an inferred filter (functions/arrays.py).
@@ -571,64 +680,66 @@ def _simhash_frame(docs: DataFrame) -> DataFrame:
 
 
 def _simhash_col(tok: F.Column) -> F.Column:
-    """16-bit SimHash: per-bit ±1 votes over md5-hashed tokens
-    (with multiplicity), bit set iff the vote sum is positive.
+    """SimHash: per-bit ±1 votes over md5-hashed tokens (with
+    multiplicity), bit set iff the vote sum is positive.
 
     Scalar reference implementation (see _simhash_frame for the hot
-    path). One aggregate pass carrying a 16-counter vote array, so
-    each token is md5-hashed exactly once (a per-bit formulation
-    would recompute the hash array SIMHASH_BITS times). Bit tests use
-    div/mod arithmetic because Spark's shift functions take literal
-    shift amounts and the lambda's bit index is a column.
+    path; property tests pin the two equal). The token array is hashed
+    once; each bit's vote is a separate aggregate traversal with a
+    LITERAL shift amount — integer-exact at any width, unlike a
+    div-by-pow(2.0, i) bit test, which silently loses bits past
+    double's 53-bit mantissa.
     """
     th = F.transform(
-        tok, lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long")
+        tok, lambda t: F.conv(F.substring(F.md5(t), 1, SIMHASH_HEX), 16, 10).cast("long")
     )
-    bits = F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))
+    def _vote(i: int):
+        # factory closure: pyspark requires the merge lambda to take
+        # exactly two parameters, so the bit index binds via closure
+        return lambda a, h: a + F.when(
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
 
-    def step(acc: F.Column, h: F.Column) -> F.Column:
-        return F.zip_with(
-            acc,
-            bits,
-            lambda a, i: a
-            + F.when(((h / F.pow(F.lit(2.0), i)).cast("long") % 2) == 1, 1).otherwise(-1),
-        )
-
-    votes = F.aggregate(th, F.array_repeat(F.lit(0), SIMHASH_BITS), step)
-    bit_values = F.zip_with(
-        votes,
-        bits,
-        lambda v, i: F.when(v > 0, F.pow(F.lit(2.0), i).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        ),
-    )
-    return F.aggregate(bit_values, F.lit(0).cast("long"), lambda a, x: a + x)
-
-
-def _simhash_sql() -> str:
-    h = "CAST(CAST(concat('0x', substr(md5(t), 1, 4)) AS UBIGINT) AS BIGINT)"
-    bit_terms = []
+    out = F.lit(0).cast("long")
     for i in range(SIMHASH_BITS):
-        vote = (
-            f"CAST(list_sum(list_transform(tk, t -> CASE WHEN (({h} >> {i}) & 1) = 1 "
-            f"THEN 1 ELSE -1 END)) AS BIGINT)"
-        )
-        bit_terms.append(f"(CASE WHEN {vote} > 0 THEN {1 << i} ELSE 0 END)")
-    return "(" + " + ".join(bit_terms) + ")"
+        vote = F.aggregate(th, F.lit(0), _vote(i))
+        out = out + F.when(vote > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return out
+
+
+def _simhash_sig_cte() -> str:
+    """DuckDB CTE chain ending in sig(doc_id, simhash) — unnest the
+    tokens, hash each ONCE, then one grouped ±1 vote sum per bit
+    (mirrors _simhash_frame; a per-bit list_transform would recompute
+    the md5 SIMHASH_BITS times per token — measured ~25 s at sf0.01)."""
+    toks = TX.TOKENS_SQL.format(c="text")
+    h = f"CAST(CAST(concat('0x', substr(md5(tok), 1, {SIMHASH_HEX})) AS UBIGINT) AS BIGINT)"
+    votes = ",\n               ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(SIMHASH_BITS)
+    )
+    return f"""
+    toks AS (SELECT doc_id, {toks} AS tk FROM documents),
+    ex AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+    hashed AS (SELECT doc_id, {h} AS h FROM ex),
+    votes AS (SELECT doc_id,
+               {votes}
+              FROM hashed GROUP BY doc_id),
+    sig AS (SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes)"""
 
 
 @query(
     "simhash_signatures",
     oracle=f"""
-    WITH toks AS (
-        SELECT doc_id, {TX.TOKENS_SQL.format(c="text")} AS tk FROM documents
-    )
-    SELECT doc_id, CAST({_simhash_sql()} AS BIGINT) AS simhash
-    FROM toks
+    WITH {_simhash_sig_cte()}
+    SELECT doc_id, simhash FROM sig
     """,
 )
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signatures (16-bit, token-level, md5 bit votes).
+    """SimHash signatures (60-bit, token-level, md5 bit votes).
 
     All-integer arithmetic → bit-exact oracle. Scale: one pass whose
     shuffle is n_docs × 17 ints after map-side combine (_simhash_frame).
@@ -639,61 +750,53 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_simhash",
     oracle=f"""
-    WITH toks AS (
-        SELECT doc_id, {TX.TOKENS_SQL.format(c="text")} AS tk FROM documents
-    ),
-    sig AS (
-        SELECT doc_id, CAST({_simhash_sql()} AS BIGINT) AS simhash FROM toks
-    )
+    WITH {_simhash_sig_cte()}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            bit_count(xor(a.simhash, b.simhash)) AS hamming
     FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_MAX}
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: Hamming distance ≤ 2 on 16-bit signatures.
+    """SimHash near-dup pairs: Hamming ≤ 3 on 60-bit signatures.
 
     Multi-index (pigeonhole) banding, not a quadratic scan: split the
-    16 bits into 3 segments (6/5/5). Any pair within Hamming ≤ 2 has
-    at most 2 differing segments, so it matches EXACTLY on ≥1 segment
-    → three equi-joins (one per segment) generate a complete
-    candidate set; the exact Hamming filter then prunes false
-    candidates. Output is provably identical to the all-pairs scan
-    (which is what the SQL oracle runs), but the join is hash-based —
-    the 100 TB path.
+    bits into 4 segments of 15. Any pair within Hamming ≤ 3 has at
+    most 3 differing segments, so it matches EXACTLY on ≥1 segment →
+    four equi-joins (one per segment) generate a complete candidate
+    set; the exact Hamming filter then prunes false candidates.
+    Output is provably identical to the all-pairs scan (which is what
+    the SQL oracle runs), but the join is hash-based — the 100 TB
+    path. A 15-bit segment has 32768 buckets, so bucket occupancy —
+    and with it candidate volume — tracks true duplicates, not n²
+    (the r1 16-bit signature clustered into 64 buckets/segment and
+    degenerated; width is the lever, see SIMHASH_BITS).
 
-    Physical shape is cost-gated like dedup_ngram_jaccard. The test
-    corpus is dup-heavy (4910 true pairs in 5000 docs): simhashes
-    cluster, so every 5/6-bit segment bucket is huge and the banded
-    candidate set degenerates toward 3× all-pairs — a measured
-    8-14 s of joins for what is 12.5M XOR+popcounts, ~0.1 s of
-    numpy. Below SIMHASH_LOCAL_MAX_DOCS the signatures (16 bytes/doc)
-    are collected and the exact pair scan runs locally; above it, the
-    banded equi-joins are the distributed path (at that scale the
-    signature should widen to 64 bits / 4 segments, which un-clusters
-    the buckets; sig is cached and materialized once, the Hamming
-    filter runs before the pair dedup so dropDuplicates shuffles only
-    true pairs).
+    Below SIMHASH_LOCAL_MAX_DOCS the signatures (8 bytes/doc) are
+    collected and the exact pair scan runs locally — the same
+    stats-gated escape hatch as JACCARD_LOCAL_*.
     """
     docs = _docs(spark, sf_dir)
     sig = _simhash_frame(docs)
     n_docs = load_table(spark, sf_dir, "documents").count()
     if n_docs <= SIMHASH_LOCAL_MAX_DOCS:
         import numpy as np
+        import pandas as pd
 
         out_schema = "doc_a long, doc_b long, hamming int"
         pdf = sig.toPandas()
         if pdf.empty:
             return spark.createDataFrame([], out_schema)
         ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-        h = pdf["simhash"].to_numpy(dtype=np.uint16)  # SIMHASH_BITS = 16
+        h = pdf["simhash"].to_numpy(dtype=np.int64)  # < 2^60, non-negative
         x = h[:, None] ^ h[None, :]
         pop8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
-        pc = pop8[x & 0xFF] + pop8[x >> 8]
-        ai, bj = np.nonzero((pc <= 2) & (ids[:, None] < ids[None, :]))
-        import pandas as pd
-
+        pc = np.zeros(x.shape, dtype=np.uint8)
+        for k in range(8):  # byte-table popcount over the 8 bytes
+            pc += pop8[(x >> (8 * k)) & 0xFF]
+        ai, bj = np.nonzero(
+            (pc <= SIMHASH_HAMMING_MAX) & (ids[:, None] < ids[None, :])
+        )
         res = pd.DataFrame(
             {
                 "doc_a": ids[ai],
@@ -706,14 +809,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(res, out_schema)
     sig = sig.cache()
     sig.count()
-    # segments: bits [0,5], [6,10], [11,15]
-    segments = (
-        (0, 0x3F),  # low 6 bits
-        (6, 0x1F),  # middle 5 bits
-        (11, 0x1F),  # high 5 bits
-    )
     cands = None
-    for shift, mask in segments:
+    for shift, mask in SIMHASH_SEGMENTS:
         seg = F.shiftright("simhash", shift).bitwiseAND(F.lit(mask))
         keyed = sig.select("doc_id", "simhash", seg.alias("seg"))
         b = keyed.alias("b")
@@ -727,7 +824,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hamming"),
         )
         cands = pairs if cands is None else cands.unionByName(pairs)
-    return cands.filter(F.col("hamming") <= 2).dropDuplicates(["doc_a", "doc_b"])
+    return cands.filter(F.col("hamming") <= SIMHASH_HAMMING_MAX).dropDuplicates(
+        ["doc_a", "doc_b"]
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -376,24 +376,46 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     each check is an algebraic conditional sum, so the whole suite is
     a single aggregate row, unpivoted into report rows afterwards (at
     100 TB, four separate check-queries would read the table four
-    times; an expectation suite must be one pass). Uniqueness rides
-    the same aggregate as count vs count(distinct). Referential
-    integrity is a broadcast left join counting orphans. Violations
-    are COUNTED, not collected: the report stays k rows regardless of
-    table size, and a quarantine pass (filter on the same predicates)
-    fetches offenders only when a count is non-zero.
+    times; an expectation suite must be one pass). Uniqueness is a
+    TWO-LEVEL aggregate — groupBy(doc_id) partial counts, then
+    rows-minus-groups — NOT count_distinct alongside the other
+    aggregates, which would force an Expand (row duplication) and a
+    wide shuffle of every doc_id for one output row; the two-level
+    shuffle carries only (doc_id, 4 small ints) and AQE coalesces it.
+    Referential integrity is a broadcast left join counting orphans.
+    Violations are COUNTED, not collected: the report stays k rows
+    regardless of table size, and a quarantine pass (filter on the
+    same predicates) fetches offenders only when a count is non-zero.
     """
     docs = load_table(spark, sf_dir, "documents")
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
 
     viol = lambda cond: F.sum(F.when(cond, 1).otherwise(0))  # noqa: E731
-    one_pass = docs.agg(
-        F.count("*").alias("n_rows"),
-        viol(F.col("doc_id").isNull()).alias("doc_id_not_null"),
-        (F.count("*") - F.count_distinct("doc_id")).alias("doc_id_unique"),
-        viol(F.col("n_chars") != F.length("text")).alias("n_chars_matches_text"),
-        viol(~F.col("lang").isin("en", "de", "fr", "es", "zh")).alias("lang_in_domain"),
+    per_key = (
+        docs.select(
+            "doc_id",
+            F.when(F.col("doc_id").isNull(), 1).otherwise(0).alias("f_null"),
+            F.when(F.col("n_chars") != F.length("text"), 1).otherwise(0).alias("f_chars"),
+            F.when(~F.col("lang").isin("en", "de", "fr", "es", "zh"), 1)
+            .otherwise(0)
+            .alias("f_lang"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("c"),
+            F.sum("f_null").alias("f_null"),
+            F.sum("f_chars").alias("f_chars"),
+            F.sum("f_lang").alias("f_lang"),
+        )
+    )
+    one_pass = per_key.agg(
+        F.sum("c").alias("n_rows"),
+        F.sum("f_null").alias("doc_id_not_null"),
+        # count("doc_id") at this level = number of distinct non-null keys.
+        (F.sum("c") - F.count("doc_id")).alias("doc_id_unique"),
+        F.sum("f_chars").alias("n_chars_matches_text"),
+        F.sum("f_lang").alias("lang_in_domain"),
     )
     checks = ("doc_id_not_null", "doc_id_unique", "n_chars_matches_text", "lang_in_domain")
     doc_report = one_pass.select(
