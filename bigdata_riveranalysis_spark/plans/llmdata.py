@@ -31,7 +31,7 @@ from bigdata_riveranalysis_spark.functions import text as TX
 from bigdata_riveranalysis_spark.functions import vectors as VX
 from bigdata_riveranalysis_spark.functions.arrays import explode_nonempty
 from bigdata_riveranalysis_spark.plans.registry import query
-from bigdata_riveranalysis_spark.sources.tables import load_table
+from bigdata_riveranalysis_spark.sources.tables import load_table, spread_small_scan
 
 NUM_MINHASHES = 8
 MINHASH_SHINGLE_N = 3  # word trigrams
@@ -39,21 +39,15 @@ JACCARD_THRESHOLD = 0.5
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Documents table spread across all cores.
-
-    The test corpus is one small parquet file → one input split → one
-    task, which would serialize the hash-heavy per-row work below. On
-    a real cluster the scan is already thousands of splits and this
-    round-robin is a no-op cost-wise relative to the hashing.
-    """
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.repartition(spark.sparkContext.defaultParallelism)
+    """Documents table, split-spread only if the scan under-splits
+    (conditional — see sources.tables.spread_small_scan; an
+    unconditional repartition would shuffle the raw corpus at scale)."""
+    return spread_small_scan(spark, load_table(spark, sf_dir, "documents"))
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embeddings table spread across all cores (same rationale as _docs)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return emb.repartition(spark.sparkContext.defaultParallelism)
+    """Embeddings table, split-spread only if the scan under-splits."""
+    return spread_small_scan(spark, load_table(spark, sf_dir, "embeddings"))
 
 
 # ---------------------------------------------------------------------------
@@ -1164,6 +1158,17 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exercising non-empty output.
 EMBED_DUP_COSINE = 0.4
 
+#: Regime gate for dedup_embedding_cosine: below this vector count the
+#: corpus is collected once and broadcast as a dense block (float64
+#: dim-64 → ~1 GB at 2M vectors — bounded and explicit, like
+#: JACCARD_LOCAL_*). Above it NOTHING is collected: the block-grid
+#: path replicates each vector to its B block-pairs and computes each
+#: (block_i × block_j) tile as one Arrow-batched matmul.
+EMBED_LOCAL_MAX_VECS = 2_000_000
+#: Target rows per block in the block-grid path (a tile is two blocks
+#: in one task's memory: 2 × 500k × 64 × 8 B ≈ 0.5 GB).
+EMBED_BLOCK_ROWS = 500_000
+
 
 @query(
     "dedup_embedding_cosine",
@@ -1179,51 +1184,124 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     all vector pairs — the semantic-dedup primitive for training-data
     curation. Exact (recall=1.0).
 
-    Plan: broadcast one side as a normalized numpy block, scan the
-    other side with mapInPandas and compute each Arrow batch's
-    similarities in a single matmul — a self-join that materializes
-    2 M array pairs (measured 20-75 s at sf0.1) becomes one
-    distributed pass (~1 s). All accumulation in float64 so the
-    6-decimal rounding matches the oracle's fold.
+    Two regimes, gated on a counted stat (EMBED_LOCAL_MAX_VECS), both
+    yielding identical pairs:
 
-    Scale: identical shape to a broadcast join — works while one side
-    fits executor memory as a dense block (~1 GB per 4M×64 block).
-    Beyond that, tile: cross-join coarse row-ranges of vec_id so each
-    task gets (scan slice × broadcast tile); or drop to the
-    LSH-bucketed candidates of ann_lsh_bucketed, which loses only
-    cross-bucket borderline pairs.
+    * **broadcast** (corpus ≤ gate): collect once, broadcast the
+      normalized dense block, scan the corpus with mapInPandas and
+      compute each Arrow batch's similarities in a single matmul — a
+      self-join that materializes 2 M array pairs (measured 20-75 s at
+      sf0.1) becomes one distributed pass (~1 s).
+    * **block-grid** (above the gate — NO driver collect anywhere):
+      assign each vector a block (vec_id mod B), replicate each row to
+      every block-pair it participates in, and compute each
+      (block_i × block_j) tile as one matmul inside applyInPandas.
+      Exact, bounded task memory (two blocks), shuffle volume
+      n_vecs × B rows — the practical prescreen at extreme scale is
+      ann_lsh_bucketed candidates + exact rescore, which trades only
+      cross-bucket borderline pairs.
+
+    All accumulation in float64 so the 6-decimal rounding matches the
+    oracle's fold.
     """
     import numpy as np
     import pandas as pd
 
     emb = _embs(spark, sf_dir)
-    rows = emb.select("vec_id", "embedding").collect()
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    M = np.array([r.embedding for r in rows], dtype=np.float64)
-    M /= np.linalg.norm(M, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, M))
     threshold = EMBED_DUP_COSINE
+    n_vecs = emb.count()
 
-    def block_pairs(batches):
-        b_ids, b_m = bc.value
-        for pdf in batches:
-            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            A = np.array(list(pdf["embedding"]), dtype=np.float64)
-            A /= np.linalg.norm(A, axis=1, keepdims=True)
-            S = A @ b_m.T
-            # upper triangle only (vec_a < vec_b) + threshold
-            mask = (S >= threshold) & (a_ids[:, None] < b_ids[None, :])
-            ai, bj = np.nonzero(mask)
-            yield pd.DataFrame(
+    if n_vecs <= EMBED_LOCAL_MAX_VECS:
+        rows = emb.select("vec_id", "embedding").collect()
+        ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+        M = np.array([r.embedding for r in rows], dtype=np.float64)
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        bc = spark.sparkContext.broadcast((ids, M))
+
+        def block_pairs(batches):
+            b_ids, b_m = bc.value
+            for pdf in batches:
+                a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+                A = np.array(list(pdf["embedding"]), dtype=np.float64)
+                A /= np.linalg.norm(A, axis=1, keepdims=True)
+                S = A @ b_m.T
+                # upper triangle only (vec_a < vec_b) + threshold
+                mask = (S >= threshold) & (a_ids[:, None] < b_ids[None, :])
+                ai, bj = np.nonzero(mask)
+                yield pd.DataFrame(
+                    {
+                        "vec_a": a_ids[ai],
+                        "vec_b": b_ids[bj],
+                        "cosine": np.round(S[ai, bj], 6),
+                    }
+                )
+
+        return emb.select("vec_id", "embedding").mapInPandas(
+            block_pairs, "vec_a long, vec_b long, cosine double"
+        )
+
+    n_blocks = max(2, -(-n_vecs // EMBED_BLOCK_ROWS))  # ceil div
+    blocked = emb.select(
+        "vec_id", "embedding", (F.col("vec_id") % n_blocks).cast("int").alias("blk")
+    )
+    # Replicate each row to its block-pairs: for block k the keys are
+    # {(min(k,j), max(k,j)) : j in 0..B-1} — every tile of the upper
+    # block triangle receives exactly the rows of its two blocks.
+    keys = F.array(
+        *[
+            F.struct(
+                F.least(F.col("blk"), F.lit(j)).alias("bi"),
+                F.greatest(F.col("blk"), F.lit(j)).alias("bj"),
+            )
+            for j in range(n_blocks)
+        ]
+    )
+    replicated = blocked.select(
+        "vec_id", "embedding", "blk", F.explode(F.array_distinct(keys)).alias("k")
+    ).select("vec_id", "embedding", "blk", "k.bi", "k.bj")
+
+    def tile(key, pdf):
+        bi, bj = key
+        a = pdf[pdf["blk"] == bi]
+        b = pdf[pdf["blk"] == bj]
+        a_ids = a["vec_id"].to_numpy(dtype=np.int64)
+        b_ids = b["vec_id"].to_numpy(dtype=np.int64)
+        A = np.array(list(a["embedding"]), dtype=np.float64)
+        Bm = np.array(list(b["embedding"]), dtype=np.float64)
+        if len(a_ids) == 0 or len(b_ids) == 0:
+            return pd.DataFrame(
                 {
-                    "vec_a": a_ids[ai],
-                    "vec_b": b_ids[bj],
-                    "cosine": np.round(S[ai, bj], 6),
+                    "vec_a": np.array([], dtype=np.int64),
+                    "vec_b": np.array([], dtype=np.int64),
+                    "cosine": np.array([], dtype=np.float64),
                 }
             )
+        A /= np.linalg.norm(A, axis=1, keepdims=True)
+        Bm /= np.linalg.norm(Bm, axis=1, keepdims=True)
+        S = A @ Bm.T
+        if bi == bj:
+            # same block on both sides: S holds each unordered pair
+            # twice — keep the upper triangle.
+            mask = (S >= threshold) & (a_ids[:, None] < b_ids[None, :])
+            ai, bj_ = np.nonzero(mask)
+            va, vb = a_ids[ai], b_ids[bj_]
+        else:
+            # disjoint blocks: each unordered cross pair appears once,
+            # but ids interleave across blocks — canonicalize to
+            # (min, max), don't filter on side order.
+            ai, bj_ = np.nonzero(S >= threshold)
+            va = np.minimum(a_ids[ai], b_ids[bj_])
+            vb = np.maximum(a_ids[ai], b_ids[bj_])
+        return pd.DataFrame(
+            {
+                "vec_a": va,
+                "vec_b": vb,
+                "cosine": np.round(S[ai, bj_], 6),
+            }
+        )
 
-    return emb.select("vec_id", "embedding").mapInPandas(
-        block_pairs, "vec_a long, vec_b long, cosine double"
+    return replicated.groupBy("bi", "bj").applyInPandas(
+        tile, "vec_a long, vec_b long, cosine double"
     )
 
 

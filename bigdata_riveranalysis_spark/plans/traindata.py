@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 from bigdata_riveranalysis_spark.functions import text as TX
 from bigdata_riveranalysis_spark.functions.arrays import explode_nonempty
 from bigdata_riveranalysis_spark.plans.registry import query
-from bigdata_riveranalysis_spark.sources.tables import load_table
+from bigdata_riveranalysis_spark.sources.tables import load_table, spread_small_scan
 
 #: train/val/test bucket edges out of 100 hash buckets (90/5/5).
 SPLIT_TRAIN_END = 90
@@ -63,8 +63,10 @@ EVAL_SOURCE = "src0"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.repartition(spark.sparkContext.defaultParallelism)
+    """Documents table, split-spread only if the scan under-splits
+    (conditional — an unconditional repartition would shuffle the raw
+    corpus at scale; see sources.tables.spread_small_scan)."""
+    return spread_small_scan(spark, load_table(spark, sf_dir, "documents"))
 
 
 def _bucket(col: F.Column, mod: int) -> F.Column:

@@ -140,6 +140,26 @@ def test_jaccard_local_and_distributed_plans_agree(spark):
     assert local, "sf0.001 corpus should contain at least one near-dup pair"
 
 
+def test_embedding_cosine_broadcast_and_blockgrid_agree(spark):
+    """dedup_embedding_cosine's gate is physical only: forcing the
+    block-grid (no-collect) path with tiny blocks must give the exact
+    same pairs as the broadcast path (sf0.001 corpus)."""
+    from bigdata_riveranalysis_spark.plans import llmdata as L
+
+    fn = L.dedup_embedding_cosine
+    sf = "/root/testdata/sf0.001"
+    bcast = sorted(map(tuple, fn(spark, sf).collect()))
+    saved = (L.EMBED_LOCAL_MAX_VECS, L.EMBED_BLOCK_ROWS)
+    try:
+        L.EMBED_LOCAL_MAX_VECS = 0
+        L.EMBED_BLOCK_ROWS = 7  # force a multi-block grid w/ off-diagonal tiles
+        grid = sorted(map(tuple, fn(spark, sf).collect()))
+    finally:
+        L.EMBED_LOCAL_MAX_VECS, L.EMBED_BLOCK_ROWS = saved
+    assert bcast == grid
+    assert bcast, "sf0.001 embeddings should contain at least one near-dup pair"
+
+
 @SETTINGS
 @given(
     toks=st.lists(st.integers(1, 40), min_size=1, max_size=30),
