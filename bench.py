@@ -13,6 +13,13 @@ runs (single-run numbers on a shared 32-core box swing several
 seconds with GC/compilation noise — the min measures the plan, not
 the neighbor's garbage), with the cache cleared between queries so
 one query's leftover cache never subsidizes another.
+
+Contract hardening (r1's BENCH was unparseable to the driver): file
+descriptor 1 is redirected to stderr for the WHOLE run — including
+the JVM child, which inherits it — so nothing (Ivy resolution, log4j
+fallback lines, JVM warnings) can precede the result. The single JSON
+line is written to the saved real stdout at the end, and duplicated
+to BENCH.json next to this script.
 """
 
 from __future__ import annotations
@@ -22,13 +29,22 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-from bigdata_riveranalysis_spark.plans import query_catalog
-from bigdata_riveranalysis_spark.session import get_spark
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
 
 
 def main() -> None:
+    # Save the real stdout, then point fd 1 (and python's sys.stdout)
+    # at stderr before the JVM starts so every byte of chatter —
+    # ours, py4j's, or the JVM child's — lands on stderr.
+    sys.stdout.flush()
+    real_stdout = os.dup(1)
+    os.dup2(2, 1)
+    sys.stdout = sys.stderr
+
+    from bigdata_riveranalysis_spark.plans import query_catalog
+    from bigdata_riveranalysis_spark.session import get_spark
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
@@ -49,17 +65,18 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "engine_total_query_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "engine_total_query_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
     )
+    with open(os.path.join(_REPO, "BENCH.json"), "w") as fh:
+        fh.write(payload + "\n")
+    os.write(real_stdout, (payload + "\n").encode())
 
 
 if __name__ == "__main__":
