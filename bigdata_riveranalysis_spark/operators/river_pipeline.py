@@ -34,10 +34,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: Month-name map from the reference prep job (kafka/sort_the_source.py:15-19).
+#: Month-name map from the reference prep job (kafka/sort_the_source.py:14-18).
+#: The reference maps ABBREVIATED names ('Jan'..'Dec') — its raw EPA
+#: extract carries three-letter months. Matching the reference exactly;
+#: full English names are accepted as a tolerant superset (the raw file
+#: is absent from the reference snapshot, so the engine accepts both
+#: spellings rather than silently NULLing either).
 MONTH_MAP = {
+    "Jan": 1, "Feb": 2, "Mar": 3, "Apr": 4,
+    "May": 5, "Jun": 6, "Jul": 7, "Aug": 8,
+    "Sep": 9, "Oct": 10, "Nov": 11, "Dec": 12,
     "January": 1, "February": 2, "March": 3, "April": 4,
-    "May": 5, "June": 6, "July": 7, "August": 8,
+    "June": 6, "July": 7, "August": 8,
     "September": 9, "October": 10, "November": 11, "December": 12,
 }
 
@@ -72,9 +80,15 @@ def prep(spark: SparkSession, raw_csv_path: str) -> DataFrame:
     """Batch prep: raw EPA-style CSV → sorted 5-column replay table.
 
     Mirrors reference kafka/sort_the_source.py semantics: month-name
-    decode (dict map → CASE chain), date construction
+    decode (dict map → CASE chain; abbreviated 'Jan'-style keys per
+    reference kafka/sort_the_source.py:14-18), date construction
     (pd.to_datetime(year, month, day=1) → make_date), global
     ascending sort by FullDate, projection, yyyy-MM-dd formatting.
+
+    Unlike the reference (whose unmapped months silently become NaN
+    and then a NaT FullDate), an unmapped SampleDate FAILS LOUDLY at
+    execution time via raise_error — a month-name drift in the feed
+    is a data defect, not a row to sort to the front as NULL.
 
     Scale: the global sort is the only shuffle (range-partitioned
     total order); everything else is narrow and fuses into the scan.
@@ -83,6 +97,16 @@ def prep(spark: SparkSession, raw_csv_path: str) -> DataFrame:
     month_no = F.lit(None).cast("int")
     for name, num in MONTH_MAP.items():
         month_no = F.when(F.col("SampleDate") == name, num).otherwise(month_no)
+    month_no = F.when(
+        month_no.isNull() & F.col("SampleDate").isNotNull(),
+        F.raise_error(
+            F.concat(
+                F.lit("prep: unmapped SampleDate month name '"),
+                F.col("SampleDate"),
+                F.lit("' (expected 'Jan'..'Dec')"),
+            )
+        ).cast("int"),
+    ).otherwise(month_no)
     return (
         raw.withColumn("MonthNumber", month_no)
         .withColumn(

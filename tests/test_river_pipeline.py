@@ -23,10 +23,12 @@ from bigdata_riveranalysis_spark.operators.river_pipeline import (
 RAW_HEADER = "SampleDate,Years,WaterbodyName,pH,Dissolved Oxygen,Conductivity @25°C"
 RAW_ROWS = [
     # Deliberately unsorted: prep must order by the constructed date.
-    "March,2008,YELLOW (FOXFORD)_020,7.1,85.0,420.0",
-    "January,2007,CARRIGAHORIG STREAM_010,8.12,99.7,691.0",
-    "December,2007,CARRIGAHORIG STREAM_010,6.9,55.0,1200.0",
-    "February,2007,YELLOW (FOXFORD)_020,4.8,20.0,4100.0",
+    # Month names are the reference's ABBREVIATED form
+    # (kafka/sort_the_source.py:14-18) — the shape the real feed has.
+    "Mar,2008,YELLOW (FOXFORD)_020,7.1,85.0,420.0",
+    "Jan,2007,CARRIGAHORIG STREAM_010,8.12,99.7,691.0",
+    "Dec,2007,CARRIGAHORIG STREAM_010,6.9,55.0,1200.0",
+    "Feb,2007,YELLOW (FOXFORD)_020,4.8,20.0,4100.0",
 ]
 
 
@@ -53,6 +55,29 @@ def test_prep_builds_sorted_first_of_month_dates(spark, tmp_path):
         "Dissolved Oxygen",
         "Conductivity @25°C",
     }
+
+
+def test_prep_accepts_full_month_names_too(spark, tmp_path):
+    """Tolerant superset: full English month names map identically."""
+    p = tmp_path / "raw_full.csv"
+    p.write_text(
+        RAW_HEADER + "\n"
+        "January,2007,CARRIGAHORIG STREAM_010,8.12,99.7,691.0\n"
+        "December,2007,CARRIGAHORIG STREAM_010,6.9,55.0,1200.0\n"
+    )
+    out = prep(spark, str(p)).collect()
+    assert [r.FullDate for r in out] == ["2007-01-01", "2007-12-01"]
+
+
+def test_prep_fails_loudly_on_unmapped_month(spark, tmp_path):
+    """An unmapped month name is a job failure, not a silent NULL date
+    (the reference's pandas .map would silently yield NaT)."""
+    p = tmp_path / "raw_bad.csv"
+    p.write_text(RAW_HEADER + "\nThermidor,2007,CARRIGAHORIG STREAM_010,7.0,90.0,400.0\n")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="unmapped SampleDate"):
+        prep(spark, str(p)).collect()
 
 
 def test_parse_readings_types_and_malformed(spark):

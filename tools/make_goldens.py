@@ -27,10 +27,40 @@ OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "golden")
 SENSORS = ["Ballinhassig East", "DARGLE_030", "CARRIGAHORIG STREAM_010"]
 
 
+#: Inverse of the reference month map (kafka/sort_the_source.py:14-18)
+#: — month number back to the abbreviated name the raw feed carries.
+MONTH_ABBREV = {
+    1: "Jan", 2: "Feb", 3: "Mar", 4: "Apr", 5: "May", 6: "Jun",
+    7: "Jul", 8: "Aug", 9: "Sep", 10: "Oct", 11: "Nov", 12: "Dec",
+}
+
+
 def main() -> None:
     df = pd.read_csv(REF_CSV)
     sl = df[df["WaterbodyName"].isin(SENSORS)].reset_index(drop=True)
     sl.to_csv(os.path.join(OUT, "water_quality_slice.csv"), index=False)
+
+    # Reference-shaped RAW input: invert the prep transform so the
+    # golden suite can drive prep() end-to-end with the abbreviated
+    # 'Jan'-style month names the real feed has (the raw upstream file
+    # is absent from the reference snapshot, .MISSING_LARGE_BLOBS:1).
+    # Measurement columns are kept as verbatim strings (dtype=str on
+    # re-read) so no float re-formatting can drift the round trip.
+    sl_str = pd.read_csv(os.path.join(OUT, "water_quality_slice.csv"), dtype=str)
+    dates = pd.to_datetime(sl_str["FullDate"])
+    raw = pd.DataFrame(
+        {
+            "SampleDate": dates.dt.month.map(MONTH_ABBREV),
+            "Years": dates.dt.year.astype(str),
+            "WaterbodyName": sl_str["WaterbodyName"],
+            "pH": sl_str["pH"],
+            "Dissolved Oxygen": sl_str["Dissolved Oxygen"],
+            "Conductivity @25°C": sl_str["Conductivity @25°C"],
+        }
+    )
+    # Shuffle deterministically: prep must re-derive the time order.
+    raw = raw.sample(frac=1.0, random_state=7).reset_index(drop=True)
+    raw.to_csv(os.path.join(OUT, "raw_reference_shaped.csv"), index=False)
 
     ph = sl["pH"].astype(float)
     do = sl["Dissolved Oxygen"].astype(float)
