@@ -89,23 +89,44 @@ def start_upsert_sink(
     cannot overwrite a parquet path that the same job is reading);
     on an object store the swap becomes a table-pointer flip, which
     is precisely what Delta/Iceberg commit logs formalize.
+
+    Safety (two failure modes this sink explicitly defends against):
+
+    * "First batch" is decided by an explicit path-existence check,
+      never by catching a read/merge exception — a transient read or
+      merge failure must FAIL the micro-batch (Spark retries it), not
+      silently overwrite the serving table with only the current batch.
+    * The swap is crash-safe: the old table is renamed aside, the new
+      one moved in, and only then is the old one deleted. A crash at
+      any point leaves either the old or the new table recoverable on
+      disk; a crash between rename-aside and move-in is healed on the
+      next batch by restoring the `__old` directory.
     """
+    import os
     import shutil
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         batch = batch.dropDuplicates(list(key_cols))
         tmp = f"{path}__b{batch_id}"
-        try:
+        old = f"{path}__old"
+        # Heal a crash window from a previous batch: table missing but
+        # the renamed-aside copy present -> restore it before merging.
+        if not os.path.exists(path) and os.path.exists(old):
+            os.rename(old, path)
+        if os.path.exists(path):
             current = spark.read.parquet(path)
             merged = current.join(
                 F.broadcast(batch.select(*key_cols)), list(key_cols), "left_anti"
             ).unionByName(batch)
-        except Exception:  # first batch: table doesn't exist yet
+        else:  # genuinely the first batch
             merged = batch
         merged.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(path, ignore_errors=True)
-        shutil.move(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
 
     writer = (
         df.writeStream.foreachBatch(upsert)

@@ -303,6 +303,72 @@ def test_upsert_sink_keeps_latest_per_key(spark, tmp_path):
     assert rows[2].n == 1 and rows[2].total == 20.0
 
 
+def test_upsert_sink_survives_read_failure(spark, tmp_path):
+    """A read/merge failure mid-upsert must FAIL the micro-batch, not
+    be mistaken for 'first batch' and overwrite the serving table with
+    only the current batch (the r1/r2 data-loss bug: bare except)."""
+    from bigdata_riveranalysis_spark.streaming.sinks import start_upsert_sink
+
+    b1 = [_ev(1, "2024-01-01 00:00:00", user_id=1, value=10.0)]
+    src1 = _write_files(tmp_path, [b1])
+    out, ckpt1 = str(tmp_path / "serve"), str(tmp_path / "ckpt_u1")
+    stream = file_json_stream(spark, src1, max_files_per_trigger=1)
+    agg = stream.groupBy("user_id").agg(F.sum("value").alias("total"))
+    q = start_upsert_sink(agg, out, ckpt1, ("user_id",), trigger_available_now=True)
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 1
+
+    # Corrupt the serving table so the next merge's read fails.
+    for f in os.listdir(out):
+        os.remove(os.path.join(out, f))
+    with open(os.path.join(out, "part-00000.parquet"), "w") as fh:
+        fh.write("this is not parquet")
+
+    nested = tmp_path / "second"
+    nested.mkdir()
+    b2 = [_ev(2, "2024-01-01 00:01:00", user_id=2, value=20.0)]
+    src2 = _write_files(nested, [b2])
+    stream2 = file_json_stream(spark, src2, max_files_per_trigger=1)
+    agg2 = stream2.groupBy("user_id").agg(F.sum("value").alias("total"))
+    q2 = start_upsert_sink(agg2, out, str(tmp_path / "ckpt_u2"), ("user_id",),
+                           trigger_available_now=True)
+    with pytest.raises(Exception):
+        q2.awaitTermination(120)
+    # The (corrupt) table was left in place — never replaced by batch 2.
+    assert os.path.exists(os.path.join(out, "part-00000.parquet"))
+    with open(os.path.join(out, "part-00000.parquet")) as fh:
+        assert fh.read() == "this is not parquet"
+
+
+def test_upsert_sink_heals_renamed_aside_table(spark, tmp_path):
+    """Crash window between rename-aside and move-in: the next batch
+    restores `__old` and merges against it — no data loss."""
+    from bigdata_riveranalysis_spark.streaming.sinks import start_upsert_sink
+
+    b1 = [_ev(1, "2024-01-01 00:00:00", user_id=1, value=10.0)]
+    src1 = _write_files(tmp_path, [b1])
+    out, ckpt1 = str(tmp_path / "serve"), str(tmp_path / "ckpt_h1")
+    stream = file_json_stream(spark, src1, max_files_per_trigger=1)
+    agg = stream.groupBy("user_id").agg(F.sum("value").alias("total"))
+    q = start_upsert_sink(agg, out, ckpt1, ("user_id",), trigger_available_now=True)
+    q.awaitTermination(120)
+
+    os.rename(out, out + "__old")  # simulate the crash window
+
+    nested = tmp_path / "second"
+    nested.mkdir()
+    b2 = [_ev(2, "2024-01-01 00:01:00", user_id=2, value=20.0)]
+    src2 = _write_files(nested, [b2])
+    stream2 = file_json_stream(spark, src2, max_files_per_trigger=1)
+    agg2 = stream2.groupBy("user_id").agg(F.sum("value").alias("total"))
+    q2 = start_upsert_sink(agg2, out, str(tmp_path / "ckpt_h2"), ("user_id",),
+                           trigger_available_now=True)
+    q2.awaitTermination(120)
+    rows = {r.user_id: r.total for r in spark.read.parquet(out).collect()}
+    assert rows == {1: 10.0, 2: 20.0}
+    assert not os.path.exists(out + "__old")
+
+
 def test_observe_metrics_on_batch_query(spark):
     """df.observe: accumulator-style metrics ride the job (no second
     scan) — the operational hook a 100 TB pipeline uses to assert
