@@ -31,7 +31,11 @@ from bigdata_riveranalysis_spark.functions import text as TX
 from bigdata_riveranalysis_spark.functions import vectors as VX
 from bigdata_riveranalysis_spark.functions.arrays import explode_nonempty
 from bigdata_riveranalysis_spark.plans.registry import query
-from bigdata_riveranalysis_spark.sources.tables import load_table, spread_small_scan
+from bigdata_riveranalysis_spark.sources.tables import (
+    load_table,
+    spread_small_scan,
+    table_rowcount,
+)
 
 NUM_MINHASHES = 8
 MINHASH_SHINGLE_N = 3  # word trigrams
@@ -41,13 +45,16 @@ JACCARD_THRESHOLD = 0.5
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents table, split-spread only if the scan under-splits
     (conditional — see sources.tables.spread_small_scan; an
-    unconditional repartition would shuffle the raw corpus at scale)."""
-    return spread_small_scan(spark, load_table(spark, sf_dir, "documents"))
+    unconditional repartition would shuffle the raw corpus at scale).
+    The split decision prices from file metadata, not an RDD probe."""
+    path = f"{sf_dir}/documents.parquet"
+    return spread_small_scan(spark, load_table(spark, sf_dir, "documents"), path)
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embeddings table, split-spread only if the scan under-splits."""
-    return spread_small_scan(spark, load_table(spark, sf_dir, "embeddings"))
+    path = f"{sf_dir}/embeddings.parquet"
+    return spread_small_scan(spark, load_table(spark, sf_dir, "embeddings"), path)
 
 
 # ---------------------------------------------------------------------------
@@ -627,27 +634,51 @@ SIMHASH_HAMMING_MAX = 3  # ≤3 differing bits ⇒ ≥1 of 4 segments exact
 SIMHASH_SEGMENTS = tuple((15 * i, 0x7FFF) for i in range(4))  # 4 × 15-bit
 
 #: Below this doc count, dedup_simhash's exact pair scan runs locally
-#: on collected signatures (8 bytes/doc; the pair scan is n² popcounts
-#: — ≤4M per-pair ops at the cap). Above it the banded segment joins
-#: run: with 60-bit signatures a 15-bit segment has 32768 buckets, so
-#: the candidate set tracks true duplicates, not n².
-SIMHASH_LOCAL_MAX_DOCS = 2_000
+#: on collected signatures (8 bytes/doc). The scan is tiled
+#: (_simhash_pairs_local): per byte-lane uint8 blocks of
+#: SIMHASH_TILE_ROWS × n, never an n×n int64 matrix — at the cap the
+#: peak block is 4096 × 10k × 2 ≈ 80 MB and the popcount work is
+#: 8·n² ≈ 8×10⁸ uint8 table lookups (~1 s of numpy), both honest
+#: driver budgets. Above it the banded segment join runs: with 60-bit
+#: signatures a 15-bit segment has 32768 buckets, so the candidate
+#: set tracks true duplicates, not n².
+SIMHASH_LOCAL_MAX_DOCS = 10_000
+SIMHASH_TILE_ROWS = 4_096
+
+
+#: SWAR vote packing for _simhash_frame: each 64-bit accumulator sums
+#: three 20-bit counter lanes (bits j, j+20, j+40 of the token hash),
+#: so the 60 per-bit counts ride in SIMHASH_BITS/3 = 20 aggregates.
+#: A 20-bit lane overflows at 2^20 tokens per doc — guarded loudly.
+SIMHASH_LANE_BITS = 20
+SIMHASH_LANE_COUNT = 3  # lanes per accumulator (20 × 3 = 60 bits)
+SIMHASH_LANE_MASK = sum(1 << (SIMHASH_LANE_BITS * k) for k in range(SIMHASH_LANE_COUNT))
+SIMHASH_DOC_TOKEN_CAP = 1 << SIMHASH_LANE_BITS
 
 
 def _simhash_frame(docs: DataFrame) -> DataFrame:
-    """SimHash signatures as explode → groupBy(doc_id) with one
-    codegen'd conditional sum per bit — the hot-path formulation.
+    """SimHash signatures as explode → groupBy(doc_id) with SWAR
+    bit-sliced vote counting — the hot-path formulation.
 
-    The per-row array-lambda version (_simhash_col) evaluates
-    SIMHASH_BITS interpreted lambdas per token; this one stays inside
-    whole-stage codegen end to end, and the groupBy's map-side partial
-    aggregation reduces each task's tokens to one vote-counter row per
-    doc before any shuffle — at 100 TB the shuffle carries
-    n_docs × (SIMHASH_BITS+1) ints, not tokens. Semantics are
-    identical (votes with multiplicity; differential-tested against
-    _simhash_col). Precondition: text is non-NULL — `split` always
-    yields ≥1 token so explode drops no doc, but a NULL text would
-    (the corpus schema guarantees non-NULL).
+    The ±1 vote for bit i is algebraically 2·popcount_i − n_tokens, so
+    only the per-bit ONE-counts are aggregated: accumulator j
+    (j < 20) sums ``(h >> j) & 0x10000100001`` — one shift, one mask,
+    one long add per token — packing the counts of bits j, j+20, j+40
+    into three 20-bit lanes of a single long. That is 20 aggregate
+    buffers + count(*) instead of 60 conditional sums (the r2
+    regression: 60 scalar aggregates made the signature pass the
+    slowest query). Lanes are unpacked once per DOC row, not per
+    token. A doc with ≥ 2^20 tokens would overflow a lane; that
+    raises loudly rather than corrupting signatures (a 4 MB+
+    single-document text is a data defect upstream of simhash).
+
+    The per-row array-lambda version (_simhash_col) is the scalar
+    reference; property tests pin the two equal. The groupBy's
+    map-side partial aggregation reduces each task's tokens to 21
+    longs per doc before any shuffle — at 100 TB the shuffle carries
+    n_docs × 21 longs, not tokens. Precondition: text is non-NULL —
+    `split` always yields ≥1 token so explode drops no doc, but a
+    NULL text would (the corpus schema guarantees non-NULL).
     """
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, SIMHASH_HEX), 16, 10).cast("long")
     # split() yields ≥1 element for any non-NULL string, so the
@@ -656,21 +687,24 @@ def _simhash_frame(docs: DataFrame) -> DataFrame:
     ex = docs.select("doc_id", explode_nonempty(TX.tokens("text")).alias("tok")).select(
         "doc_id", h.alias("h")
     )
-    votes = [
-        F.sum(
-            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{i}")
-        for i in range(SIMHASH_BITS)
+    n_acc = SIMHASH_BITS // SIMHASH_LANE_COUNT
+    aggs = [F.count("*").alias("n")] + [
+        F.sum(F.shiftright("h", j).bitwiseAND(F.lit(SIMHASH_LANE_MASK))).alias(f"c{j}")
+        for j in range(n_acc)
     ]
+    lane_full = F.lit(SIMHASH_DOC_TOKEN_CAP - 1)
     sim = None
-    for i in range(SIMHASH_BITS):
-        term = F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    for b in range(SIMHASH_BITS):
+        j, k = b % n_acc, b // n_acc
+        cnt = F.shiftright(F.col(f"c{j}"), SIMHASH_LANE_BITS * k).bitwiseAND(lane_full)
+        # bit set iff vote sum > 0 iff 2·ones > n (ties → unset, as ±1)
+        term = F.when(cnt + cnt > F.col("n"), F.lit(1 << b)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
-    return (
-        ex.groupBy("doc_id")
-        .agg(*votes)
-        .select("doc_id", sim.cast("long").alias("simhash"))
-    )
+    guarded = F.when(
+        F.col("n") >= F.lit(SIMHASH_DOC_TOKEN_CAP),
+        F.raise_error(F.lit("simhash: document exceeds 2^20 tokens (lane overflow)")).cast("long"),
+    ).otherwise(sim.cast("long"))
+    return ex.groupBy("doc_id").agg(*aggs).select("doc_id", guarded.alias("simhash"))
 
 
 def _simhash_col(tok: F.Column) -> F.Column:
@@ -756,9 +790,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Multi-index (pigeonhole) banding, not a quadratic scan: split the
     bits into 4 segments of 15. Any pair within Hamming ≤ 3 has at
-    most 3 differing segments, so it matches EXACTLY on ≥1 segment →
-    four equi-joins (one per segment) generate a complete candidate
-    set; the exact Hamming filter then prunes false candidates.
+    most 3 differing segments, so it matches EXACTLY on ≥1 segment.
+    Each signature explodes into 4 (segment_idx, segment_val) keys and
+    ONE self-equi-join on that key generates the complete candidate
+    set; the exact Hamming filter prunes false candidates, and the
+    FIRST-MATCHING-SEGMENT rule (keep a pair only at the lowest
+    segment index where the two signatures agree — decidable from the
+    two simhashes already on the joined row) emits each pair exactly
+    once WITHOUT a dropDuplicates exchange. One shuffle total, versus
+    the r2 shape's four joins + union + dedup (five exchanges).
     Output is provably identical to the all-pairs scan (which is what
     the SQL oracle runs), but the join is hash-based — the 100 TB
     path. A 15-bit segment has 32768 buckets, so bucket occupancy —
@@ -767,60 +807,99 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     degenerated; width is the lever, see SIMHASH_BITS).
 
     Below SIMHASH_LOCAL_MAX_DOCS the signatures (8 bytes/doc) are
-    collected and the exact pair scan runs locally — the same
-    stats-gated escape hatch as JACCARD_LOCAL_*.
+    collected and the exact pair scan runs locally, tiled so no n×n
+    matrix ever materializes (peak extra memory ≈ 2 tile rows ×
+    n_docs bytes ≈ tens of MB at the gate) — the same stats-gated
+    escape hatch as JACCARD_LOCAL_*, with a forced-path test pinning
+    the two regimes equal (tests/test_properties.py).
     """
     docs = _docs(spark, sf_dir)
     sig = _simhash_frame(docs)
-    n_docs = load_table(spark, sf_dir, "documents").count()
+    n_docs = table_rowcount(sf_dir, "documents")  # footer metadata, no job
     if n_docs <= SIMHASH_LOCAL_MAX_DOCS:
-        import numpy as np
-        import pandas as pd
-
-        out_schema = "doc_a long, doc_b long, hamming int"
-        pdf = sig.toPandas()
-        if pdf.empty:
-            return spark.createDataFrame([], out_schema)
-        ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-        h = pdf["simhash"].to_numpy(dtype=np.int64)  # < 2^60, non-negative
-        x = h[:, None] ^ h[None, :]
-        pop8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
-        pc = np.zeros(x.shape, dtype=np.uint8)
-        for k in range(8):  # byte-table popcount over the 8 bytes
-            pc += pop8[(x >> (8 * k)) & 0xFF]
-        ai, bj = np.nonzero(
-            (pc <= SIMHASH_HAMMING_MAX) & (ids[:, None] < ids[None, :])
-        )
-        res = pd.DataFrame(
-            {
-                "doc_a": ids[ai],
-                "doc_b": ids[bj],
-                "hamming": pc[ai, bj].astype(np.int32),
-            }
-        )
-        if res.empty:
-            return spark.createDataFrame([], out_schema)
-        return spark.createDataFrame(res, out_schema)
+        return _simhash_pairs_local(spark, sig)
     sig = sig.cache()
-    sig.count()
-    cands = None
-    for shift, mask in SIMHASH_SEGMENTS:
-        seg = F.shiftright("simhash", shift).bitwiseAND(F.lit(mask))
-        keyed = sig.select("doc_id", "simhash", seg.alias("seg"))
-        b = keyed.alias("b")
-        pairs = keyed.alias("a").join(
-            b, (F.col("a.seg") == F.col("b.seg")) & (F.col("a.doc_id") < F.col("b.doc_id"))
-        ).select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
-        )
-        cands = pairs if cands is None else cands.unionByName(pairs)
-    return cands.filter(F.col("hamming") <= SIMHASH_HAMMING_MAX).dropDuplicates(
-        ["doc_a", "doc_b"]
+    seg_keys = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("idx"),
+                F.shiftright("simhash", shift).bitwiseAND(F.lit(mask)).alias("seg"),
+            )
+            for i, (shift, mask) in enumerate(SIMHASH_SEGMENTS)
+        ]
     )
+    keyed = sig.select("doc_id", "simhash", F.explode(seg_keys).alias("k")).select(
+        "doc_id", "simhash", "k.idx", "k.seg"
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.idx") == F.col("b.idx"))
+        & (F.col("a.seg") == F.col("b.seg"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    # seg_differs[j]: do the two signatures disagree on segment j?
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    seg_differs = [
+        F.shiftright(xor, shift).bitwiseAND(F.lit(mask)) != 0
+        for shift, mask in SIMHASH_SEGMENTS
+    ]
+    # First-match rule: keep the pair only at the lowest matching
+    # segment — idx == 0 always qualifies; idx == k qualifies iff
+    # segments 0..k-1 all differ.
+    cond = F.col("a.idx") == 0
+    acc = None
+    for j in range(1, len(SIMHASH_SEGMENTS)):
+        acc = seg_differs[j - 1] if acc is None else acc & seg_differs[j - 1]
+        cond = cond | ((F.col("a.idx") == j) & acc)
+    return joined.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.bit_count(xor).alias("hamming"),
+        cond.alias("_first"),
+    ).filter((F.col("hamming") <= SIMHASH_HAMMING_MAX) & F.col("_first")).drop("_first")
+
+
+def _simhash_pairs_local(spark: SparkSession, sig: DataFrame) -> DataFrame:
+    """Local exact Hamming pair scan over collected signatures, tiled.
+
+    Per tile of SIMHASH_TILE_ROWS rows the xor/popcount works on a
+    (tile × n) uint8 block per byte lane — peak extra memory is two
+    such blocks, never an n×n int64 matrix, so the gate's driver
+    budget is honest (ADVICE r2 on optimistic collect sizing).
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = "doc_a long, doc_b long, hamming int"
+    pdf = sig.toPandas()
+    if pdf.empty:
+        return spark.createDataFrame([], out_schema)
+    ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+    h = pdf["simhash"].to_numpy(dtype=np.int64)  # < 2^60, non-negative
+    n = len(h)
+    pop8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+    hb = [((h >> (8 * k)) & 0xFF).astype(np.uint8) for k in range(8)]
+    out_a, out_b, out_h = [], [], []
+    for s in range(0, n, SIMHASH_TILE_ROWS):
+        e = min(s + SIMHASH_TILE_ROWS, n)
+        pc = np.zeros((e - s, n), dtype=np.uint8)
+        for k in range(8):  # byte-table popcount, one uint8 block at a time
+            pc += pop8[hb[k][s:e, None] ^ hb[k][None, :]]
+        ai, bj = np.nonzero((pc <= SIMHASH_HAMMING_MAX) & (ids[s:e, None] < ids[None, :]))
+        out_a.append(ids[s:e][ai])
+        out_b.append(ids[bj])
+        out_h.append(pc[ai, bj].astype(np.int32))
+    res = pd.DataFrame(
+        {
+            "doc_a": np.concatenate(out_a),
+            "doc_b": np.concatenate(out_b),
+            "hamming": np.concatenate(out_h),
+        }
+    )
+    if res.empty:
+        return spark.createDataFrame([], out_schema)
+    return spark.createDataFrame(res, out_schema)
 
 
 # ---------------------------------------------------------------------------
@@ -1184,8 +1263,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     all vector pairs — the semantic-dedup primitive for training-data
     curation. Exact (recall=1.0).
 
-    Two regimes, gated on a counted stat (EMBED_LOCAL_MAX_VECS), both
-    yielding identical pairs:
+    Two regimes, gated on the table's footer row count — metadata, no
+    count() job (EMBED_LOCAL_MAX_VECS) — both yielding identical pairs:
 
     * **broadcast** (corpus ≤ gate): collect once, broadcast the
       normalized dense block, scan the corpus with mapInPandas and
@@ -1209,7 +1288,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _embs(spark, sf_dir)
     threshold = EMBED_DUP_COSINE
-    n_vecs = emb.count()
+    n_vecs = table_rowcount(sf_dir, "embeddings")  # footer metadata, no job
 
     if n_vecs <= EMBED_LOCAL_MAX_VECS:
         rows = emb.select("vec_id", "embedding").collect()
@@ -1241,8 +1320,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     n_blocks = max(2, -(-n_vecs // EMBED_BLOCK_ROWS))  # ceil div
+    # pmod, not %: Spark's % keeps the dividend's sign, so a negative
+    # vec_id would land in a negative block whose (bi,bj) keys match
+    # no partner tile — its pairs would silently vanish (ADVICE r2).
     blocked = emb.select(
-        "vec_id", "embedding", (F.col("vec_id") % n_blocks).cast("int").alias("blk")
+        "vec_id", "embedding", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int").alias("blk")
     )
     # Replicate each row to its block-pairs: for block k the keys are
     # {(min(k,j), max(k,j)) : j in 0..B-1} — every tile of the upper

@@ -66,7 +66,9 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents table, split-spread only if the scan under-splits
     (conditional — an unconditional repartition would shuffle the raw
     corpus at scale; see sources.tables.spread_small_scan)."""
-    return spread_small_scan(spark, load_table(spark, sf_dir, "documents"))
+    return spread_small_scan(
+        spark, load_table(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet"
+    )
 
 
 def _bucket(col: F.Column, mod: int) -> F.Column:
