@@ -20,6 +20,15 @@ the JVM child, which inherits it — so nothing (Ivy resolution, log4j
 fallback lines, JVM warnings) can precede the result. The single JSON
 line is written to the saved real stdout at the end, and duplicated
 to BENCH.json next to this script.
+
+r2/r3 post-mortem: the driver stores only the LAST 2000 characters of
+stdout and parses the JSON out of that tail. The full 79-query dict
+is ~4000 chars, so the tail began mid-line and could never parse.
+The stdout line therefore carries a HEADLINE subset of per-query
+timings (one per operator family, ~900 chars — comfortably inside the
+2000-char window) while "value" stays the total over ALL queries; the
+complete per-query dict still lands in BENCH.json for humans and the
+judge.
 """
 
 from __future__ import annotations
@@ -65,17 +74,74 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Full record → BENCH.json (all queries).
+    with open(os.path.join(_REPO, "BENCH.json"), "w") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "metric": "engine_total_query_wall",
+                    "value": total,
+                    "unit": "sec",
+                    "n_queries": len(timings),
+                    "queries": timings,
+                    "sf": sf_val,
+                }
+            )
+            + "\n"
+        )
+
+    # Headline record → stdout. Must fit, whole, inside the driver's
+    # 2000-char stdout tail, so carry one representative query per
+    # operator family instead of all 79.
+    headline_names = [
+        "flagship_revenue_by_segment",
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_region_volume",
+        "window_running_total",
+        "topk_orders_per_segment",
+        "events_sessionize",
+        "sensor_gapfill_ffill",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_ngram_jaccard",
+        "dedup_embedding_cosine",
+        "knn_bruteforce_cosine",
+        "ann_ivf_cells",
+        "embedding_centroids",
+        "text_quality_scores",
+        "multimodal_features",
+        "dq_constraint_report",
+        "seq_pack_greedy",
+        "sql_q10_returned_revenue",
+        "stream_windowed_quality",
+        "stream_stream_join",
+    ]
+    headline = {n: timings[n] for n in headline_names if n in timings}
     payload = json.dumps(
         {
             "metric": "engine_total_query_wall",
             "value": total,
             "unit": "sec",
-            "queries": timings,
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "n_queries": len(timings),
+            "queries": headline,
+            "sf": sf_val,
         }
     )
-    with open(os.path.join(_REPO, "BENCH.json"), "w") as fh:
-        fh.write(payload + "\n")
+    if len(payload) > 1800:  # never regress the tail contract again
+        payload = json.dumps(
+            {
+                "metric": "engine_total_query_wall",
+                "value": total,
+                "unit": "sec",
+                "n_queries": len(timings),
+                "queries": {},
+                "sf": sf_val,
+            }
+        )
     os.write(real_stdout, (payload + "\n").encode())
 
 
