@@ -8,11 +8,11 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is materialized with the noop sink (full computation, no
 driver collect) — the honest way to time a distributed plan. A
 warm-up query runs first so JVM/codegen startup isn't attributed to
-the first timed query; each query is then timed as the min of two
+the first timed query; each query is then timed as the min of three
 runs (single-run numbers on a shared 32-core box swing several
-seconds with GC/compilation noise — the min measures the plan, not
-the neighbor's garbage), with the cache cleared between queries so
-one query's leftover cache never subsidizes another.
+seconds with neighbor-load stall windows — the min measures the
+plan, not the neighbor's garbage), with the cache cleared between
+queries so one query's leftover cache never subsidizes another.
 
 Contract hardening (r1's BENCH was unparseable to the driver): file
 descriptor 1 is redirected to stderr for the WHOLE run — including
@@ -60,13 +60,31 @@ def main() -> None:
 
     qs = query_catalog()
 
-    # Warm-up: JVM + codegen + parquet footer caches.
+    # Warm-up: JVM + codegen + parquet footer caches, plus the Python
+    # worker pool (daemon + per-core workers spawn lazily on the first
+    # Arrow-UDF stage; without this the first mapInPandas query in the
+    # catalog is charged the whole pool's startup — session overhead,
+    # not plan cost).
     qs["flagship_revenue_by_segment"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    def _ident(batches):
+        yield from batches
+
+    (
+        spark.range(0, spark.sparkContext.defaultParallelism, 1, spark.sparkContext.defaultParallelism)
+        .mapInPandas(_ident, "id long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+
+    # min-of-3: this box shows multi-second external stall windows
+    # (neighbor load on shared cores); with 2 runs both can land in
+    # one window and the min still reads 5-10× the plan's true cost.
     timings: dict[str, float] = {}
     for name, fn in qs.items():
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

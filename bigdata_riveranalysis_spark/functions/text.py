@@ -67,19 +67,55 @@ def char_shingles_sql(expr: str, k: int) -> str:
     return f"list_transform(range(1, length({expr}) - {k - 2}), i -> substr({expr}, i, {k}))"
 
 
-def minhash_value(shingles: Column, seed: int) -> Column:
-    """One MinHash signature component: min over shingles of
-    hash32(shingle || '#seed'). Salting the input string with the
-    seed gives an independent-ish hash family from a single md5 —
-    the standard trick when a keyed hash isn't available.
+#: Universal-hash MinHash family over a Mersenne-prime field:
+#: mh_i = min over shingles of (a_i·h + b_i) mod P, where h is ONE
+#: base hash32 per shingle. The classic Carter–Wegman construction —
+#: one md5 per shingle instead of one per (shingle, seed), which at 8
+#: signature components is 8× less hashing (md5 dominated the
+#: signature pass; the affine transforms are three integer ops).
+#: Bounds keep both engines exact in int64: h < 2^32, a < 2^30 ⇒
+#: a·h + b < 2^62 + 2^31, no overflow in Spark longs or DuckDB
+#: BIGINTs, and both engines' % on positives agree.
+MINHASH_PRIME = (1 << 31) - 1
+MINHASH_COEFFS = (  # fixed pseudorandom (a, b), seed 20260813
+    (1064082031, 398802782),
+    (298493742, 1147225393),
+    (958392528, 1479347476),
+    (486173717, 116450322),
+    (145609951, 430979121),
+    (117017238, 1406942087),
+    (880590498, 1267685540),
+    (462017659, 1172698795),
+)
+
+
+def minhash_base(shingles: Column) -> Column:
+    """Base hash array for the MinHash family: hash32 of each shingle.
+
+    Callers must bind this array to its own projection (referenced by
+    every signature component, it is non-cheap, so CollapseProject
+    leaves it materialized — the md5 pass runs once per row, not once
+    per component).
     """
-    salted = F.transform(shingles, lambda s: F.concat(s, F.lit(f"#{seed}")))
-    hashed = F.transform(
-        salted, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    return F.transform(
+        shingles, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
     )
-    return F.array_min(hashed)
 
 
-def minhash_value_sql(shingles_expr: str, seed: int) -> str:
-    h = hash32_sql(f"s || '#{seed}'")
-    return f"list_min(list_transform({shingles_expr}, s -> {h}))"
+def minhash_base_sql(shingles_expr: str) -> str:
+    return f"list_transform({shingles_expr}, s -> {hash32_sql('s')})"
+
+
+def minhash_value(base_hashes: Column, seed: int) -> Column:
+    """One MinHash signature component from the base-hash array:
+    min over h of (a·h + b) mod P (Carter–Wegman universal hashing).
+    """
+    a, b = MINHASH_COEFFS[seed]
+    return F.array_min(
+        F.transform(base_hashes, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME))
+    )
+
+
+def minhash_value_sql(base_hashes_expr: str, seed: int) -> str:
+    a, b = MINHASH_COEFFS[seed]
+    return f"list_min(list_transform({base_hashes_expr}, h -> ({a} * h + {b}) % {MINHASH_PRIME}))"

@@ -86,9 +86,11 @@ def prep(spark: SparkSession, raw_csv_path: str) -> DataFrame:
     ascending sort by FullDate, projection, yyyy-MM-dd formatting.
 
     Unlike the reference (whose unmapped months silently become NaN
-    and then a NaT FullDate), an unmapped SampleDate FAILS LOUDLY at
-    execution time via raise_error — a month-name drift in the feed
-    is a data defect, not a row to sort to the front as NULL.
+    and then a NaT FullDate), an unmapped OR NULL SampleDate FAILS
+    LOUDLY at execution time via raise_error — month-name drift or a
+    missing month in the feed is a data defect, not a row to sort to
+    the front as NULL (ADVICE r3: the earlier guard exempted NULLs,
+    recreating the exact silent-NULL behavior it claimed to remove).
 
     Scale: the global sort is the only shuffle (range-partitioned
     total order); everything else is narrow and fuses into the scan.
@@ -98,11 +100,11 @@ def prep(spark: SparkSession, raw_csv_path: str) -> DataFrame:
     for name, num in MONTH_MAP.items():
         month_no = F.when(F.col("SampleDate") == name, num).otherwise(month_no)
     month_no = F.when(
-        month_no.isNull() & F.col("SampleDate").isNotNull(),
+        month_no.isNull(),
         F.raise_error(
             F.concat(
                 F.lit("prep: unmapped SampleDate month name '"),
-                F.col("SampleDate"),
+                F.coalesce(F.col("SampleDate"), F.lit("<NULL>")),
                 F.lit("' (expected 'Jan'..'Dec')"),
             )
         ).cast("int"),

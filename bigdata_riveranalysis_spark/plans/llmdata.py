@@ -102,29 +102,31 @@ def _minhash_signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _docs(spark, sf_dir)
     tok = TX.tokens("text")
-    with_sh = (
-        docs.select("doc_id", tok.alias("t"))
-        .filter(F.size("t") >= MINHASH_SHINGLE_N)
-        .select(
-            "doc_id",
-            F.array_distinct(TX.word_shingles(F.col("t"), MINHASH_SHINGLE_N)).alias("sh"),
-        )
-    )
-    # Per-row higher-order expression: min over the doc's distinct
-    # shingles of hash(shingle || '#seed'), one column per seed. No
-    # explode, no shuffle, no join — signatures are a single narrow
-    # codegen'd pass over the corpus (measured ~23× faster than an
-    # explode + distinct-dictionary + broadcast-join formulation at
-    # sf0.1: md5 on this shingle volume is cheaper than any exchange).
-    # Scale: stays embarrassingly parallel at 100 TB; per-row work is
-    # bounded by document length, and pathologically long documents
-    # should be length-capped upstream, not here.
-    return with_sh.select(
+    sh = docs.select("doc_id", tok.alias("t")).filter(
+        F.size("t") >= MINHASH_SHINGLE_N
+    ).select(
         "doc_id",
+        explode_nonempty(TX.word_shingles(F.col("t"), MINHASH_SHINGLE_N)).alias("s"),
+    )
+    # explode → one md5 per shingle occurrence → 8 codegen'd min
+    # aggregates of (a·h + b) mod P (Carter–Wegman family — see
+    # functions.text.MINHASH_COEFFS). min over the occurrence
+    # multiset equals min over the distinct-shingle set, so the
+    # per-row list_distinct in the DuckDB oracle is only a compute
+    # saving there, not a semantic difference. The whole pipeline —
+    # generate, hash, partial agg — runs inside WholeStageCodegen; a
+    # per-row higher-order transform() formulation evaluates the md5
+    # lambda interpreted (HOFs never enter codegen) and measured
+    # 5-10× slower until JIT warm-up, with multi-second first runs.
+    # Scale: the map-side partial aggregation reduces each task to
+    # one 8-long row per doc before the shuffle, so the exchange
+    # carries n_docs × 8 longs — never shingles.
+    h = TX.hash32(F.col("s"))
+    return sh.groupBy("doc_id").agg(
         *[
-            TX.minhash_value(F.col("sh"), seed).alias(f"mh{seed}")
-            for seed in range(NUM_MINHASHES)
-        ],
+            F.min((F.lit(a) * h + F.lit(b)) % F.lit(TX.MINHASH_PRIME)).alias(f"mh{seed}")
+            for seed, (a, b) in enumerate(TX.MINHASH_COEFFS)
+        ]
     )
 
 
@@ -133,7 +135,7 @@ def _minhash_signature_cte() -> str:
     toks = TX.TOKENS_SQL.format(c="text")
     sh = f"list_distinct({TX.word_shingles_sql('__TOK__', MINHASH_SHINGLE_N)})".replace("__TOK__", "t")
     mh_cols = ",\n           ".join(
-        f"{TX.minhash_value_sql('sh', seed)} AS mh{seed}" for seed in range(NUM_MINHASHES)
+        f"{TX.minhash_value_sql('hb', seed)} AS mh{seed}" for seed in range(NUM_MINHASHES)
     )
     return f"""
     toks AS (
@@ -142,10 +144,13 @@ def _minhash_signature_cte() -> str:
     shingled AS (
         SELECT doc_id, {sh} AS sh FROM toks WHERE len(t) >= {MINHASH_SHINGLE_N}
     ),
+    based AS (
+        SELECT doc_id, {TX.minhash_base_sql('sh')} AS hb FROM shingled
+    ),
     sig AS (
         SELECT doc_id,
            {mh_cols}
-        FROM shingled
+        FROM based
     )"""
 
 
@@ -205,10 +210,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot buckets (boilerplate corpora) get the document-frequency cap
     treatment before the join.
     """
-    # The signature table feeds four plan branches (two band sides +
-    # two score-join sides); cache it so the hashing pass runs once.
-    # It is tiny relative to the corpus: (doc_id, 8 longs) per doc.
+    # The signature table feeds both sides of the bucket self-join;
+    # cache it so the hashing pass runs once, and MATERIALIZE it
+    # before the join: the join schedules both sides concurrently,
+    # and two stages racing to fill the same cached partitions
+    # serialize on block locks (measured: tasks blocked ~4× their CPU
+    # time). One tiny count() job builds the cache cleanly; the join
+    # then only reads. The table is tiny: (doc_id, 8 longs) per doc.
     sig = _minhash_signature_df(spark, sf_dir).cache()
+    sig.count()
     sig_arr = sig.select("doc_id", F.array(*[F.col(f"mh{i}") for i in range(NUM_MINHASHES)]).alias("sig"))
     bands = sig_arr.select(
         "doc_id",
@@ -227,22 +237,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bk"),
     )
     a, b = bands.alias("a"), bands.alias("b")
+    # Score on the joined row (both signatures are already there),
+    # THEN dedup the surviving (doc_a, doc_b) pairs with a scalar-only
+    # groupBy. Deduping before scoring looks cheaper but forces the
+    # two signature arrays through the dedup as First(array) payloads
+    # — a SortAggregate (hash agg buffers can't hold arrays) over
+    # rows ~5× wider than the scores. Scoring first keeps the dedup a
+    # 3-scalar-column HashAggregate; a pair that matches in k bands
+    # yields k identical score rows, so first() is deterministic.
+    matches = F.size(
+        F.filter(F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y), lambda v: v)
+    )
+    est = matches / F.lit(float(NUM_MINHASHES))
     cand = (
         a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            est.alias("est_jaccard"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    matches = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
-    est = matches / F.lit(float(NUM_MINHASHES))
-    return (
-        cand.select("doc_a", "doc_b", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round("est_jaccard", 4).alias("est_jaccard"))
+    )
+    return cand.groupBy("doc_a", "doc_b").agg(
+        F.round(F.first("est_jaccard"), 4).alias("est_jaccard")
     )
 
 
@@ -1220,8 +1237,13 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     label with whole-vector state. (An array-valued centroid output
     would also hash-compare, but scalar summaries keep the oracle
     diff readable.)
+
+    Agg-only query → no split-spread: the groupBy's shuffle provides
+    the parallelism (same rationale as dedup_exact), and at scale the
+    scan's own splits parallelize the map side. The spread would be a
+    pure extra Exchange of raw vectors ahead of the partial agg.
     """
-    emb = _embs(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
     ex = emb.select("label", F.posexplode("embedding").alias("dim", "v"))
     dims = ex.groupBy("label", "dim").agg(F.avg(F.col("v").cast("double")).alias("mu"))
     return dims.groupBy("label").agg(

@@ -41,32 +41,43 @@ from pyspark.sql import types as T
 from bigdata_riveranalysis_spark.plans.registry import query
 from bigdata_riveranalysis_spark.streaming.pipeline import threshold_alerts
 
-#: events.ts is parquet TIMESTAMP(NANOS) (FIXTURES.md §4) — declared
-#: long (with the nanosAsLong legacy conf) and truncated to micros
-#: after the scan, same convention as sources.tables.load_table.
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
+def _events_schema(ts_nanos: bool) -> T.StructType:
+    """events stream schema; ``ts`` declared long for nanos-unit
+    fixture generations (read with the nanosAsLong legacy conf and
+    truncated to micros after the scan, same convention as
+    sources.tables.load_table), plain timestamp for micros ones."""
+    ts_type = T.LongType() if ts_nanos else T.TimestampNTZType()
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("ts", ts_type, True),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream the events table: symlink the single parquet into a fresh
     temp dir (FileStreamSource requires a directory path)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from bigdata_riveranalysis_spark.sources.tables import events_ts_is_nanos
+
+    nanos = events_ts_is_nanos(os.path.join(sf_dir, "events.parquet"))
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stage = tempfile.mkdtemp(prefix="stream_events_")
     os.symlink(
         os.path.join(sf_dir, "events.parquet"),
         os.path.join(stage, "events-000.parquet"),
     )
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(stage)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    raw = spark.readStream.schema(_events_schema(nanos)).parquet(stage)
+    if nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    else:
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def _run_stream(df: DataFrame, spark: SparkSession, output_mode: str) -> DataFrame:

@@ -46,16 +46,38 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # results match the (UTC-naive) DuckDB oracle everywhere
     # (SURVEY.md §7 watch-list #5).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) (FIXTURES.md §4), which
-        # Spark's vectorized reader rejects outright. Read nanos as
-        # long and truncate to micros with integer DIV — double
-        # division would lose precision above 2^53 ns. Matches
-        # DuckDB's own nanos→micros truncation.
+    if name == "events" and events_ts_is_nanos(f"{sf_dir}/{name}.parquet"):
+        # events.ts as parquet TIMESTAMP(NANOS) (seen in some fixture
+        # generations, FIXTURES.md §4) is rejected by Spark's
+        # vectorized reader outright. Read nanos as long and truncate
+        # to micros with integer DIV — double division would lose
+        # precision above 2^53 ns. Matches DuckDB's own nanos→micros
+        # truncation. Micros-unit generations (current TESTDATA) read
+        # directly; the unit is sniffed from the parquet footer, not
+        # assumed.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # Micros-unit generation: parquet TIMESTAMP(MICROS, ntz) reads
+        # as TIMESTAMP_NTZ; cast to the session-zone TIMESTAMP type so
+        # downstream plans and the (UTC) oracle comparison see the
+        # same type either way.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+@lru_cache(maxsize=64)
+def events_ts_is_nanos(path: str) -> bool:
+    """True when the events table's ``ts`` column is physically
+    TIMESTAMP(NANOS) (footer sniff; cached per path). Spark's
+    vectorized reader rejects nanos, so the caller switches to the
+    nanosAsLong legacy read + integer truncation only in that case."""
+    import pyarrow.parquet as pq
+
+    field = pq.read_schema(_table_files(path)[0]).field("ts")
+    return getattr(field.type, "unit", None) == "ns"
 
 
 def _table_files(path: str) -> tuple[str, ...]:
@@ -70,12 +92,13 @@ def _table_files(path: str) -> tuple[str, ...]:
 
 
 @lru_cache(maxsize=256)
-def _parquet_footer_stats(path: str, mtime_ns: int) -> tuple[int, int]:
+def _parquet_footer_stats(path: str, files_sig: int) -> tuple[int, int]:
     """(num_rows, total_bytes) straight from parquet footers — a
     driver-side metadata read, no Spark job, no scan. Cached per
-    (path, mtime) so repeated gates on the same static table are free
-    (VERDICT r2 'What's wrong' — regime gates must be metadata-priced,
-    not paid for with an extra full count() action per query).
+    (path, files-signature) so repeated gates on the same static
+    table are free (VERDICT r2 'What's wrong' — regime gates must be
+    metadata-priced, not paid for with an extra full count() action
+    per query).
     """
     import pyarrow.parquet as pq
 
@@ -88,10 +111,11 @@ def _parquet_footer_stats(path: str, mtime_ns: int) -> tuple[int, int]:
 
 
 def _footer_stats(path: str) -> tuple[int, int]:
-    mt = 0
-    for f in _table_files(path):
-        mt = max(mt, os.stat(f).st_mtime_ns)
-    return _parquet_footer_stats(path, mt)
+    # Cache key: hash of the full (name, mtime, size) file list — a
+    # max-mtime key can serve stale stats after a file DELETION
+    # (max of the remaining mtimes may be unchanged; ADVICE r3).
+    sig = hash(tuple((f, os.stat(f).st_mtime_ns, os.path.getsize(f)) for f in _table_files(path)))
+    return _parquet_footer_stats(path, sig)
 
 
 def table_rowcount(sf_dir: str, name: str) -> int:
@@ -129,20 +153,38 @@ def spread_small_scan(spark: SparkSession, df: DataFrame, path: str | None = Non
     shuffle IS the query cost. Gate on the split count so the
     big-data plan stays Exchange-free (VERDICT r1 'What's wrong' #4).
 
-    With ``path`` the split count is ESTIMATED from file metadata
-    (Spark's own packing formula: bytes/maxPartitionBytes, one split
-    minimum per file) — pure driver-side arithmetic. Without it, the
-    legacy df.rdd probe runs, which forces a conversion plan per call
-    (ADVICE r2) — pass the path.
+    With ``path`` the split count is ESTIMATED from file metadata —
+    pure driver-side arithmetic mirroring Spark's FilePartition
+    sizing: ``maxSplitBytes = min(maxPartitionBytes,
+    max(openCostInBytes, (totalBytes + openCost·nFiles) / minPartitionNum))``
+    then bin-packing at openCost-padded file sizes. The dynamic term
+    matters: for mid-size tables Spark itself already produces
+    ~defaultParallelism splits, and the naive bytes/maxPartitionBytes
+    estimate would undercount and insert the very Exchange this gate
+    exists to avoid (ADVICE r3). Without ``path``, the legacy df.rdd
+    probe runs, which forces a conversion plan per call (ADVICE r2)
+    — pass the path.
     """
     target = spark.sparkContext.defaultParallelism
     if path is not None:
         files = _table_files(path)
         _, total_bytes = _footer_stats(path)
-        max_split = _parse_bytes(
+        max_part = _parse_bytes(
             spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
         )
-        est_splits = max(len(files), -(-total_bytes // max(max_split, 1)))
+        open_cost = _parse_bytes(
+            spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
+        )
+        min_parts = int(
+            spark.conf.get(
+                "spark.sql.files.minPartitionNum", str(spark.sparkContext.defaultParallelism)
+            )
+        )
+        padded = total_bytes + open_cost * len(files)
+        max_split = min(max_part, max(open_cost, -(-padded // max(min_parts, 1))))
+        # Splits bin-pack into partitions of ≤ maxSplitBytes at
+        # openCost-padded sizes (FilePartition.getFilePartitions).
+        est_splits = max(1, -(-padded // max(max_split, 1)))
         return df.repartition(target) if est_splits < target else df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

@@ -105,6 +105,8 @@ def start_upsert_sink(
     import os
     import shutil
 
+    import glob as _glob
+
     def upsert(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         batch = batch.dropDuplicates(list(key_cols))
@@ -114,6 +116,12 @@ def start_upsert_sink(
         # the renamed-aside copy present -> restore it before merging.
         if not os.path.exists(path) and os.path.exists(old):
             os.rename(old, path)
+        # Sweep shadow dirs orphaned by a crash after tmp-write but
+        # before the swap — over restarts with fresh checkpoints these
+        # would otherwise accumulate next to the table (ADVICE r3).
+        for stale in _glob.glob(_glob.escape(path) + "__b*"):
+            if stale != tmp:
+                shutil.rmtree(stale, ignore_errors=True)
         if os.path.exists(path):
             current = spark.read.parquet(path)
             merged = current.join(

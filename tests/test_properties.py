@@ -36,8 +36,8 @@ def test_minhash_is_token_order_invariant_under_set_equality(spark, doc):
     df = spark.createDataFrame([(text,)], "text string")
     sh = F.array_distinct(TX.word_shingles(TX.tokens("text"), 2))
     sig = df.select(
-        TX.minhash_value(sh, 0).alias("a"),
-        TX.minhash_value(F.reverse(sh), 0).alias("b"),
+        TX.minhash_value(TX.minhash_base(sh), 0).alias("a"),
+        TX.minhash_value(TX.minhash_base(F.reverse(sh)), 0).alias("b"),
     ).collect()[0]
     assert sig.a == sig.b
 
@@ -138,6 +138,25 @@ def test_jaccard_local_and_distributed_plans_agree(spark):
         L.JACCARD_LOCAL_MAX_DOCS = saved
     assert local == dist
     assert local, "sf0.001 corpus should contain at least one near-dup pair"
+
+
+def test_simhash_local_and_distributed_plans_agree(spark):
+    """dedup_simhash's doc-count gate is physical only: forcing the
+    exploded segment-join plan (first-matching-segment dedup rule)
+    must give the exact same pairs as the local tiled scan."""
+    from bigdata_riveranalysis_spark.plans import llmdata as L
+
+    fn = L.dedup_simhash
+    sf = "/root/testdata/sf0.001"
+    local = sorted(map(tuple, fn(spark, sf).collect()))
+    saved = L.SIMHASH_LOCAL_MAX_DOCS
+    try:
+        L.SIMHASH_LOCAL_MAX_DOCS = 0
+        dist = sorted(map(tuple, fn(spark, sf).collect()))
+    finally:
+        L.SIMHASH_LOCAL_MAX_DOCS = saved
+    assert local == dist
+    assert local, "sf0.001 corpus should contain at least one simhash near-dup pair"
 
 
 def test_embedding_cosine_broadcast_and_blockgrid_agree(spark):

@@ -80,6 +80,17 @@ def test_prep_fails_loudly_on_unmapped_month(spark, tmp_path):
         prep(spark, str(p)).collect()
 
 
+def test_prep_fails_loudly_on_null_month(spark, tmp_path):
+    """A missing month is a data defect too — a NULL SampleDate must
+    not silently sort to the front as a NULL FullDate (ADVICE r3)."""
+    p = tmp_path / "raw_null.csv"
+    p.write_text(RAW_HEADER + "\n,2007,CARRIGAHORIG STREAM_010,7.0,90.0,400.0\n")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="unmapped SampleDate"):
+        prep(spark, str(p)).collect()
+
+
 def test_parse_readings_types_and_malformed(spark):
     wire = [
         # All-string values, as csv.DictReader + json.dumps emits them.

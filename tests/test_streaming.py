@@ -369,6 +369,29 @@ def test_upsert_sink_heals_renamed_aside_table(spark, tmp_path):
     assert not os.path.exists(out + "__old")
 
 
+def test_upsert_sink_sweeps_orphan_shadow_dirs(spark, tmp_path):
+    """A crash after tmp-write but before the swap leaves a
+    `{path}__b{N}` shadow dir; the next batch must sweep it instead of
+    letting them accumulate across restarts (ADVICE r3)."""
+    from bigdata_riveranalysis_spark.streaming.sinks import start_upsert_sink
+
+    out = str(tmp_path / "serve")
+    orphan = out + "__b999"
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-junk.parquet"), "w") as fh:
+        fh.write("leftover")
+
+    b1 = [_ev(1, "2024-01-01 00:00:00", user_id=1, value=10.0)]
+    src1 = _write_files(tmp_path, [b1])
+    stream = file_json_stream(spark, src1, max_files_per_trigger=1)
+    agg = stream.groupBy("user_id").agg(F.sum("value").alias("total"))
+    q = start_upsert_sink(agg, out, str(tmp_path / "ckpt_sweep"), ("user_id",),
+                          trigger_available_now=True)
+    q.awaitTermination(120)
+    assert not os.path.exists(orphan)
+    assert spark.read.parquet(out).count() == 1
+
+
 def test_observe_metrics_on_batch_query(spark):
     """df.observe: accumulator-style metrics ride the job (no second
     scan) — the operational hook a 100 TB pipeline uses to assert
