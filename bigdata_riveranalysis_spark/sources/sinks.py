@@ -99,15 +99,32 @@ def write_orc(df: DataFrame, path: str, *, mode: str = "error") -> None:
     df.write.mode(mode).orc(path)
 
 
+def kafka_frames(df: DataFrame) -> DataFrame:
+    """Wire frames for the Kafka producer path: one JSON object per
+    row, keys in column order, as a single ``value`` string column.
+
+    This is the reference producer's wire contract
+    (kafka/producer.py:24,37-43: csv.DictReader row → json.dumps →
+    utf-8): same keys in the same order, same values. The reference
+    serializes with json.dumps' default ``", "``/``": "`` separators
+    while to_json emits compact JSON — whitespace between tokens,
+    which every JSON consumer (including the engine's own
+    parse_readings) treats as identical. The broker-less contract
+    test pins object-level equality and the typed round-trip.
+    """
+    return df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+
+
 def publish_kafka(
     df: DataFrame, *, bootstrap_servers: str, topic: str
 ) -> None:
     """Bulk Kafka publish: whole-row JSON values, batched async sends
     executor-side (vs the reference's 1 msg/sec Python loop). Requires
-    the kafka connector on the classpath; not exercised in local tests.
+    the kafka connector on the classpath; the frame construction is
+    contract-tested broker-less via :func:`kafka_frames`.
     """
     (
-        df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+        kafka_frames(df)
         .write.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("topic", topic)

@@ -156,9 +156,13 @@ def start_kafka_sink(
     """Kafka producer sink — the engine-native replacement for the
     reference's row-at-a-time Python producer loop
     (kafka/producer.py:35-47): every row JSON-encoded executor-side
-    and produced in batched async sends."""
+    and produced in batched async sends. Frame construction shared
+    with the batch publisher (sources.sinks.kafka_frames) so the
+    broker-less wire-contract test covers both."""
+    from bigdata_riveranalysis_spark.sources.sinks import kafka_frames
+
     return (
-        df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+        kafka_frames(df)
         .writeStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("topic", topic)

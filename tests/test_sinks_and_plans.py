@@ -167,3 +167,27 @@ def test_multimodal_resize_and_frames(spark):
     assert last.frame_len == 300 - 2 * FRAME_STRIDE  # tail frame truncates
     assert all(f.frame_len <= FRAME_LEN for f in frames)
     assert by_doc[2][0].frame == b"xy"
+
+
+def test_multimodal_oracle_corpus_assumption_holds(spark):
+    """The multimodal_features / multimodal_frame_sample oracles equate
+    char-addressed substr() with byte-addressed payload slicing, which
+    is only valid while every document is non-empty pure-ASCII. Assert
+    that corpus property at every fixture SF so a generator change
+    fails HERE with a clear message, not as an opaque hash mismatch in
+    the driver diff (VERDICT r2 'What's wrong' #5).
+    """
+    from pyspark.sql import functions as F
+
+    from bigdata_riveranalysis_spark.sources.tables import load_table
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        docs = load_table(spark, sf_dir, "documents")
+        bad = docs.filter(
+            (F.length("text") == 0) | (F.octet_length("text") != F.length("text"))
+        ).count()
+        assert bad == 0, (
+            f"{sf_dir}: {bad} documents are empty or non-ASCII; the multimodal "
+            "oracles' byte==char addressing assumption no longer holds — "
+            "switch them to byte-addressed (BLOB) oracle SQL before trusting the diff"
+        )
