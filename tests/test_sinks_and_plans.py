@@ -191,3 +191,29 @@ def test_multimodal_oracle_corpus_assumption_holds(spark):
             "oracles' byte==char addressing assumption no longer holds — "
             "switch them to byte-addressed (BLOB) oracle SQL before trusting the diff"
         )
+
+
+def test_no_cartesian_or_row_python_in_any_batch_plan(spark):
+    """Enforced plan gate over the whole registry (PLANS.md as an
+    invariant, not just a report): no batch query may plan a
+    CartesianProduct or a row-at-a-time Python stage
+    (BatchEvalPython). Arrow-batched stages (MapInPandas etc.) are the
+    sanctioned Python path; BroadcastNestedLoopJoin is allowed because
+    the two uses (interval range-join, broadcast query-side kNN) are
+    bounded-by-broadcast designs, while an unbounded cartesian is
+    always a scale defect. Streaming queries are excluded — building
+    them executes the stream job; their plans are asserted in
+    tests/test_streaming.py.
+    """
+    from .conftest import SF_ORACLE
+    from bigdata_riveranalysis_spark.plans import REGISTRY
+
+    offenders = {}
+    for name, q in REGISTRY.items():
+        if name.startswith("stream_"):
+            continue
+        plan = q.fn(spark, SF_ORACLE)._jdf.queryExecution().executedPlan().toString()
+        bad = [m for m in ("CartesianProduct", "BatchEvalPython") if m in plan]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"scale-defect operators in plans: {offenders}"
