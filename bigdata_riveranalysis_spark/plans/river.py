@@ -20,41 +20,73 @@ from pyspark.sql import functions as F
 from bigdata_riveranalysis_spark.plans.registry import query
 from bigdata_riveranalysis_spark.sources.tables import load_table
 
+# --- Exact rounded averages -------------------------------------------------
+#
+# round(avg(value), 4) over a large unordered aggregation is NOT
+# engine-stable: fixture readings have exactly 2 decimals, so the true
+# average is a rational that frequently lands exactly on a 4th-decimal
+# half-boundary (e.g. 56.20875), and Spark's parallel partial sums vs
+# DuckDB's sequential sum differ in the last double ulp — flipping the
+# rounding (observed at sf0.1: 56.2087 vs 56.2088). The fix computes
+# the SAME rounded average exactly in both engines via integer
+# arithmetic: readings → cents (exact longs), and
+# round_half_up(s·100/n) = floor((200·s + n) / (2·n)) — every
+# intermediate < 2^53, and the quotient is never within 1/(2n) of an
+# integer except when exactly integral, so the double floor is exact.
+# tests/test_sinks_and_plans.py pins the ≤2-decimal corpus property.
+
+
+def _avg4_exact(value_col: str = "value"):
+    """round(avg(value), 4) as an order-independent exact expression."""
+    s = F.sum(F.round(F.col(value_col) * 100).cast("long"))
+    n = F.count("*")
+    return (F.floor((F.lit(200) * s + n) / (F.lit(2) * n)) / F.lit(10000.0))
+
+
+def _avg4_exact_sql(value_expr: str = "value") -> str:
+    v2 = f"CAST(round({value_expr} * 100) AS BIGINT)"
+    return f"floor((200 * sum({v2}) + count(*)) / (2 * count(*))) / 10000.0"
+
 
 @query(
     "sensor_stats_per_sensor",
-    oracle="""
+    oracle=f"""
     SELECT user_id AS sensor_id,
            count(*)                     AS n_readings,
            round(min(value), 4)         AS min_value,
            round(max(value), 4)         AS max_value,
-           round(avg(value), 4)         AS avg_value,
+           {_avg4_exact_sql()}          AS avg_value,
            round(stddev_samp(value), 4) AS std_value
     FROM events
     GROUP BY user_id
     """,
 )
 def sensor_stats_per_sensor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-sensor descriptive statistics (count/min/max/avg/stddev)."""
+    """Per-sensor descriptive statistics (count/min/max/avg/stddev).
+
+    avg_value uses the exact integer formulation (_avg4_exact) — see
+    the module comment; min/max are order-free and stddev's
+    half-boundary exposure is random, not systematic.
+    """
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy(F.col("user_id").alias("sensor_id")).agg(
         F.count("*").alias("n_readings"),
         F.round(F.min("value"), 4).alias("min_value"),
         F.round(F.max("value"), 4).alias("max_value"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        _avg4_exact().alias("avg_value"),
         F.round(F.stddev_samp("value"), 4).alias("std_value"),
     )
 
 
 @query(
     "sensor_quality_bands",
-    oracle="""
+    oracle=f"""
     SELECT CASE WHEN value < 25  THEN 'low'
                 WHEN value < 75  THEN 'normal'
                 WHEN value < 150 THEN 'elevated'
                 ELSE 'critical' END AS band,
            count(*)             AS n_readings,
-           round(avg(value), 4) AS avg_value
+           {_avg4_exact_sql()}  AS avg_value
     FROM events
     GROUP BY 1
     """,
@@ -74,7 +106,7 @@ def sensor_quality_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ev.groupBy(band.alias("band")).agg(
         F.count("*").alias("n_readings"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        _avg4_exact().alias("avg_value"),
     )
 
 
@@ -151,11 +183,11 @@ def sensor_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sensor_monthly_profile",
-    oracle="""
+    oracle=f"""
     SELECT user_id AS sensor_id,
            strftime(date_trunc('month', ts), '%Y-%m') AS month,
            count(*)             AS n_readings,
-           round(avg(value), 4) AS avg_value,
+           {_avg4_exact_sql()}  AS avg_value,
            round(quantile_cont(value, 0.5), 4) AS median_value
     FROM events
     GROUP BY 1, 2
@@ -176,7 +208,7 @@ def sensor_monthly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_readings"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            _avg4_exact().alias("avg_value"),
             F.round(F.percentile("value", F.lit(0.5)), 4).alias("median_value"),
         )
     )

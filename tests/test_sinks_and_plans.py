@@ -217,3 +217,23 @@ def test_no_cartesian_or_row_python_in_any_batch_plan(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, f"scale-defect operators in plans: {offenders}"
+
+
+def test_events_value_two_decimal_assumption_holds(spark):
+    """plans/river.py::_avg4_exact treats readings as exact cents
+    (≤2 decimal places). Assert that corpus property at every fixture
+    SF so a generator change fails here, not as a driver hash
+    mismatch."""
+    from pyspark.sql import functions as F
+
+    from bigdata_riveranalysis_spark.sources.tables import load_table
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        ev = load_table(spark, sf_dir, "events")
+        drift = ev.select(
+            F.max(F.abs(F.col("value") * 100 - F.round(F.col("value") * 100))).alias("d")
+        ).collect()[0].d
+        assert drift < 1e-6, (
+            f"{sf_dir}: events.value has >2 decimal places (drift {drift}); "
+            "the exact-cents average formulation no longer applies"
+        )
