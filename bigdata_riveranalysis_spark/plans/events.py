@@ -17,6 +17,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from bigdata_riveranalysis_spark.functions import exact as EX
 from bigdata_riveranalysis_spark.plans.registry import query
 from bigdata_riveranalysis_spark.sources.tables import load_table
 
@@ -32,10 +33,10 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min session gap, microseconds
 
 @query(
     "events_json_extract",
-    oracle="""
+    oracle=f"""
     SELECT event_type,
            count(*)                                                    AS n_events,
-           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+           {EX.avg_round4_sql("CAST(json_extract_string(props, '$.k') AS BIGINT)", 0)} AS avg_k,
            max(CAST(json_extract_string(props, '$.k') AS BIGINT))      AS max_k
     FROM events
     GROUP BY event_type
@@ -53,7 +54,7 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.from_json(F.col("props"), PROPS_SCHEMA)["k"]
     return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
         F.count("*").alias("n_events"),
-        F.round(F.avg("k"), 4).alias("avg_k"),
+        EX.avg_round4(F.col("k").cast("long"), 0).alias("avg_k"),
         F.max("k").alias("max_k"),
     )
 

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from bigdata_riveranalysis_spark.functions import exact as EX
 from bigdata_riveranalysis_spark.functions import text as TX
 from bigdata_riveranalysis_spark.functions import vectors as VX
 from bigdata_riveranalysis_spark.functions.arrays import explode_nonempty
@@ -1102,10 +1103,10 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_lang_stats",
-    oracle="""
+    oracle=f"""
     SELECT lang, source,
            count(*)                 AS n_docs,
-           round(avg(n_chars), 4)   AS avg_chars,
+           {EX.avg_round4_sql('n_chars', 0)} AS avg_chars,
            min(n_chars)             AS min_chars,
            max(n_chars)             AS max_chars
     FROM documents
@@ -1118,7 +1119,7 @@ def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.groupBy("lang", "source").agg(
         F.count("*").alias("n_docs"),
-        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        EX.avg_round4(F.col("n_chars").cast("long"), 0).alias("avg_chars"),
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )

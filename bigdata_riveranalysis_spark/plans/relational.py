@@ -19,13 +19,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from bigdata_riveranalysis_spark.functions import exact as EX
 from bigdata_riveranalysis_spark.plans.registry import query
 from bigdata_riveranalysis_spark.sources.tables import load_table
 
 
 def _r4(col: F.Column) -> F.Column:
-    """Round a double aggregate to 4 decimals (oracle-comparison policy)."""
+    """Round a double aggregate to 4 decimals (oracle-comparison policy).
+
+    For SUMs/AVGs of fixed-point (money) columns over large unordered
+    groups, prefer the exact integer formulations in functions.exact —
+    round(double_agg, 4) flips between engines when the true aggregate
+    sits on a half-boundary (see functions.exact docstring). _r4 stays
+    for min/max/single-value rounding and small ordered frames.
+    """
     return F.round(col, 4)
+
+
+# Fixed-point integer views of the money columns (exact longs;
+# 2-decimal corpus property pinned in tests/test_sinks_and_plans.py).
+_PRICE_C = "l_extendedprice"
+_REV_INT = lambda: EX.cents(_PRICE_C) * (F.lit(100) - EX.cents("l_discount"))  # noqa: E731  scale 4
+_REV_INT_SQL = f"{EX.cents_sql('l_extendedprice')} * (100 - {EX.cents_sql('l_discount')})"
 
 
 # --------------------------------------------------------------------------
@@ -34,9 +49,9 @@ def _r4(col: F.Column) -> F.Column:
 
 @query(
     "flagship_revenue_by_segment",
-    oracle="""
+    oracle=f"""
     SELECT c_mktsegment,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           {EX.sum_round4_sql(_REV_INT_SQL, 4)}              AS revenue,
            count(DISTINCT o_orderkey)                        AS n_orders
     FROM customer
     JOIN orders   ON o_custkey = c_custkey
@@ -65,7 +80,7 @@ def flagship_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
-            _r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+            EX.sum_round4(_REV_INT(), 4).alias("revenue"),
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
         .orderBy(F.desc("revenue"))
@@ -78,15 +93,15 @@ def flagship_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q1_pricing_summary",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 4)                                        AS sum_qty,
-           round(sum(l_extendedprice), 4)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)  AS sum_charge,
-           round(avg(l_quantity), 4)                                        AS avg_qty,
-           round(avg(l_extendedprice), 4)                                   AS avg_price,
-           round(avg(l_discount), 4)                                        AS avg_disc,
+           {EX.sum_round4_sql(EX.cents_sql('l_quantity'), 2)}               AS sum_qty,
+           {EX.sum_round4_sql(EX.cents_sql('l_extendedprice'), 2)}          AS sum_base_price,
+           {EX.sum_round4_sql(_REV_INT_SQL, 4)}                             AS sum_disc_price,
+           {EX.sum_round4_sql(f"{_REV_INT_SQL} * (100 + {EX.cents_sql('l_tax')})", 6)} AS sum_charge,
+           {EX.avg_round4_sql(EX.cents_sql('l_quantity'), 2)}               AS avg_qty,
+           {EX.avg_round4_sql(EX.cents_sql('l_extendedprice'), 2)}          AS avg_price,
+           {EX.avg_round4_sql(EX.cents_sql('l_discount'), 2)}               AS avg_disc,
            count(*)                                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -102,18 +117,21 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     the parquet scan.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # Fixed-point: revenue terms as exact integer products (cents ×
+    # basis-point factors) so every aggregate is order-independent
+    # and engine-identical (functions.exact).
+    charge_int = _REV_INT() * (F.lit(100) + EX.cents("l_tax"))  # scale 6
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _r4(F.sum("l_quantity")).alias("sum_qty"),
-            _r4(F.sum("l_extendedprice")).alias("sum_base_price"),
-            _r4(F.sum(disc_price)).alias("sum_disc_price"),
-            _r4(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
-            _r4(F.avg("l_quantity")).alias("avg_qty"),
-            _r4(F.avg("l_extendedprice")).alias("avg_price"),
-            _r4(F.avg("l_discount")).alias("avg_disc"),
+            EX.sum_round4(EX.cents("l_quantity"), 2).alias("sum_qty"),
+            EX.sum_round4(EX.cents("l_extendedprice"), 2).alias("sum_base_price"),
+            EX.sum_round4(_REV_INT(), 4).alias("sum_disc_price"),
+            EX.sum_round4(charge_int, 6).alias("sum_charge"),
+            EX.avg_round4(EX.cents("l_quantity"), 2).alias("avg_qty"),
+            EX.avg_round4(EX.cents("l_extendedprice"), 2).alias("avg_price"),
+            EX.avg_round4(EX.cents("l_discount"), 2).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -121,11 +139,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_distinct_by_priority",
-    oracle="""
+    oracle=f"""
     SELECT o_orderpriority,
            count(*)                    AS n_orders,
            count(DISTINCT o_custkey)   AS n_customers,
-           round(sum(o_totalprice), 4) AS total_price,
+           {EX.sum_round4_sql(EX.cents_sql('o_totalprice'), 2)} AS total_price,
            round(max(o_totalprice), 4) AS max_price
     FROM orders
     GROUP BY o_orderpriority
@@ -143,7 +161,7 @@ def agg_distinct_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_orders"),
         F.countDistinct("o_custkey").alias("n_customers"),
-        _r4(F.sum("o_totalprice")).alias("total_price"),
+        EX.sum_round4(EX.cents("o_totalprice"), 2).alias("total_price"),
         _r4(F.max("o_totalprice")).alias("max_price"),
     )
 
@@ -180,11 +198,11 @@ def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cube_status_priority",
-    oracle="""
+    oracle=f"""
     SELECT coalesce(o_orderstatus, 'ALL')    AS orderstatus,
            coalesce(o_orderpriority, 'ALL')  AS orderpriority,
            count(*)                          AS n_orders,
-           round(avg(o_totalprice), 4)       AS avg_price
+           {EX.avg_round4_sql(EX.cents_sql('o_totalprice'), 2)} AS avg_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -194,7 +212,7 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count("*").alias("n_orders"), _r4(F.avg("o_totalprice")).alias("avg_price"))
+        .agg(F.count("*").alias("n_orders"), EX.avg_round4(EX.cents("o_totalprice"), 2).alias("avg_price"))
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
@@ -303,11 +321,11 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_dims_customer_geo",
-    oracle="""
+    oracle=f"""
     SELECT r_name,
            n_name,
            count(*)                   AS n_customers,
-           round(avg(c_acctbal), 4)   AS avg_acctbal
+           {EX.avg_round4_sql(EX.cents_sql('c_acctbal'), 2)} AS avg_acctbal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -327,7 +345,7 @@ def join_dims_customer_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
-        .agg(F.count("*").alias("n_customers"), _r4(F.avg("c_acctbal")).alias("avg_acctbal"))
+        .agg(F.count("*").alias("n_customers"), EX.avg_round4(EX.cents("c_acctbal"), 2).alias("avg_acctbal"))
     )
 
 
@@ -973,15 +991,16 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "unpivot_lineitem_measures",
-    oracle="""
+    oracle=f"""
     WITH u AS (
         SELECT 'l_quantity' AS measure, l_quantity AS amount FROM lineitem
         UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
         UNION ALL SELECT 'l_discount', l_discount FROM lineitem
         UNION ALL SELECT 'l_tax', l_tax FROM lineitem
     )
-    SELECT measure, count(*) AS n, round(sum(amount), 4) AS total,
-           round(avg(amount), 4) AS mean
+    SELECT measure, count(*) AS n,
+           {EX.sum_round4_sql(EX.cents_sql('amount'), 2)} AS total,
+           {EX.avg_round4_sql(EX.cents_sql('amount'), 2)} AS mean
     FROM u GROUP BY measure
     """,
 )
@@ -1002,6 +1021,6 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return long.groupBy("measure").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("amount"), 4).alias("total"),
-        F.round(F.avg("amount"), 4).alias("mean"),
+        EX.sum_round4(EX.cents("amount"), 2).alias("total"),
+        EX.avg_round4(EX.cents("amount"), 2).alias("mean"),
     )

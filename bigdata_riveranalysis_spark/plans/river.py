@@ -17,35 +17,22 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from bigdata_riveranalysis_spark.functions import exact as EX
 from bigdata_riveranalysis_spark.plans.registry import query
 from bigdata_riveranalysis_spark.sources.tables import load_table
 
-# --- Exact rounded averages -------------------------------------------------
-#
-# round(avg(value), 4) over a large unordered aggregation is NOT
-# engine-stable: fixture readings have exactly 2 decimals, so the true
-# average is a rational that frequently lands exactly on a 4th-decimal
-# half-boundary (e.g. 56.20875), and Spark's parallel partial sums vs
-# DuckDB's sequential sum differ in the last double ulp — flipping the
-# rounding (observed at sf0.1: 56.2087 vs 56.2088). The fix computes
-# the SAME rounded average exactly in both engines via integer
-# arithmetic: readings → cents (exact longs), and
-# round_half_up(s·100/n) = floor((200·s + n) / (2·n)) — every
-# intermediate < 2^53, and the quotient is never within 1/(2n) of an
-# integer except when exactly integral, so the double floor is exact.
-# tests/test_sinks_and_plans.py pins the ≤2-decimal corpus property.
+# Rounded averages over the 2-decimal readings go through the exact
+# integer-cents formulation — see functions.exact for the why (engine
+# half-boundary flips observed at sf0.1) and the corpus-property test
+# in tests/test_sinks_and_plans.py.
 
 
 def _avg4_exact(value_col: str = "value"):
-    """round(avg(value), 4) as an order-independent exact expression."""
-    s = F.sum(F.round(F.col(value_col) * 100).cast("long"))
-    n = F.count("*")
-    return (F.floor((F.lit(200) * s + n) / (F.lit(2) * n)) / F.lit(10000.0))
+    return EX.avg2to4_exact(value_col)
 
 
 def _avg4_exact_sql(value_expr: str = "value") -> str:
-    v2 = f"CAST(round({value_expr} * 100) AS BIGINT)"
-    return f"floor((200 * sum({v2}) + count(*)) / (2 * count(*))) / 10000.0"
+    return EX.avg2to4_exact_sql(value_expr)
 
 
 @query(

@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bigdata_riveranalysis_spark.functions import exact as EX
 from bigdata_riveranalysis_spark.functions import text as TX
 from bigdata_riveranalysis_spark.plans.registry import query
 from bigdata_riveranalysis_spark.sources.tables import load_table
@@ -54,11 +55,11 @@ EVENT_TYPE_DIM = {
 
 @query(
     "agg_salted_skew",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag,
            count(*)                      AS n_rows,
-           round(sum(l_quantity), 4)     AS sum_qty,
-           round(avg(l_extendedprice), 4) AS avg_price,
+           {EX.sum_round4_sql(EX.cents_sql('l_quantity'), 2)} AS sum_qty,
+           {EX.avg_round4_sql(EX.cents_sql('l_extendedprice'), 2)} AS avg_price,
            round(max(l_discount), 4)     AS max_disc
     FROM lineitem
     GROUP BY l_returnflag
@@ -87,8 +88,8 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_returnflag", salt.alias("salt"))
         .agg(
             F.count("*").alias("c"),
-            F.sum("l_quantity").alias("sq"),
-            F.sum("l_extendedprice").alias("sp"),
+            F.sum(EX.cents("l_quantity")).alias("sq"),
+            F.sum(EX.cents("l_extendedprice")).alias("sp"),
             F.max("l_discount").alias("md"),
         )
     )
@@ -96,8 +97,8 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         partial.groupBy("l_returnflag")
         .agg(
             F.sum("c").alias("n_rows"),
-            F.round(F.sum("sq"), 4).alias("sum_qty"),
-            F.round(F.sum("sp") / F.sum("c"), 4).alias("avg_price"),
+            ((F.sum("sq") * F.lit(100)) / F.lit(10000.0)).alias("sum_qty"),
+            EX.ratio_round4(F.sum("sp"), F.sum("c"), 2).alias("avg_price"),
             F.round(F.max("md"), 4).alias("max_disc"),
         )
     )

@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from bigdata_riveranalysis_spark.functions import exact as EX
 from bigdata_riveranalysis_spark.plans.registry import query
 from bigdata_riveranalysis_spark.streaming.pipeline import threshold_alerts
 
@@ -121,11 +122,11 @@ def _run_stream(df: DataFrame, spark: SparkSession, output_mode: str) -> DataFra
 
 @query(
     "stream_windowed_quality",
-    oracle="""
+    oracle=f"""
     SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            user_id              AS sensor_id,
            count(*)             AS n_readings,
-           round(avg(value), 4) AS avg_value,
+           {EX.avg_round4_sql(EX.cents_sql('value'), 2)} AS avg_value,
            round(min(value), 4) AS min_value,
            round(max(value), 4) AS max_value
     FROM events
@@ -141,7 +142,7 @@ def stream_windowed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("win"), F.col("user_id").alias("sensor_id"))
         .agg(
             F.count("*").alias("n_readings"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            EX.avg_round4(EX.cents("value"), 2).alias("avg_value"),
             F.round(F.min("value"), 4).alias("min_value"),
             F.round(F.max("value"), 4).alias("max_value"),
         )
