@@ -9,6 +9,7 @@ shuffle join — invisible at sf0.01, fatal at 100 TB.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from bigdata_riveranalysis_spark.sources.sinks import (
@@ -237,3 +238,27 @@ def test_events_value_two_decimal_assumption_holds(spark):
             f"{sf_dir}: events.value has >2 decimal places (drift {drift}); "
             "the exact-cents average formulation no longer applies"
         )
+
+
+def test_ppm_decode_is_real(spark):
+    """decode_images genuinely decodes PPM P6 pixels (pure Python, no
+    media libs): dimensions and per-channel means come from the
+    raster, comments in the header are honored, and non-image
+    payloads pass through with a NULL decode instead of erroring."""
+    from bigdata_riveranalysis_spark.operators.multimodal import decode_images
+
+    # 2x2 P6, maxval 255, with a header comment: pixels
+    # (10,20,30) (40,50,60) / (70,80,90) (100,110,120)
+    raster = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120])
+    ppm = b"P6\n# test image\n2 2\n255\n" + raster
+    df = spark.createDataFrame(
+        [(1, ppm), (2, b"not an image")], "doc_id long, payload binary"
+    )
+    rows = {r.doc_id: r for r in decode_images(df).collect()}
+    img = rows[1]
+    assert img.decoded == "image/x-portable-pixmap"
+    assert (img.width, img.height) == (2, 2)
+    assert img.mean_r == pytest.approx((10 + 40 + 70 + 100) / 4)
+    assert img.mean_g == pytest.approx((20 + 50 + 80 + 110) / 4)
+    assert img.mean_b == pytest.approx((30 + 60 + 90 + 120) / 4)
+    assert rows[2].decoded is None and rows[2].width is None
