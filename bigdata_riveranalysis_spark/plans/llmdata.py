@@ -101,7 +101,10 @@ def _minhash_signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     otherwise inline — and recompute — tokenize+shingle into each of
     the N signature columns).
     """
-    docs = _docs(spark, sf_dir)
+    # Agg-only pipeline: the groupBy shuffle provides parallelism and
+    # the map side (explode + one md5/shingle) measured ~0.2 s even
+    # single-threaded at bench scale — no split-spread Exchange.
+    docs = load_table(spark, sf_dir, "documents")
     tok = TX.tokens("text")
     sh = docs.select("doc_id", tok.alias("t")).filter(
         F.size("t") >= MINHASH_SHINGLE_N
@@ -788,9 +791,11 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signatures (60-bit, token-level, md5 bit votes).
 
     All-integer arithmetic → bit-exact oracle. Scale: one pass whose
-    shuffle is n_docs × 17 ints after map-side combine (_simhash_frame).
+    shuffle is n_docs × 21 longs after map-side combine
+    (_simhash_frame); agg-only, so the groupBy shuffle provides the
+    parallelism — no split-spread Exchange.
     """
-    return _simhash_frame(_docs(spark, sf_dir))
+    return _simhash_frame(load_table(spark, sf_dir, "documents"))
 
 
 @query(
@@ -831,7 +836,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     escape hatch as JACCARD_LOCAL_*, with a forced-path test pinning
     the two regimes equal (tests/test_properties.py).
     """
-    docs = _docs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")  # agg-only: no spread
     sig = _simhash_frame(docs)
     n_docs = table_rowcount(sf_dir, "documents")  # footer metadata, no job
     if n_docs <= SIMHASH_LOCAL_MAX_DOCS:
