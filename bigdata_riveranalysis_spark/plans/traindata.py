@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 from bigdata_riveranalysis_spark.functions import text as TX
 from bigdata_riveranalysis_spark.functions.arrays import explode_nonempty
 from bigdata_riveranalysis_spark.plans.registry import query
-from bigdata_riveranalysis_spark.sources.tables import load_table, spread_small_scan
+from bigdata_riveranalysis_spark.sources.tables import load_table, table_column_max, spread_small_scan
 
 #: train/val/test bucket edges out of 100 hash buckets (90/5/5).
 SPLIT_TRAIN_END = 90
@@ -464,12 +464,12 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH mx AS (SELECT max(doc_id) AS m FROM documents),
     new_batch AS (
         SELECT doc_id, md5(text) AS h FROM documents, mx
-        WHERE doc_id >= CAST(floor(m * 0.9) AS BIGINT)
+        WHERE doc_id >= (m * 9) // 10
     ),
     corpus AS (
         SELECT md5(text) AS h, min(doc_id) AS first_seen
         FROM documents, mx
-        WHERE doc_id < CAST(floor(m * 0.9) AS BIGINT)
+        WHERE doc_id < (m * 9) // 10
         GROUP BY md5(text)
     )
     SELECT n.doc_id, c.first_seen,
@@ -491,7 +491,13 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join against the bucketed index is co-located.
     """
     docs = load_table(spark, sf_dir, "documents")
-    cutoff = docs.agg(F.floor(F.max("doc_id") * 0.9).cast("long")).collect()[0][0]
+    # Batch cutoff from parquet row-group statistics — metadata, no
+    # extra scan job (same policy as the regime gates); the agg-job
+    # fallback covers stats-less files.
+    mx = table_column_max(sf_dir, "documents", "doc_id")
+    if mx is None:
+        mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    cutoff = int(mx * 9 // 10)
     new_batch = docs.filter(F.col("doc_id") >= cutoff).select(
         "doc_id", F.md5("text").alias("h")
     )

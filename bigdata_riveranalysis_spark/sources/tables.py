@@ -118,6 +118,34 @@ def _footer_stats(path: str) -> tuple[int, int]:
     return _parquet_footer_stats(path, sig)
 
 
+@lru_cache(maxsize=256)
+def _parquet_column_max(path: str, column: str, files_sig: int):
+    import pyarrow.parquet as pq
+
+    best = None
+    for f in _table_files(path):
+        md = pq.read_metadata(f)
+        idx = md.schema.names.index(column)
+        for rg in range(md.num_row_groups):
+            stats = md.row_group(rg).column(idx).statistics
+            if stats is None or not stats.has_min_max:
+                return None  # stats absent -> caller falls back to a scan
+            best = stats.max if best is None else max(best, stats.max)
+    return best
+
+
+def table_column_max(sf_dir: str, name: str, column: str):
+    """Exact column max from parquet row-group statistics — metadata,
+    no scan, cached like table_rowcount. Returns None when any file
+    lacks min/max stats (caller falls back to an agg job). On a real
+    cluster the same number comes from catalog/zone-map metadata."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    path = f"{sf_dir}/{name}.parquet"
+    sig = hash(tuple((f, os.stat(f).st_mtime_ns, os.path.getsize(f)) for f in _table_files(path)))
+    return _parquet_column_max(path, column, sig)
+
+
 def table_rowcount(sf_dir: str, name: str) -> int:
     """Exact row count of a source table from parquet footer metadata.
 

@@ -159,6 +159,26 @@ def test_simhash_local_and_distributed_plans_agree(spark):
     assert local, "sf0.001 corpus should contain at least one simhash near-dup pair"
 
 
+def test_components_local_and_distributed_plans_agree(spark):
+    """dedup_cluster_components' edge-count gate is physical only:
+    forcing the distributed min-label-propagation loop must produce
+    the identical (doc_id, canonical_id, component_size) labeling as
+    the driver union-find."""
+    from bigdata_riveranalysis_spark.plans import llmdata as L
+
+    fn = L.dedup_cluster_components
+    sf = "/root/testdata/sf0.001"
+    local = sorted(map(tuple, fn(spark, sf).collect()))
+    saved = L.COMPONENTS_LOCAL_MAX_EDGES
+    try:
+        L.COMPONENTS_LOCAL_MAX_EDGES = 0
+        dist = sorted(map(tuple, fn(spark, sf).collect()))
+    finally:
+        L.COMPONENTS_LOCAL_MAX_EDGES = saved
+    assert local == dist
+    assert local, "sf0.001 corpus should contain at least one near-dup cluster"
+
+
 def test_embedding_cosine_broadcast_and_blockgrid_agree(spark):
     """dedup_embedding_cosine's gate is physical only: forcing the
     block-grid (no-collect) path with tiny blocks must give the exact
