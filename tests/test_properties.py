@@ -247,3 +247,46 @@ def test_hash_split_partitions_and_is_stable(spark, n):
         df.select(split.alias("s")).groupBy("s").count().rdd.map(tuple).collect()
     )
     assert sum(counts.values()) == n
+
+
+@SETTINGS
+@given(
+    cents_vals=st.lists(st.integers(-(10**7), 10**7), min_size=1, max_size=40),
+)
+def test_exact_avg_and_sum_round4_match_rational_ground_truth(spark, cents_vals):
+    """functions.exact's integer formulations must equal the
+    mathematical definition — round-half-up(avg, 4) / round(sum, 4)
+    computed with exact rational arithmetic — AND the DuckDB SQL twin
+    must produce the identical double, on arbitrary 2-decimal data
+    (positive and negative)."""
+    import duckdb as _duck
+    from fractions import Fraction
+
+    from bigdata_riveranalysis_spark.functions import exact as EX
+
+    vals = [c / 100 for c in cents_vals]
+    n = len(cents_vals)
+
+    # Ground truth via exact rationals.
+    s = sum(cents_vals)
+    want_sum = float(Fraction(s, 100))
+    a = Fraction(s, 100 * n)  # true average
+    want_avg = float((a * 10**4 + Fraction(1, 2)).__floor__()) / 10**4
+
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    got = df.agg(
+        EX.sum2to4_exact("value").alias("s"),
+        EX.avg2to4_exact("value").alias("a"),
+    ).collect()[0]
+    assert got.s == want_sum
+    assert got.a == want_avg
+
+    rel = _duck.sql(
+        f"""
+        SELECT {EX.sum_round4_sql(EX.cents_sql('value'), 2)} AS s,
+               {EX.avg_round4_sql(EX.cents_sql('value'), 2)} AS a
+        FROM (SELECT unnest({vals!r}) AS value)
+        """
+    ).fetchall()[0]
+    assert rel[0] == want_sum
+    assert rel[1] == want_avg
