@@ -101,32 +101,57 @@ def sensor_quality_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sensor_zscore_anomalies",
     oracle="""
     WITH stats AS (
-        SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sigma
+        SELECT user_id,
+               count(*)                                  AS n,
+               sum(CAST(round(value * 100) AS BIGINT))   AS s,
+               sum(CAST(round(value * 100) AS BIGINT)
+                   * CAST(round(value * 100) AS BIGINT)) AS q
         FROM events GROUP BY user_id
     )
     SELECT e.event_id, e.user_id AS sensor_id,
            round(e.value, 4) AS value,
-           round((e.value - s.mu) / s.sigma, 4) AS zscore
-    FROM events e JOIN stats s ON e.user_id = s.user_id
-    WHERE s.sigma > 0 AND abs((e.value - s.mu) / s.sigma) > 2.5
+           round((CAST(round(e.value * 100) AS BIGINT) * t.n - t.s)
+                 / (100.0 * t.n * sqrt((t.n * t.q - t.s * t.s) / ((t.n * (t.n - 1)) * 10000.0))), 4) AS zscore
+    FROM events e JOIN stats t ON e.user_id = t.user_id
+    WHERE t.n > 1 AND (t.n * t.q - t.s * t.s) > 0
+      AND abs((CAST(round(e.value * 100) AS BIGINT) * t.n - t.s)
+              / (100.0 * t.n * sqrt((t.n * t.q - t.s * t.s) / ((t.n * (t.n - 1)) * 10000.0)))) > 2.5
     """,
 )
 def sensor_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global z-score anomaly detection per sensor (README's 'phát hiện
     bất thường', reference README.md:6 — never implemented there).
 
+    Engine-exact moments: per-sensor (n, Σc, Σc²) are integer
+    aggregates over cent-scaled readings (order-independent,
+    bit-identical across engines — functions.exact rationale), and
+    both engines evaluate the IDENTICAL double expression tree for
+    sigma and z from those integers, so z-scores — and the |z| > 2.5
+    membership itself — cannot flip on partial-sum ulp differences
+    the way stddev_samp-based formulations can. Zero-variance sensors
+    are excluded via the INTEGER predicate n·Σc² − (Σc)² > 0 (crisper
+    than sigma > 0: no float compare; also guards the ANSI
+    divide-by-zero).
+
     Scale: the per-sensor stats aggregate is tiny (one row per
     sensor) → broadcast back against the readings; no second
-    full-data shuffle.
+    full-data shuffle. Σc² fits a long through ~sf100 group sizes;
+    beyond that the same shape runs on DECIMAL sums.
     """
     ev = load_table(spark, sf_dir, "events")
+    c = EX.cents("value")
     stats = ev.groupBy("user_id").agg(
-        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
-    # Zero-variance sensors are excluded (mirrored in the oracle):
-    # under ANSI mode a sigma=0 division is a job-killing error, and
-    # "no spread" cannot be anomalous by the z-score definition.
-    ).filter(F.col("sigma") > 0)
-    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+        F.count("*").alias("n"),
+        F.sum(c).alias("s"),
+        F.sum(c * c).alias("q"),
+    ).filter((F.col("n") > 1) & (F.col("n") * F.col("q") - F.col("s") * F.col("s") > 0))
+    # Identical double op-tree to the oracle: (c·n − S) /
+    # (100.0 · n · sqrt((n·q − S²) / ((n(n−1)) · 10000.0))).
+    num = c * F.col("n") - F.col("s")
+    var_frac = (F.col("n") * F.col("q") - F.col("s") * F.col("s")) / (
+        (F.col("n") * (F.col("n") - 1)) * F.lit(10000.0)
+    )
+    z = num / (F.lit(100.0) * F.col("n") * F.sqrt(var_frac))
     return (
         ev.join(F.broadcast(stats), "user_id")
         .filter(F.abs(z) > 2.5)
