@@ -61,11 +61,11 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_time_buckets",
-    oracle="""
+    oracle=f"""
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
            event_type,
            count(*)              AS n_events,
-           round(sum(value), 4)  AS total_value
+           {EX.sum_round4_sql(EX.cents_sql('value'), 2)} AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -82,13 +82,13 @@ def events_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
             "event_type",
         )
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .agg(F.count("*").alias("n_events"), EX.sum_round4(EX.cents("value"), 2).alias("total_value"))
     )
 
 
 @query(
     "events_sessionize",
-    oracle="""
+    oracle=f"""
     WITH flagged AS (
         SELECT user_id, event_id, ts, value,
                CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
@@ -110,7 +110,7 @@ def events_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, session_id,
            strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
            count(*)             AS n_events,
-           round(sum(value), 4) AS session_value
+           {EX.sum_round4_sql(EX.cents_sql('value'), 2)} AS session_value
     FROM sessions
     GROUP BY user_id, session_id
     """,
@@ -143,7 +143,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("session_value"),
+            EX.sum_round4(EX.cents("value"), 2).alias("session_value"),
         )
     )
 

@@ -168,11 +168,11 @@ def agg_distinct_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "rollup_pricing",
-    oracle="""
+    oracle=f"""
     SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
            coalesce(l_linestatus, 'ALL') AS linestatus,
            count(*)                      AS n_items,
-           round(sum(l_quantity), 4)     AS sum_qty
+           {EX.sum_round4_sql(EX.cents_sql('l_quantity'), 2)} AS sum_qty
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -186,7 +186,7 @@ def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.count("*").alias("n_items"), _r4(F.sum("l_quantity")).alias("sum_qty"))
+        .agg(F.count("*").alias("n_items"), EX.sum_round4(EX.cents("l_quantity"), 2).alias("sum_qty"))
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
             F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
@@ -228,9 +228,9 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q3_shipping_priority",
-    oracle="""
+    oracle=f"""
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           {EX.sum_round4_sql(_REV_INT_SQL, 4)}              AS revenue,
            strftime(o_orderdate, '%Y-%m-%d')                 AS orderdate
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -259,7 +259,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(_r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(EX.sum_round4(_REV_INT(), 4).alias("revenue"))
         .select(
             "l_orderkey",
             "revenue",
@@ -272,9 +272,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q5_region_volume",
-    oracle="""
+    oracle=f"""
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+           {EX.sum_round4_sql(_REV_INT_SQL, 4)}              AS revenue
     FROM region
     JOIN nation   ON n_regionkey = r_regionkey
     JOIN customer ON c_nationkey = n_nationkey
@@ -315,7 +315,7 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(asia_cust, orders.o_custkey == asia_cust.c_custkey)
         .join(F.broadcast(supp), (li.l_suppkey == supp.s_suppkey) & (supp.s_nationkey == F.col("c_nationkey")))
         .groupBy("n_name")
-        .agg(_r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(EX.sum_round4(_REV_INT(), 4).alias("revenue"))
     )
 
 
@@ -716,10 +716,10 @@ def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_grouping_sets",
-    oracle="""
+    oracle=f"""
     SELECT o_orderstatus, o_orderpriority,
            count(*)                    AS n_orders,
-           round(sum(o_totalprice), 4) AS total_price
+           {EX.sum_round4_sql(EX.cents_sql('o_totalprice'), 2)} AS total_price
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
@@ -740,7 +740,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
     ).agg(
         F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        EX.sum_round4(EX.cents("o_totalprice"), 2).alias("total_price"),
     )
 
 

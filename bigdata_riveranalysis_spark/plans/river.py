@@ -228,10 +228,10 @@ def sensor_monthly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sensor_gapfill_ffill",
-    oracle="""
+    oracle=f"""
     WITH r AS (
         SELECT user_id AS sensor_id, time_bucket(INTERVAL '1 hour', ts) AS h,
-               avg(value) AS v, count(*) AS n
+               {_avg4_exact_sql()} AS v, count(*) AS n
         FROM events WHERE user_id < 5 GROUP BY 1, 2
     ),
     b AS (SELECT min(h) AS h0, max(h) AS h1 FROM r),
@@ -243,9 +243,9 @@ def sensor_monthly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT sensor_id,
            strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
            n AS n_readings,
-           round(last_value(v IGNORE NULLS) OVER (
+           last_value(v IGNORE NULLS) OVER (
                PARTITION BY sensor_id ORDER BY h
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS value_ffill,
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill,
            CASE WHEN n = 0 THEN 1 ELSE 0 END AS is_gap
     FROM j
     """,
@@ -253,8 +253,10 @@ def sensor_monthly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sensor_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series gap filling: a dense hourly spine per sensor
     (sequence + explode — generated, not scanned), left-joined to the
-    hourly aggregates, missing hours forward-filled with
-    last(ignorenulls) over an unbounded-preceding window. This is the
+    hourly aggregates (exact 4-decimal averages — functions.exact,
+    so the carried value is engine-identical), missing hours
+    forward-filled with last(ignorenulls) over an unbounded-preceding
+    window. This is the
     resample/ffill operator of the README's monitoring dashboard —
     a gap in a sensor's feed must show the last known value, flagged.
 
@@ -267,7 +269,7 @@ def sensor_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = ev.groupBy(
         F.col("user_id").alias("sensor_id"),
         F.date_trunc("hour", "ts").alias("h"),
-    ).agg(F.avg("value").alias("v"), F.count("*").alias("n"))
+    ).agg(_avg4_exact().alias("v"), F.count("*").alias("n"))
     bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
     hours = bounds.select(
         F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h")
@@ -285,6 +287,6 @@ def sensor_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sensor_id",
         F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
         F.col("n").alias("n_readings"),
-        F.round(F.last("v", ignorenulls=True).over(w), 4).alias("value_ffill"),
+        F.last("v", ignorenulls=True).over(w).alias("value_ffill"),
         F.when(F.col("n") == 0, 1).otherwise(0).alias("is_gap"),
     )

@@ -30,10 +30,16 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
+# revenue via the exact fixed-point formulation (functions.exact):
+# the expression is plain ANSI (CAST/round/sum/floor) so it stays ONE
+# shared string both engines run verbatim, and the rounded sum is
+# engine-identical at any scale (order-independent integer aggregate).
 _Q10_SQL = """
     SELECT c.c_custkey,
            c.c_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           sum(CAST(round((l.l_extendedprice) * 100) AS BIGINT)
+               * (100 - CAST(round((l.l_discount) * 100) AS BIGINT)))
+             / CAST(10000 AS DOUBLE) AS revenue,
            n.n_name AS nation
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
