@@ -290,3 +290,42 @@ def test_exact_avg_and_sum_round4_match_rational_ground_truth(spark, cents_vals)
     ).fetchall()[0]
     assert rel[0] == want_sum
     assert rel[1] == want_avg
+
+
+@SETTINGS
+@given(
+    ints=st.lists(st.integers(-(10**13), 10**13), min_size=1, max_size=30),
+)
+def test_exact_round4_scale6_matches_rational_ground_truth(spark, ints):
+    """The scale>4 branch (used by q1's sum_charge, a scale-6 integer
+    product) must also equal rational round-half-up ground truth in
+    both engines, including negative sums."""
+    import duckdb as _duck
+    from fractions import Fraction
+
+    from bigdata_riveranalysis_spark.functions import exact as EX
+    from pyspark.sql import functions as F
+
+    n = len(ints)
+    s = sum(ints)
+    want_sum = float((Fraction(s, 10**6) * 10**4 + Fraction(1, 2)).__floor__()) / 10**4
+    a = Fraction(s, n * 10**6)
+    want_avg = float((a * 10**4 + Fraction(1, 2)).__floor__()) / 10**4
+
+    df = spark.createDataFrame([(v,) for v in ints], "e long")
+    got = df.agg(
+        EX.sum_round4(F.col("e"), 6).alias("s"),
+        EX.avg_round4(F.col("e"), 6).alias("a"),
+    ).collect()[0]
+    assert got.s == want_sum
+    assert got.a == want_avg
+
+    rel = _duck.sql(
+        f"""
+        SELECT {EX.sum_round4_sql('e', 6)} AS s,
+               {EX.avg_round4_sql('e', 6)} AS a
+        FROM (SELECT unnest({ints!r}) AS e)
+        """
+    ).fetchall()[0]
+    assert rel[0] == want_sum
+    assert rel[1] == want_avg
