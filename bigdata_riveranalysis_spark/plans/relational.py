@@ -844,21 +844,37 @@ def range_join_order_quarters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_customers", oracle=None)
+@query(
+    "approx_distinct_customers",
+    oracle="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS exact_customers,
+           count(*) AS n_orders,
+           (abs(approx_count_distinct(o_custkey) - count(DISTINCT o_custkey))
+              <= 0.05 * count(DISTINCT o_custkey)) AS approx_within_5pct
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
 def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) per order priority — the
     sketch that replaces exact COUNT(DISTINCT) at 100 TB (bounded
     memory, one pass, mergeable partials).
 
-    rows-only check BY DESIGN: DuckDB's approx_count_distinct is a
-    different HLL implementation, so estimates differ legitimately;
-    the exact-distinct twin (agg_distinct_by_priority) is the
-    oracle-checked version of this shape.
+    Tolerance-witness formulation: Spark's HLL++ and DuckDB's HLL are
+    different sketches whose raw estimates legitimately differ, so the
+    query returns what IS comparable — the exact distinct count plus a
+    boolean witness that each engine's OWN sketch lands within 5% of
+    its OWN exact value. Both sides are deterministic, so the booleans
+    hash-match; rsd=0.02 puts 5% at 2.5σ (verified true at sf0.001/
+    0.01/0.1 for every priority group on both engines).
     """
     orders = load_table(spark, sf_dir, "orders")
+    exact = F.count_distinct("o_custkey")
+    approx = F.approx_count_distinct("o_custkey", rsd=0.02)
     return orders.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        exact.alias("exact_customers"),
         F.count("*").alias("n_orders"),
+        (F.abs(approx - exact) <= 0.05 * exact).alias("approx_within_5pct"),
     )
 
 
@@ -958,34 +974,59 @@ def agg_percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_percentiles", oracle=None)
+@query(
+    "agg_approx_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           (abs(approx_quantile(l_extendedprice, 0.25) - quantile_cont(l_extendedprice, 0.25))
+              <= 0.05 * quantile_cont(l_extendedprice, 0.25)) AS p25_within_5pct,
+           (abs(approx_quantile(l_extendedprice, 0.50) - quantile_cont(l_extendedprice, 0.50))
+              <= 0.05 * quantile_cont(l_extendedprice, 0.50)) AS p50_within_5pct,
+           (abs(approx_quantile(l_extendedprice, 0.75) - quantile_cont(l_extendedprice, 0.75))
+              <= 0.05 * quantile_cont(l_extendedprice, 0.75)) AS p75_within_5pct,
+           (abs(approx_quantile(l_extendedprice, 0.99) - quantile_cont(l_extendedprice, 0.99))
+              <= 0.05 * quantile_cont(l_extendedprice, 0.99)) AS p99_within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile (KLL/Greenwald-Khanna-style sketch) — the
-    100 TB quantile path: bounded memory per group, one pass,
-    mergeable partials, accuracy set by the third argument (10000 →
-    ~0.01% rank error). The exact twin (agg_percentiles_lineitem) is
-    the oracle-checked version of this shape; this one is rows-only
-    BY DESIGN, like approx_distinct_customers — DuckDB's
-    approx_quantile is a different sketch with legitimately different
-    estimates.
+    """approx_percentile (Greenwald-Khanna sketch) — the 100 TB
+    quantile path: bounded memory per group, one pass, mergeable
+    partials, accuracy set by the third argument (10000 → ~0.01% rank
+    error).
+
+    Tolerance-witness formulation: Spark's GK sketch and DuckDB's
+    t-digest produce legitimately different estimates, so the query
+    returns per-fraction boolean witnesses that each engine's OWN
+    sketch lands within 5% (relative) of its OWN exact interpolated
+    percentile. Both sides are deterministic → hash-comparable; the
+    exact twin (agg_percentiles_lineitem) carries the exact values.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    ps = F.approx_percentile(
+    approx = F.approx_percentile(
         "l_extendedprice",
         F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75), F.lit(0.99)),
         F.lit(10000),
     )
-    return (
-        li.groupBy("l_returnflag")
-        .agg(ps.alias("ps"), F.count("*").alias("n_rows"))
-        .select(
-            "l_returnflag",
-            F.round(F.element_at("ps", 1), 4).alias("p25"),
-            F.round(F.element_at("ps", 2), 4).alias("p50"),
-            F.round(F.element_at("ps", 3), 4).alias("p75"),
-            F.round(F.element_at("ps", 4), 4).alias("p99"),
-            "n_rows",
-        )
+    exact = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75), F.lit(0.99))
+    )
+    agged = li.groupBy("l_returnflag").agg(
+        approx.alias("ap"), exact.alias("ex"), F.count("*").alias("n_rows")
+    )
+
+    def _wit(i: int, name: str) -> F.Column:
+        a, e = F.element_at("ap", i), F.element_at("ex", i)
+        return (F.abs(a - e) <= 0.05 * e).alias(name)
+
+    return agged.select(
+        "l_returnflag",
+        "n_rows",
+        _wit(1, "p25_within_5pct"),
+        _wit(2, "p50_within_5pct"),
+        _wit(3, "p75_within_5pct"),
+        _wit(4, "p99_within_5pct"),
     )
 
 
