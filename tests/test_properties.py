@@ -159,6 +159,26 @@ def test_simhash_local_and_distributed_plans_agree(spark):
     assert local, "sf0.001 corpus should contain at least one simhash near-dup pair"
 
 
+def test_simhash_local_segment_scan_and_tiled_fallback_agree(spark):
+    """_simhash_pairs_local's candidate-budget switch is physical
+    only: forcing the bounded tiled all-pairs fallback (budget = 0)
+    must give the exact same pairs as the segment-run candidate
+    scan."""
+    from bigdata_riveranalysis_spark.plans import llmdata as L
+
+    fn = L.dedup_simhash
+    sf = "/root/testdata/sf0.001"
+    fast = sorted(map(tuple, fn(spark, sf).collect()))
+    saved = L.SIMHASH_LOCAL_CAND_ROWS
+    try:
+        L.SIMHASH_LOCAL_CAND_ROWS = 0  # any candidate run → tiled fallback
+        tiled = sorted(map(tuple, fn(spark, sf).collect()))
+    finally:
+        L.SIMHASH_LOCAL_CAND_ROWS = saved
+    assert fast == tiled
+    assert fast, "sf0.001 corpus should contain at least one simhash near-dup pair"
+
+
 def test_components_local_and_distributed_plans_agree(spark):
     """dedup_cluster_components' edge-count gate is physical only:
     forcing the distributed min-label-propagation loop must produce
