@@ -35,6 +35,7 @@ from bigdata_riveranalysis_spark.plans.registry import query
 from bigdata_riveranalysis_spark.sources.tables import (
     load_table,
     spread_small_scan,
+    table_column_bytes,
     table_rowcount,
 )
 
@@ -1349,13 +1350,17 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exercising non-empty output.
 EMBED_DUP_COSINE = 0.4
 
-#: Regime gate for dedup_embedding_cosine: below this vector count the
-#: corpus is collected once and broadcast as a dense block (float64
-#: dim-64 → ~1 GB at 2M vectors — bounded and explicit, like
-#: JACCARD_LOCAL_*). Above it NOTHING is collected: the block-grid
-#: path replicates each vector to its B block-pairs and computes each
-#: (block_i × block_j) tile as one Arrow-batched matmul.
-EMBED_LOCAL_MAX_VECS = 2_000_000
+#: Regime gate for dedup_embedding_cosine: below this estimated
+#: DENSE-MATRIX BYTE size (n_vecs × dim × 8 B float64, estimated as
+#: 2× the embedding column's uncompressed float32 footer bytes) the
+#: corpus is collected once and broadcast as a dense block — bounded
+#: and explicit, like JACCARD_LOCAL_*. Priced in bytes, not rows: a
+#: row-count gate silently scales with embedding width (2 M × dim-768
+#: × 8 B would be 12 GiB on the driver; ADVICE/VERDICT r4). Above it
+#: NOTHING is collected: the block-grid path replicates each vector
+#: to its B block-pairs and computes each (block_i × block_j) tile as
+#: one Arrow-batched matmul.
+EMBED_LOCAL_MAX_BYTES = 1 << 30  # 1 GiB broadcast block
 #: Target rows per block in the block-grid path (a tile is two blocks
 #: in one task's memory: 2 × 500k × 64 × 8 B ≈ 0.5 GB).
 EMBED_BLOCK_ROWS = 500_000
@@ -1375,8 +1380,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     all vector pairs — the semantic-dedup primitive for training-data
     curation. Exact (recall=1.0).
 
-    Two regimes, gated on the table's footer row count — metadata, no
-    count() job (EMBED_LOCAL_MAX_VECS) — both yielding identical pairs:
+    Two regimes, gated on the corpus's estimated dense float64 byte
+    size from footer metadata — no count() job, and priced in BYTES
+    so embedding width is part of the cost (EMBED_LOCAL_MAX_BYTES) —
+    both yielding identical pairs:
 
     * **broadcast** (corpus ≤ gate): collect once, broadcast the
       normalized dense block, scan the corpus with mapInPandas and
@@ -1401,8 +1408,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embs(spark, sf_dir)
     threshold = EMBED_DUP_COSINE
     n_vecs = table_rowcount(sf_dir, "embeddings")  # footer metadata, no job
+    # float32 column bytes → float64 dense matrix ≈ 2×. Offsets/defs
+    # in the leaf chunks only pad the estimate (conservative).
+    dense_bytes = 2 * table_column_bytes(sf_dir, "embeddings", "embedding")
 
-    if n_vecs <= EMBED_LOCAL_MAX_VECS:
+    if dense_bytes <= EMBED_LOCAL_MAX_BYTES:
         rows = emb.select("vec_id", "embedding").collect()
         ids = np.array([r.vec_id for r in rows], dtype=np.int64)
         M = np.array([r.embedding for r in rows], dtype=np.float64)

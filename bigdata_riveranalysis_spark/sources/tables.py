@@ -68,16 +68,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-@lru_cache(maxsize=64)
 def events_ts_is_nanos(path: str) -> bool:
     """True when the events table's ``ts`` column is physically
-    TIMESTAMP(NANOS) (footer sniff; cached per path). Spark's
-    vectorized reader rejects nanos, so the caller switches to the
-    nanosAsLong legacy read + integer truncation only in that case."""
+    TIMESTAMP(NANOS) (footer sniff). Spark's vectorized reader rejects
+    nanos, so the caller switches to the nanosAsLong legacy read +
+    integer truncation only in that case.
+
+    Cached on the same (file, mtime, size) signature as
+    _footer_stats — a bare-path cache served a stale unit decision
+    after an in-process fixture regeneration (ADVICE r4); fixtures ARE
+    regenerated between rounds (FIXTURES.md)."""
+    sig = hash(tuple((f, os.stat(f).st_mtime_ns, os.path.getsize(f)) for f in _table_files(path)))
+    return _events_ts_is_nanos(path, sig)
+
+
+@lru_cache(maxsize=64)
+def _events_ts_is_nanos(path: str, files_sig: int) -> bool:
     import pyarrow.parquet as pq
 
-    field = pq.read_schema(_table_files(path)[0]).field("ts")
-    return getattr(field.type, "unit", None) == "ns"
+    units = {
+        getattr(pq.read_schema(f).field("ts").type, "unit", None) for f in _table_files(path)
+    }
+    if len(units) > 1:
+        # A directory table with mixed physical units would need a
+        # per-file read strategy; fail loudly rather than truncating
+        # half the files wrong.
+        raise ValueError(f"events table {path!r} mixes ts units across files: {sorted(map(str, units))}")
+    return units == {"ns"}
 
 
 def _table_files(path: str) -> tuple[str, ...]:
@@ -144,6 +161,38 @@ def table_column_max(sf_dir: str, name: str, column: str):
     path = f"{sf_dir}/{name}.parquet"
     sig = hash(tuple((f, os.stat(f).st_mtime_ns, os.path.getsize(f)) for f in _table_files(path)))
     return _parquet_column_max(path, column, sig)
+
+
+@lru_cache(maxsize=256)
+def _parquet_column_bytes(path: str, column: str, files_sig: int) -> int:
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in _table_files(path):
+        md = pq.read_metadata(f)
+        for rg in range(md.num_row_groups):
+            rgmd = md.row_group(rg)
+            for ci in range(rgmd.num_columns):
+                col = rgmd.column(ci)
+                # Nested columns appear as leaf chunks whose
+                # path_in_schema is dotted (embedding.list.element);
+                # sum every leaf under the requested top-level name.
+                if col.path_in_schema.split(".")[0] == column:
+                    total += col.total_uncompressed_size
+    return total
+
+
+def table_column_bytes(sf_dir: str, name: str, column: str) -> int:
+    """Uncompressed byte size of one column (all leaf chunks) from
+    parquet footer metadata — the byte-denominated cost input for
+    regime gates. Metadata only, no scan, cached like table_rowcount;
+    on a real cluster the same number comes from table/zone-map stats.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    path = f"{sf_dir}/{name}.parquet"
+    sig = hash(tuple((f, os.stat(f).st_mtime_ns, os.path.getsize(f)) for f in _table_files(path)))
+    return _parquet_column_bytes(path, column, sig)
 
 
 def table_rowcount(sf_dir: str, name: str) -> int:

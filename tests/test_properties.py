@@ -208,15 +208,59 @@ def test_embedding_cosine_broadcast_and_blockgrid_agree(spark):
     fn = L.dedup_embedding_cosine
     sf = "/root/testdata/sf0.001"
     bcast = sorted(map(tuple, fn(spark, sf).collect()))
-    saved = (L.EMBED_LOCAL_MAX_VECS, L.EMBED_BLOCK_ROWS)
+    saved = (L.EMBED_LOCAL_MAX_BYTES, L.EMBED_BLOCK_ROWS)
     try:
-        L.EMBED_LOCAL_MAX_VECS = 0
+        L.EMBED_LOCAL_MAX_BYTES = 0
         L.EMBED_BLOCK_ROWS = 7  # force a multi-block grid w/ off-diagonal tiles
         grid = sorted(map(tuple, fn(spark, sf).collect()))
     finally:
-        L.EMBED_LOCAL_MAX_VECS, L.EMBED_BLOCK_ROWS = saved
+        L.EMBED_LOCAL_MAX_BYTES, L.EMBED_BLOCK_ROWS = saved
     assert bcast == grid
     assert bcast, "sf0.001 embeddings should contain at least one near-dup pair"
+
+
+def test_embedding_gate_prices_bytes_not_rows(spark, tmp_path):
+    """The collect-gate is byte-denominated: a HIGH-DIM corpus with a
+    tiny ROW count must still route to the distributed block-grid once
+    its dense bytes exceed the budget (a row-count gate would collect
+    it). 8 rows × dim 4096 float32 ≈ 131 KB column bytes → ~262 KB
+    dense float64 estimate."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bigdata_riveranalysis_spark.plans import llmdata as L
+    from bigdata_riveranalysis_spark.sources.tables import table_column_bytes
+
+    rng = np.random.default_rng(7)
+    n, dim = 8, 4096
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), type=pa.int64()),
+            "embedding": pa.array(
+                [rng.normal(size=dim).astype(np.float32) for _ in range(n)],
+                type=pa.list_(pa.float32()),
+            ),
+            "label": pa.array(np.zeros(n, dtype=np.int32), type=pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    sf_dir = str(tmp_path)
+
+    col_bytes = table_column_bytes(sf_dir, "embeddings", "embedding")
+    assert col_bytes >= n * dim * 4  # uncompressed data + level overhead
+
+    saved = L.EMBED_LOCAL_MAX_BYTES
+    try:
+        L.EMBED_LOCAL_MAX_BYTES = 200_000  # < 2×col_bytes, yet ≫ 8 "rows"
+        plan = L.dedup_embedding_cosine(spark, sf_dir)._jdf.queryExecution().toString()
+        assert "FlatMapGroupsInPandas" in plan  # block-grid tile path
+        assert "MapInPandas" not in plan.replace("FlatMapGroupsInPandas", "")
+        L.EMBED_LOCAL_MAX_BYTES = 10 * 1024 * 1024  # comfortably above
+        plan = L.dedup_embedding_cosine(spark, sf_dir)._jdf.queryExecution().toString()
+        assert "MapInPandas" in plan  # broadcast path
+    finally:
+        L.EMBED_LOCAL_MAX_BYTES = saved
 
 
 @SETTINGS
