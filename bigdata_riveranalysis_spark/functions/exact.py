@@ -71,15 +71,21 @@ def ratio_round4(s: Column, n: Column, scale: int) -> Column:
 
 
 def avg_round4(int_col: Column, scale: int) -> Column:
-    """round_half_up(avg(e)/10^scale, 4) for an exact integer column e."""
-    return ratio_round4(F.sum(int_col), F.count("*"), scale)
+    """round_half_up(avg(e)/10^scale, 4) for an exact integer column e.
+
+    Divides by count(e) — the NON-null count — matching ANSI avg()
+    semantics, so a NULL-bearing expression (e.g. json_extract on
+    malformed props) doesn't silently dilute the average the way a
+    count(*) denominator would.
+    """
+    return ratio_round4(F.sum(int_col), F.count(int_col), scale)
 
 
 def avg_round4_sql(int_expr: str, scale: int) -> str:
     m, d = 10 ** max(0, 4 - scale), 10 ** max(0, scale - 4)
     return (
-        f"floor(({2 * m} * sum({int_expr}) + count(*) * {d})"
-        f" / ({2 * d} * count(*))) / 10000.0"
+        f"floor(({2 * m} * sum({int_expr}) + count({int_expr}) * {d})"
+        f" / ({2 * d} * count({int_expr}))) / 10000.0"
     )
 
 

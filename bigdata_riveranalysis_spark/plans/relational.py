@@ -115,6 +115,14 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial aggregation, so the shuffle moves O(groups × partitions)
     rows regardless of input size. Filter + column pruning push into
     the parquet scan.
+
+    Integer headroom: the scale-6 charge term is ~1e11 per row, so a
+    per-group long sum holds through ~9e7 rows/group ≈ sf30 (TPC-H
+    lineitem ≈ 6M rows/SF over 6 groups). Beyond that Spark's ANSI
+    sum raises while DuckDB silently promotes BIGINT→HUGEINT — an
+    engine divergence; at larger SF run the scale-6 sums on
+    DECIMAL(38,0) (same floor/round identities hold, at decimal
+    cost). Same policy as sensor_zscore_anomalies' Σc² bound.
     """
     li = load_table(spark, sf_dir, "lineitem")
     # Fixed-point: revenue terms as exact integer products (cents ×

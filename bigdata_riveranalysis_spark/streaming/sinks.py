@@ -63,6 +63,39 @@ def start_alert_sink(
     return writer.start()
 
 
+#: Pointer-file name for ``commit="pointer"`` serving tables: a tiny
+#: text file next to the generation directories whose CONTENT is the
+#: basename of the live generation. Flipping it is one small-object
+#: write — the primitive that is atomic on object stores (a PUT either
+#: lands whole or not at all), unlike directory rename.
+SERVING_POINTER_SUFFIX = ".ptr"
+
+
+def resolve_serving_path(path: str) -> str | None:
+    """Resolve a serving-table logical path to the directory readers
+    should scan. Pointer-committed tables resolve through ``{path}.ptr``
+    to the live generation dir; rename-committed (or legacy) tables
+    resolve to ``path`` itself. None → table does not exist yet."""
+    import os
+
+    ptr = path + SERVING_POINTER_SUFFIX
+    if os.path.exists(ptr):
+        with open(ptr) as fh:
+            gen = fh.read().strip()
+        return os.path.join(os.path.dirname(path) or ".", gen)
+    return path if os.path.exists(path) else None
+
+
+def read_serving_table(spark, path: str) -> DataFrame:
+    """Read a serving table written by start_upsert_sink, resolving a
+    pointer commit if one exists (falls back to the plain path for
+    rename-committed tables)."""
+    resolved = resolve_serving_path(path)
+    if resolved is None:
+        raise FileNotFoundError(f"serving table {path!r} does not exist yet")
+    return spark.read.parquet(resolved)
+
+
 def start_upsert_sink(
     df: DataFrame,
     path: str,
@@ -71,6 +104,7 @@ def start_upsert_sink(
     *,
     output_mode: str = "update",
     trigger_available_now: bool = False,
+    commit: str = "rename",
 ) -> StreamingQuery:
     """Keyed upsert into a parquet serving table via foreachBatch —
     the MERGE-shaped sink for update-mode aggregations (latest value
@@ -85,29 +119,72 @@ def start_upsert_sink(
     partition overwrite), or targets a real MERGE sink (Delta/Iceberg).
     Idempotence: re-running a batch after a crash converges to the
     same table state because the upsert is keyed, not positional.
-    The rewrite goes through a shadow directory + atomic swap (you
-    cannot overwrite a parquet path that the same job is reading);
-    on an object store the swap becomes a table-pointer flip, which
-    is precisely what Delta/Iceberg commit logs formalize.
 
-    Safety (two failure modes this sink explicitly defends against):
+    Two commit protocols (``commit=``):
 
-    * "First batch" is decided by an explicit path-existence check,
-      never by catching a read/merge exception — a transient read or
-      merge failure must FAIL the micro-batch (Spark retries it), not
-      silently overwrite the serving table with only the current batch.
-    * The swap is crash-safe: the old table is renamed aside, the new
-      one moved in, and only then is the old one deleted. A crash at
-      any point leaves either the old or the new table recoverable on
-      disk; a crash between rename-aside and move-in is healed on the
-      next batch by restoring the `__old` directory.
+    * ``"rename"`` (default; POSIX filesystems): rewrite into a shadow
+      directory, then swap via directory renames. Crash-safe: the old
+      table is renamed aside, the new one moved in, and only then is
+      the old one deleted; a crash between rename-aside and move-in is
+      healed on the next batch by restoring `__old`. Directory rename
+      is atomic ONLY on POSIX — on S3-style object stores it is a
+      non-atomic copy+delete, so use the pointer protocol there.
+    * ``"pointer"`` (object-store-safe; the reference's declared
+      Delta-on-MinIO intent, streaming/spark_processor.py:42, reduced
+      to its essential primitive): each batch writes a NEW generation
+      directory ``{path}__b{id}`` and then commits by atomically
+      replacing the tiny ``{path}.ptr`` file whose content names the
+      live generation — exactly the single-small-object commit that
+      Delta's `_last_checkpoint`/log tail formalizes, and the one
+      write object stores make atomic. Readers resolve through
+      ``read_serving_table`` / ``resolve_serving_path``; the previous
+      generation survives until the NEXT batch's sweep, so a reader
+      that resolved the pointer just before the flip keeps a complete
+      snapshot (generation-level snapshot isolation).
+
+    Safety (failure modes this sink explicitly defends against):
+
+    * "First batch" is decided by an explicit pointer/path-existence
+      check, never by catching a read/merge exception — a transient
+      read or merge failure must FAIL the micro-batch (Spark retries
+      it), not silently overwrite the serving table with only the
+      current batch.
+    * A retry of an already-pointer-committed batch ping-pongs the
+      generation name (``__b{id}`` ↔ ``__b{id}x``) so the merge never
+      overwrites the directory it is lazily reading from.
+
+    Contract: ONE upsert query per serving path. The orphan sweep
+    deletes every ``{path}__b*`` except the current batch's target
+    (and, under pointer commit, the live generation); two queries
+    sharing a path would rmtree each other's in-flight shadow dirs
+    mid-write (ADVICE r4). Partition concurrent writers by path.
     """
     import os
     import shutil
 
     import glob as _glob
 
-    def upsert(batch: DataFrame, batch_id: int) -> None:
+    if commit not in ("rename", "pointer"):
+        raise ValueError(f"commit must be 'rename' or 'pointer', got {commit!r}")
+
+    def _merge(spark, batch: DataFrame, current_dir: str | None) -> DataFrame:
+        if current_dir is None:  # genuinely the first batch
+            return batch
+        current = spark.read.parquet(current_dir)
+        return current.join(
+            F.broadcast(batch.select(*key_cols)), list(key_cols), "left_anti"
+        ).unionByName(batch)
+
+    def _sweep(keep: set[str]) -> None:
+        # Sweep generation/shadow dirs orphaned by a crash after
+        # tmp-write but before the commit — over restarts with fresh
+        # checkpoints these would otherwise accumulate (ADVICE r3).
+        # Safe ONLY under the one-query-per-path contract above.
+        for stale in _glob.glob(_glob.escape(path) + "__b*"):
+            if stale not in keep:
+                shutil.rmtree(stale, ignore_errors=True)
+
+    def upsert_rename(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         batch = batch.dropDuplicates(list(key_cols))
         tmp = f"{path}__b{batch_id}"
@@ -116,19 +193,8 @@ def start_upsert_sink(
         # the renamed-aside copy present -> restore it before merging.
         if not os.path.exists(path) and os.path.exists(old):
             os.rename(old, path)
-        # Sweep shadow dirs orphaned by a crash after tmp-write but
-        # before the swap — over restarts with fresh checkpoints these
-        # would otherwise accumulate next to the table (ADVICE r3).
-        for stale in _glob.glob(_glob.escape(path) + "__b*"):
-            if stale != tmp:
-                shutil.rmtree(stale, ignore_errors=True)
-        if os.path.exists(path):
-            current = spark.read.parquet(path)
-            merged = current.join(
-                F.broadcast(batch.select(*key_cols)), list(key_cols), "left_anti"
-            ).unionByName(batch)
-        else:  # genuinely the first batch
-            merged = batch
+        _sweep({tmp})
+        merged = _merge(spark, batch, path if os.path.exists(path) else None)
         merged.write.mode("overwrite").parquet(tmp)
         shutil.rmtree(old, ignore_errors=True)
         if os.path.exists(path):
@@ -136,8 +202,35 @@ def start_upsert_sink(
         os.rename(tmp, path)
         shutil.rmtree(old, ignore_errors=True)
 
+    def upsert_pointer(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.dropDuplicates(list(key_cols))
+        live = resolve_serving_path(path)  # None | legacy path | gen dir
+        gen = f"{path}__b{batch_id}"
+        if live == gen:  # retry after commit: never read+overwrite one dir
+            gen = gen + "x"
+        _sweep({gen} | ({live} if live else set()))
+        merged = _merge(spark, batch, live)
+        merged.write.mode("overwrite").parquet(gen)
+        # Commit: atomically replace the pointer file. os.replace is
+        # atomic on POSIX; on an object store this maps to a single
+        # small PUT of the pointer object (atomic per-object).
+        ptr = path + SERVING_POINTER_SUFFIX
+        ptr_tmp = ptr + ".__tmp"
+        with open(ptr_tmp, "w") as fh:
+            fh.write(os.path.basename(gen))
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(ptr_tmp, ptr)
+        # A legacy rename-committed dir at `path` is now shadowed by
+        # the pointer; drop it so naive readers can't see stale data.
+        if live == path:
+            shutil.rmtree(path, ignore_errors=True)
+
     writer = (
-        df.writeStream.foreachBatch(upsert)
+        df.writeStream.foreachBatch(
+            upsert_pointer if commit == "pointer" else upsert_rename
+        )
         .option("checkpointLocation", checkpoint)
         .outputMode(output_mode)
     )

@@ -392,6 +392,138 @@ def test_upsert_sink_sweeps_orphan_shadow_dirs(spark, tmp_path):
     assert spark.read.parquet(out).count() == 1
 
 
+def test_upsert_sink_pointer_commit_keeps_latest_per_key(spark, tmp_path):
+    """Pointer-commit protocol (object-store-safe): after two
+    micro-batches the pointer resolves to a generation dir holding ONE
+    row per key with the folded aggregate, and earlier generations are
+    swept by the following batch (at most live + previous on disk)."""
+    from bigdata_riveranalysis_spark.streaming.sinks import (
+        read_serving_table,
+        resolve_serving_path,
+        start_upsert_sink,
+    )
+
+    b1 = [_ev(1, "2024-01-01 00:00:00", user_id=1, value=10.0),
+          _ev(2, "2024-01-01 00:01:00", user_id=2, value=20.0)]
+    b2 = [_ev(3, "2024-01-01 00:02:00", user_id=1, value=30.0)]
+    src = _write_files(tmp_path, [b1, b2])
+    stream = file_json_stream(spark, src, max_files_per_trigger=1)
+    agg = stream.groupBy("user_id").agg(
+        F.count("*").alias("n"), F.sum("value").alias("total")
+    )
+    out, ckpt = str(tmp_path / "serve"), str(tmp_path / "ckpt_ptr")
+    q = start_upsert_sink(agg, out, ckpt, ("user_id",),
+                          trigger_available_now=True, commit="pointer")
+    q.awaitTermination(120)
+    assert os.path.exists(out + ".ptr")
+    assert not os.path.exists(out)  # no rename-mode dir in pointer mode
+    live = resolve_serving_path(out)
+    assert live is not None and "__b" in os.path.basename(live)
+    rows = {r.user_id: r for r in read_serving_table(spark, out).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].n == 2 and rows[1].total == 40.0
+    assert rows[2].n == 1 and rows[2].total == 20.0
+
+
+def test_upsert_sink_pointer_commit_survives_read_failure(spark, tmp_path):
+    """A merge-read failure under pointer commit must FAIL the batch
+    and leave the pointer untouched — never flip it to a batch-only
+    generation."""
+    from bigdata_riveranalysis_spark.streaming.sinks import (
+        resolve_serving_path,
+        start_upsert_sink,
+    )
+
+    b1 = [_ev(1, "2024-01-01 00:00:00", user_id=1, value=10.0)]
+    src1 = _write_files(tmp_path, [b1])
+    out = str(tmp_path / "serve")
+    stream = file_json_stream(spark, src1, max_files_per_trigger=1)
+    agg = stream.groupBy("user_id").agg(F.sum("value").alias("total"))
+    q = start_upsert_sink(agg, out, str(tmp_path / "ckpt_p1"), ("user_id",),
+                          trigger_available_now=True, commit="pointer")
+    q.awaitTermination(120)
+    live = resolve_serving_path(out)
+
+    # Corrupt the live generation so the next merge's read fails.
+    for f in os.listdir(live):
+        os.remove(os.path.join(live, f))
+    with open(os.path.join(live, "part-00000.parquet"), "w") as fh:
+        fh.write("this is not parquet")
+
+    nested = tmp_path / "second"
+    nested.mkdir()
+    b2 = [_ev(2, "2024-01-01 00:01:00", user_id=2, value=20.0)]
+    src2 = _write_files(nested, [b2])
+    stream2 = file_json_stream(spark, src2, max_files_per_trigger=1)
+    agg2 = stream2.groupBy("user_id").agg(F.sum("value").alias("total"))
+    q2 = start_upsert_sink(agg2, out, str(tmp_path / "ckpt_p2"), ("user_id",),
+                           trigger_available_now=True, commit="pointer")
+    with pytest.raises(Exception):
+        q2.awaitTermination(120)
+    # Pointer still names the (corrupt) generation — not flipped.
+    assert resolve_serving_path(out) == live
+    assert os.path.exists(os.path.join(live, "part-00000.parquet"))
+
+
+def test_upsert_sink_pointer_retry_pingpong_never_overwrites_live(spark, tmp_path):
+    """Retry of an already-committed batch (crash between pointer flip
+    and checkpoint commit): the pointer names `__b0`, and batch 0 runs
+    again. The sink must write a DIFFERENT generation (`__b0x`) — never
+    lazily read and overwrite the same dir — and converge to the same
+    keyed state."""
+    from bigdata_riveranalysis_spark.streaming.sinks import (
+        read_serving_table,
+        resolve_serving_path,
+        start_upsert_sink,
+    )
+
+    out = str(tmp_path / "serve")
+    # Manufacture the post-commit state: generation __b0 exists with
+    # batch 0's merged output and the pointer names it, but the stream
+    # checkpoint was lost (fresh checkpoint ⇒ batch ids restart at 0).
+    spark.createDataFrame([(1, 10.0)], "user_id bigint, total double") \
+        .write.parquet(out + "__b0")
+    with open(out + ".ptr", "w") as fh:
+        fh.write(os.path.basename(out) + "__b0")
+
+    b1 = [_ev(1, "2024-01-01 00:00:00", user_id=1, value=10.0)]
+    src1 = _write_files(tmp_path, [b1])
+    stream = file_json_stream(spark, src1, max_files_per_trigger=1)
+    agg = stream.groupBy("user_id").agg(F.sum("value").alias("total"))
+    q = start_upsert_sink(agg, out, str(tmp_path / "ckpt_pp"), ("user_id",),
+                          trigger_available_now=True, commit="pointer")
+    q.awaitTermination(120)
+    assert os.path.basename(resolve_serving_path(out)) == \
+        os.path.basename(out) + "__b0x"
+    rows = {r.user_id: r.total for r in read_serving_table(spark, out).collect()}
+    assert rows == {1: 10.0}  # keyed merge converged, no double-count
+
+
+def test_upsert_sink_pointer_migrates_legacy_rename_table(spark, tmp_path):
+    """Switching a rename-committed serving table to pointer commit:
+    the first pointer batch merges against the legacy `path` dir, then
+    retires it so naive readers can't see stale data."""
+    from bigdata_riveranalysis_spark.streaming.sinks import (
+        read_serving_table,
+        start_upsert_sink,
+    )
+
+    out = str(tmp_path / "serve")
+    spark.createDataFrame([(1, 10.0)], "user_id bigint, total double") \
+        .write.parquet(out)  # legacy rename-committed table
+
+    b2 = [_ev(2, "2024-01-01 00:01:00", user_id=2, value=20.0)]
+    src2 = _write_files(tmp_path, [b2])
+    stream2 = file_json_stream(spark, src2, max_files_per_trigger=1)
+    agg2 = stream2.groupBy("user_id").agg(F.sum("value").alias("total"))
+    q2 = start_upsert_sink(agg2, out, str(tmp_path / "ckpt_mig"), ("user_id",),
+                           trigger_available_now=True, commit="pointer")
+    q2.awaitTermination(120)
+    rows = {r.user_id: r.total for r in read_serving_table(spark, out).collect()}
+    assert rows == {1: 10.0, 2: 20.0}
+    assert not os.path.exists(out)  # legacy dir retired
+
+
 def test_observe_metrics_on_batch_query(spark):
     """df.observe: accumulator-style metrics ride the job (no second
     scan) — the operational hook a 100 TB pipeline uses to assert
