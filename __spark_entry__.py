@@ -66,6 +66,7 @@ _ROTATE_FIRST = [
     "simhash_signatures",
     "dedup_simhash",
     "embedding_norms",
+    "ann_ivf_recall_nprobe2",  # new in r5 — first driver check
 ]
 
 

@@ -1586,6 +1586,75 @@ def text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _ivf_cent_arr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF coarse quantizer as ONE row holding array<struct<cell,c>>
+    of per-label dim-wise-mean centroids, localCheckpointed so the
+    index-build chain (a full corpus scan at production scale — it IS
+    the persisted IVF index) runs once however many query branches
+    reuse it.
+
+    Agg-only chain → no split-spread (the groupBy shuffle provides
+    parallelism, embedding_centroids rationale); (label, dim) keys
+    spread the reduce side.
+    """
+    base = load_table(spark, sf_dir, "embeddings")
+    ex = base.select("label", F.posexplode("embedding").alias("dim", "v"))
+    dims = ex.groupBy("label", "dim").agg(F.avg(F.col("v").cast("double")).alias("mu"))
+    cents = (
+        dims.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "mu"))), lambda s: s["mu"]
+            ).alias("c")
+        )
+        .select(F.col("label").alias("cell"), "c")
+    )
+    return cents.agg(
+        F.collect_list(F.struct("cell", "c")).alias("cents")
+    ).localCheckpoint()
+
+
+def _ivf_cell_structs() -> F.Column:
+    """array<struct<ncc, cell>> of (−cosine, cell) per centroid — the
+    row-local cell scoring; ascending struct order == the oracle's
+    (cc DESC, cell ASC) tie-break."""
+    return F.transform(
+        "cents",
+        lambda cc: F.struct(
+            (-VX.cosine(F.col("embedding"), cc["c"])).alias("ncc"),
+            cc["cell"].alias("cell"),
+        ),
+    )
+
+
+def _ivf_assign(vecs: DataFrame, cent_arr: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment, entirely map-side: broadcast the
+    one-row centroid array, score all k cells inside one transform,
+    argmin the (−cos, cell) structs — ZERO Exchange (the window-argmax
+    formulation this replaced shuffled + sorted n×k scored rows)."""
+    best = F.array_min(_ivf_cell_structs())
+    return vecs.crossJoin(F.broadcast(cent_arr)).select(
+        "vec_id", "embedding", best["cell"].alias("cell")
+    )
+
+
+def _ivf_probe(vecs: DataFrame, cent_arr: DataFrame, nprobe: int) -> DataFrame:
+    """Top-``nprobe`` cells per query vector (probe_rank 1-based):
+    sort the same (−cos, cell) structs row-locally and explode the
+    first ``nprobe`` — still zero Exchange."""
+    probes = F.slice(F.array_sort(_ivf_cell_structs()), 1, nprobe)
+    return (
+        vecs.crossJoin(F.broadcast(cent_arr))
+        .select("vec_id", "embedding", F.posexplode(probes).alias("pos", "p"))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("p.cell").alias("cell"),
+            (F.col("pos") + 1).alias("probe_rank"),
+        )
+    )
+
+
 @query(
     "ann_ivf_cells",
     oracle=f"""
@@ -1641,50 +1710,29 @@ def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     is genuinely data-derived and deterministic (ties break on cell
     id), which is what lets the SQL oracle reproduce it bit-for-bit.
 
-    Scale: the centroid table is k rows (broadcast); assignment is a
-    broadcast cross-join + per-vector argmax — map-side except one
-    shuffle of n×k scored rows (a groupBy-max_by formulation with
-    partial aggregation would shrink that to n map-side). The search
-    join shuffles on cell, the IVF invariant: each query compares
-    against ~n/k candidates instead of n. Recall < 1 by design at
-    cell borders; raise nprobe (join top-p cells per query) for
-    recall without changing the plan shape.
+    Scale: the centroid table is k rows, carried as ONE row holding
+    an array<struct<cell,c>> and broadcast; assignment is a per-row
+    array_min over the k cosines — entirely map-side, ZERO Exchange
+    (the r3/r4 window-argmax formulation shuffled + sorted n×k scored
+    rows twice; r4 plan audit: 11 Exchanges → 6). array_min over
+    struct(-cos, cell) is the oracle's (cc DESC, cell ASC) tie-break.
+    The centroid chain is localCheckpointed (k rows) so the index
+    build runs ONCE instead of once per branch — at 100 TB that chain
+    is a full corpus scan, and it IS the persisted IVF index in
+    production. The search join shuffles on cell, the IVF invariant:
+    each query compares against ~n/k candidates instead of n.
+    Recall < 1 by design at cell borders; ann_ivf_recall_nprobe2
+    measures it against exact KNN instead of implying it.
     """
     emb = _embs(spark, sf_dir)
-    ex = emb.select("label", F.posexplode("embedding").alias("dim", "v"))
-    dims = ex.groupBy("label", "dim").agg(F.avg(F.col("v").cast("double")).alias("mu"))
-    cents = (
-        dims.groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "mu"))), lambda s: s["mu"]
-            ).alias("c")
-        )
-        .select(F.col("label").alias("cell"), "c")
-    )
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "embedding", "cell", VX.cosine("embedding", "c").alias("cc")
-    )
-    wa = W.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("cell"))
-
-    def argmax_cell(scores: DataFrame) -> DataFrame:
-        return (
-            scores.withColumn("rn", F.row_number().over(wa))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "embedding", "cell")
-        )
-
+    cent_arr = _ivf_cent_arr(spark, sf_dir)
     # Candidate side: the full corpus assignment. Query side: the SAME
-    # argmax, but over scored.filter(vec_id < 10) — the predicate
-    # pushes into the parquet scan, so the query chain quantizes 10
-    # vectors, not the corpus. (Deriving q from the full `assign`
-    # would compute the heavy chain twice; .cache() A/B'd worse at
-    # this size — 2.44 s vs 2.08 s — because of the materialization
-    # barrier. In production the full assignment is persisted storage
-    # regardless: it IS the IVF index, and query batches quantize
-    # only themselves against the centroid table, exactly this shape.)
-    assign = argmax_cell(scored)
-    q = argmax_cell(scored.filter(F.col("vec_id") < 10)).select(
+    # assignment over emb.filter(vec_id < 10) — the predicate pushes
+    # into the parquet scan, so the query branch quantizes 10 vectors,
+    # not the corpus (query batches against the persisted index at
+    # production scale, exactly this shape).
+    assign = _ivf_assign(emb, cent_arr)
+    q = _ivf_assign(emb.filter(F.col("vec_id") < 10), cent_arr).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "cell"
     )
     pairs = assign.join(F.broadcast(q), ["cell"]).filter(
@@ -1700,6 +1748,155 @@ def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
         .select("query_id", "neighbor_id", "cell", F.round("cos", 6).alias("cosine"), "rnk")
+    )
+
+
+@query(
+    "ann_ivf_recall_nprobe2",
+    oracle=f"""
+    WITH ex AS (
+        SELECT label, u.dim - 1 AS dim, u.v
+        FROM embeddings,
+             LATERAL (SELECT unnest(embedding) AS v,
+                             generate_subscripts(embedding, 1) AS dim) u
+    ),
+    cents AS (
+        SELECT label AS cell, list(mu ORDER BY dim) AS c
+        FROM (SELECT label, dim, avg(CAST(v AS DOUBLE)) AS mu
+              FROM ex GROUP BY label, dim)
+        GROUP BY label
+    ),
+    scored AS (
+        SELECT e.vec_id, e.embedding, c.cell,
+               {VX.cosine_sql("e.embedding", "c.c")} AS cc
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    assign AS (
+        SELECT vec_id, embedding, cell
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY cc DESC, cell) AS rn
+              FROM scored)
+        WHERE rn = 1
+    ),
+    qprobe AS (
+        SELECT vec_id AS qid, embedding AS qe, cell
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY cc DESC, cell) AS rn
+              FROM scored WHERE vec_id < 10)
+        WHERE rn <= 2
+    ),
+    ivf_pairs AS (
+        SELECT q.qid, a.vec_id AS nid,
+               {VX.cosine_sql("q.qe", "a.embedding")} AS cos
+        FROM qprobe q JOIN assign a ON q.cell = a.cell AND a.vec_id <> q.qid
+    ),
+    ivf3 AS (
+        SELECT qid, nid
+        FROM (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                                                  ORDER BY cos DESC, nid) AS rnk
+              FROM ivf_pairs)
+        WHERE rnk <= 3
+    ),
+    exact_pairs AS (
+        SELECT q.vec_id AS qid, a.vec_id AS nid,
+               {VX.cosine_sql("q.embedding", "a.embedding")} AS cos
+        FROM embeddings q JOIN embeddings a
+          ON q.vec_id < 10 AND a.vec_id <> q.vec_id
+    ),
+    exact3 AS (
+        SELECT qid, nid
+        FROM (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                                                  ORDER BY cos DESC, nid) AS rnk
+              FROM exact_pairs)
+        WHERE rnk <= 3
+    ),
+    hits AS (
+        SELECT i.qid, count(*) AS n_hits
+        FROM ivf3 i JOIN exact3 e ON i.qid = e.qid AND i.nid = e.nid
+        GROUP BY i.qid
+    )
+    SELECT q.qid AS query_id,
+           CAST(2 AS INTEGER) AS n_probed_cells,
+           coalesce(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+           round(coalesce(h.n_hits, 0) / 3.0, 6) AS recall_at_3
+    FROM (SELECT DISTINCT vec_id AS qid FROM embeddings WHERE vec_id < 10) q
+    LEFT JOIN hits h ON q.qid = h.qid
+    """,
+)
+def ann_ivf_recall_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall accounting: search the top-2 cells per query
+    (nprobe=2) and report recall@3 against the EXACT cosine top-3 —
+    the ANN story states its recall instead of implying it.
+
+    Scale: the IVF side reuses the map-side quantizer (_ivf_assign /
+    _ivf_probe, zero-Exchange assignment) and the cell-join invariant
+    (~nprobe·n/k candidates per query). The exact side is the
+    evaluation harness, not the serving path: it brute-forces only
+    the 10-query SAMPLE against the corpus (broadcast queries, one
+    map-side pass + a top-k shuffle of sample×corpus scores) — the
+    standard way recall is audited at 100 TB, where exact search over
+    the full query log would be the thing ANN exists to avoid.
+
+    On the synthetic near-orthogonal test embeddings (max pairwise
+    cosine ≈ 0.5) the label-seeded cells are weakly informative, so
+    measured recall@3 sits around 0.3-0.7 — which is exactly the
+    point: the query AUDITS the recall/cost trade instead of
+    asserting it, and on clustered production embeddings the same
+    measurement governs the nprobe choice.
+    """
+    emb = _embs(spark, sf_dir)
+    cent_arr = _ivf_cent_arr(spark, sf_dir)
+    qvecs = emb.filter(F.col("vec_id") < 10)
+
+    assign = _ivf_assign(emb, cent_arr)
+    qprobe = _ivf_probe(qvecs, cent_arr, nprobe=2)
+    ivf_pairs = (
+        assign.join(F.broadcast(qprobe), ["cell"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            VX.cosine(F.col("qe"), F.col("embedding")).alias("cos"),
+        )
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    ivf3 = (
+        ivf_pairs.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    exact_pairs = (
+        emb.crossJoin(
+            F.broadcast(
+                qvecs.select(
+                    F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+                )
+            )
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            VX.cosine(F.col("qe"), F.col("embedding")).alias("cos"),
+        )
+    )
+    exact3 = (
+        exact_pairs.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    hits = ivf3.join(exact3, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count("*").alias("n_hits")
+    )
+    return (
+        qvecs.select(F.col("vec_id").alias("query_id"))
+        .join(F.broadcast(hits), ["query_id"], "left")
+        .select(
+            "query_id",
+            F.lit(2).cast("int").alias("n_probed_cells"),
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("bigint")).alias("n_hits"),
+            F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / 3.0, 6).alias("recall_at_3"),
+        )
     )
 
 
