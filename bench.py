@@ -78,20 +78,28 @@ def main() -> None:
         .save()
     )
 
-    # min-of-3: this box shows multi-second external stall windows
-    # (neighbor load on shared cores); with 2 runs both can land in
-    # one window and the min still reads 5-10× the plan's true cost.
-    timings: dict[str, float] = {}
-    for name, fn in qs.items():
-        best = float("inf")
-        for _ in range(3):
+    # min-of-3, INTERLEAVED: three full passes over the catalog rather
+    # than three back-to-back runs per query. This box shows
+    # multi-second external stall windows (neighbor load on shared
+    # cores); back-to-back runs can land all three inside one window
+    # and the min still reads 5-10× the plan's true cost, while
+    # interleaving separates a query's runs by a full catalog pass
+    # (~minutes) so a stall can only contaminate one of them. Both the
+    # min (the plan's cost) and the last run (a single honest sample)
+    # are recorded so regression calls can see the noise band instead
+    # of chasing it (VERDICT r4 item 7).
+    runs: dict[str, list[float]] = {name: [] for name in qs}
+    for _ in range(3):
+        for name, fn in qs.items():
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs[name].append(time.perf_counter() - t0)
+    timings = {name: round(min(ts), 3) for name, ts in runs.items()}
+    last = {name: round(ts[-1], 3) for name, ts in runs.items()}
 
     total = round(sum(timings.values()), 3)
+    total_last = round(sum(last.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
     # Full record → BENCH.json (all queries).
@@ -104,6 +112,8 @@ def main() -> None:
                     "unit": "sec",
                     "n_queries": len(timings),
                     "queries": timings,
+                    "queries_last": last,
+                    "total_last": total_last,
                     "sf": sf_val,
                 }
             )
@@ -146,6 +156,7 @@ def main() -> None:
             "unit": "sec",
             "n_queries": len(timings),
             "queries": headline,
+            "total_last": total_last,
             "sf": sf_val,
         }
     )
