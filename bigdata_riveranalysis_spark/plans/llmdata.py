@@ -417,7 +417,7 @@ def _components_distributed(pairs: DataFrame) -> DataFrame:
 #: (bounds the pair matrix), docs × vocab cells (bounds the dense
 #: matrix), and total matmul FLOPs (bounds local compute). Outside any
 #: gate the operator stays on the distributed inverted-index plan.
-JACCARD_LOCAL_MAX_CHARS = 64_000_000
+JACCARD_LOCAL_MAX_TEXT_BYTES = 64_000_000
 JACCARD_LOCAL_MAX_DOCS = 20_000
 JACCARD_LOCAL_MAX_CELLS = 32_000_000
 JACCARD_LOCAL_MAX_FLOPS = 250e9
@@ -492,17 +492,28 @@ def _jaccard_local(spark: SparkSession, sh: DataFrame, df_cap: int) -> DataFrame
         M[:, gram_df > df_cap] = 0.0
         sizes = M.sum(axis=1).astype(np.int64)
     out_a, out_b, out_j = [], [], []
+    sizes32 = sizes.astype(np.float32)
     for start in range(0, n, _JACCARD_BLOCK):
         stop = min(start + _JACCARD_BLOCK, n)
-        common = (M[start:stop] @ M.T).astype(np.float64)
-        union = sizes[start:stop, None] + sizes[None, :] - common
-        with np.errstate(divide="ignore", invalid="ignore"):
-            jac = np.where(union > 0, common / union, 0.0)
-        mask = (jac >= JACCARD_THRESHOLD) & (ids[start:stop, None] < ids[None, :])
-        ai, bj = np.nonzero(mask)
+        # Stay in f32 with NO division over the n×block tile: the tile
+        # sweep, not the GEMM, was the measured cost (GEMM 0.15 s vs
+        # 1.4 s of f64 astype/divide/where temps at sf0.1). common and
+        # union are integer-valued f32 (binary dot products, counts ≤
+        # 2^24 exact), and J ≥ t ⟺ common ≥ t·union is EXACT for
+        # dyadic t — the multiply form avoids division rounding
+        # entirely. Only the few surviving candidate pairs get f64
+        # jaccard values.
+        common = M[start:stop] @ M.T
+        union = sizes32[start:stop, None] + sizes32[None, :] - common
+        cand = common >= np.float32(JACCARD_THRESHOLD) * union
+        cand &= union > 0
+        ai, bj = np.nonzero(cand)
+        keep = ids[start:stop][ai] < ids[bj]
+        ai, bj = ai[keep], bj[keep]
+        jac = common[ai, bj].astype(np.float64) / union[ai, bj].astype(np.float64)
         out_a.append(ids[start:stop][ai])
         out_b.append(ids[bj])
-        out_j.append(np.round(jac[ai, bj], 4))
+        out_j.append(np.round(jac, 4))
     res = pd.DataFrame(
         {
             "doc_a": np.concatenate(out_a),
@@ -549,7 +560,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-bigram Jaccard near-dup pairs, with a stats-driven
     physical strategy (both produce identical results):
 
-    * **local dense** — when one scan-only stats job says the corpus
+    * **local dense** — when parquet footer metadata says the corpus
       is tiny (see the JACCARD_LOCAL_* gates): factorize + blocked
       binary matmul (_jaccard_local). The test corpus is exactly this
       shape (931 bigrams shared by every document → the inverted
@@ -580,18 +591,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("t") >= 2)
         .select("doc_id", F.array_distinct(TX.word_shingles(F.col("t"), 2)).alias("s"))
     )
-    # Strategy stats: one scan-only job (count + total text chars — no
-    # tokenize, no shuffle) decides the regime. A 100 TB corpus blows
-    # the char gate immediately and goes distributed without ever
-    # collecting a byte of text.
-    stats = docs.agg(
-        F.count("*").alias("n"), F.sum(F.length("text")).alias("chars")
-    ).collect()[0]
-    df_cap = _jaccard_df_cap(stats.n)
-    if (
-        stats.n <= JACCARD_LOCAL_MAX_DOCS
-        and (stats.chars or 0) <= JACCARD_LOCAL_MAX_CHARS
-    ):
+    # Strategy stats from parquet footers — metadata only, NO Spark
+    # job (the embedding-gate pricing): exact rowcount, plus the text
+    # column's uncompressed byte size, which upper-bounds total chars
+    # (BYTE_ARRAY adds a 4-byte length prefix per value), so the byte
+    # gate is strictly more conservative than the char scan it
+    # replaced. A 100 TB corpus blows the gate from metadata without
+    # scanning a byte of text.
+    n_docs = table_rowcount(sf_dir, "documents")
+    text_bytes = table_column_bytes(sf_dir, "documents", "text")
+    df_cap = _jaccard_df_cap(n_docs)
+    if n_docs <= JACCARD_LOCAL_MAX_DOCS and text_bytes <= JACCARD_LOCAL_MAX_TEXT_BYTES:
         local = _jaccard_local(spark, sh, df_cap)
         if local is not None:
             return local
