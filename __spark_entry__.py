@@ -67,6 +67,7 @@ _ROTATE_FIRST = [
     "dedup_simhash",
     "embedding_norms",
     "ann_ivf_recall_nprobe2",  # new in r5 — first driver check
+    "text_repetition_stats",  # new in r5 — first driver check
 ]
 
 

@@ -1202,6 +1202,89 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_repetition_stats",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {TX.TOKENS_SQL.format(c="text")} AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, t,
+               CASE WHEN len(t) >= 2 THEN {TX.word_shingles_sql("t", 2)}
+                    ELSE CAST([] AS VARCHAR[]) END AS g2,
+               CASE WHEN len(t) >= 3 THEN {TX.word_shingles_sql("t", 3)}
+                    ELSE CAST([] AS VARCHAR[]) END AS g3
+        FROM toks
+    ),
+    m AS (
+        SELECT doc_id,
+               len(t) AS n_tokens,
+               list_max(list_transform(list_distinct(t),
+                        w -> len(list_filter(t, s -> s = w)))) AS top_token_count,
+               len(g2) AS n_2grams,
+               len(g2) - len(list_distinct(g2)) AS n_dup_2grams,
+               len(g3) AS n_3grams,
+               len(g3) - len(list_distinct(g3)) AS n_dup_3grams
+        FROM grams
+    )
+    SELECT doc_id, n_tokens, top_token_count,
+           n_2grams, n_dup_2grams, n_3grams, n_dup_3grams,
+           (5 * top_token_count > n_tokens
+            OR 10 * n_dup_2grams > 3 * n_2grams
+            OR 5 * n_dup_3grams > n_3grams) AS is_repetitive
+    FROM m
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document — the quality
+    filter that removes degenerate (looping/boilerplate) text from a
+    training corpus: most-frequent-token count, duplicate word-2gram /
+    3gram counts, and a repetitiveness flag at the standard-ish
+    thresholds (top-token fraction > 0.2, dup-2gram > 0.3, dup-3gram
+    > 0.2 — cf. Gopher's repetition rules, Rae et al. 2021).
+
+    Engine-exact by construction: every output is an integer count,
+    and the flag is integer cross-multiplication (5·top > n etc.), so
+    there is no float to drift. Single narrow codegen'd pass, no
+    shuffle, no Python; work is row-local (top-token count is
+    O(distinct·n) inside the row — bounded by document length, so the
+    pass scales linearly with corpus size; a 100 TB variant with
+    megabyte documents would swap that one term for an
+    explode → count → max_by top-1, the same two-Exchange shape as
+    dedup_exact).
+    """
+    docs = _docs(spark, sf_dir)
+    t = TX.tokens("text")
+    empty = F.array().cast("array<string>")
+
+    def grams(n: int) -> F.Column:
+        # Spark's sequence() auto-steps -1 on descending ranges, so
+        # word_shingles must be guarded for short docs (the DuckDB
+        # twin's range() is naturally empty there; CASE/when branches
+        # evaluate lazily per row in both engines).
+        return F.when(F.size(t) >= n, TX.word_shingles(t, n)).otherwise(empty)
+
+    g2, g3 = grams(2), grams(3)
+    top = F.array_max(
+        F.transform(F.array_distinct(t), lambda w: F.size(F.filter(t, lambda s: s == w)))
+    )
+    m = docs.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        top.alias("top_token_count"),
+        F.size(g2).alias("n_2grams"),
+        (F.size(g2) - F.size(F.array_distinct(g2))).alias("n_dup_2grams"),
+        F.size(g3).alias("n_3grams"),
+        (F.size(g3) - F.size(F.array_distinct(g3))).alias("n_dup_3grams"),
+    )
+    rep = (
+        (F.lit(5) * F.col("top_token_count") > F.col("n_tokens"))
+        | (F.lit(10) * F.col("n_dup_2grams") > F.lit(3) * F.col("n_2grams"))
+        | (F.lit(5) * F.col("n_dup_3grams") > F.col("n_3grams"))
+    )
+    return m.select("*", rep.alias("is_repetitive"))
+
+
+@query(
     "text_lang_stats",
     oracle=f"""
     SELECT lang, source,
