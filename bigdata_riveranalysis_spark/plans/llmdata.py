@@ -1978,9 +1978,10 @@ def ann_ivf_recall_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("query_id", "neighbor_id")
     )
-    hits = ivf3.join(exact3, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
-        F.count("*").alias("n_hits")
-    )
+    # sample×k rows on both sides — broadcast, never a sort-merge.
+    hits = ivf3.join(F.broadcast(exact3), ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count("*").alias("n_hits"))
     return (
         qvecs.select(F.col("vec_id").alias("query_id"))
         .join(F.broadcast(hits), ["query_id"], "left")
