@@ -68,6 +68,7 @@ _ROTATE_FIRST = [
     "embedding_norms",
     "ann_ivf_recall_nprobe2",  # new in r5 — first driver check
     "text_repetition_stats",  # new in r5 — first driver check
+    "dedup_incremental_minhash",  # new in r5 — first driver check
 ]
 
 

@@ -23,6 +23,8 @@ Scale design notes:
 
 from __future__ import annotations
 
+import math as _math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -36,6 +38,7 @@ from bigdata_riveranalysis_spark.sources.tables import (
     load_table,
     spread_small_scan,
     table_column_bytes,
+    table_column_max,
     table_rowcount,
 )
 
@@ -265,6 +268,135 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return cand.groupBy("doc_a", "doc_b").agg(
         F.round(F.first("est_jaccard"), 4).alias("est_jaccard")
+    )
+
+
+#: Minimum signature-agreement count for an LSH candidate to count as
+#: a near-dup: ceil(N · t), the integer form of est_jaccard ≥ t (no
+#: float compare on either engine).
+_MINHASH_MIN_AGREE = _math.ceil(NUM_MINHASHES * JACCARD_THRESHOLD)
+
+
+def _band_rows_sql(src: str) -> str:
+    """UNION ALL band-key rows (band, h1, h2) for a signature CTE."""
+    return " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, mh{2 * b} AS h1, mh{2 * b + 1} AS h2 FROM {src}"
+        for b in range(NUM_MINHASHES // 2)
+    )
+
+
+@query(
+    "dedup_incremental_minhash",
+    oracle=f"""
+    WITH {_minhash_signature_cte()},
+    mx AS (SELECT max(doc_id) AS m FROM documents),
+    bsig AS (SELECT s.* FROM sig s, mx WHERE s.doc_id >= (m * 9) // 10),
+    csig AS (SELECT s.* FROM sig s, mx WHERE s.doc_id < (m * 9) // 10),
+    bbands AS ({_band_rows_sql("bsig")}),
+    cbands AS ({_band_rows_sql("csig")}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS bid, c.doc_id AS cid
+        FROM bbands a JOIN cbands c
+          ON a.band = c.band AND a.h1 = c.h1 AND a.h2 = c.h2
+    ),
+    scored AS (
+        SELECT bid, cid,
+               ({" + ".join(f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(NUM_MINHASHES))}) AS n_agree
+        FROM cand
+        JOIN sig sa ON sa.doc_id = bid
+        JOIN sig sb ON sb.doc_id = cid
+    ),
+    best AS (
+        SELECT bid, cid, n_agree,
+               row_number() OVER (PARTITION BY bid
+                                  ORDER BY n_agree DESC, cid) AS rn
+        FROM scored WHERE n_agree >= {_MINHASH_MIN_AGREE}
+    )
+    SELECT s.doc_id,
+           b.cid AS match_id,
+           coalesce(b.n_agree, 0) AS n_agree,
+           CASE WHEN b.cid IS NOT NULL THEN 1 ELSE 0 END AS is_near_dup
+    FROM bsig s LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON s.doc_id = b.bid
+    """,
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup: today's ingest batch LSH-checked against
+    the historical corpus — dedup_incremental_exact's shape lifted
+    from exact hashes to MinHash banding, i.e. the continuous-crawl
+    near-dedup flow production pipelines actually run. One row per
+    batch document (with a signature): its best corpus match at
+    agreement ≥ ceil(N·t) and an is_near_dup flag; ties break to the
+    smallest corpus doc_id, and agreement counts stay integers end to
+    end (no float compare on either engine).
+
+    Scale: the batch's band keys are the SMALL side — broadcast into
+    the corpus band table, so the corpus is scanned once map-side and
+    nothing shuffles on it (at 100 TB the corpus signatures are a
+    persisted index maintained by the daily job, exactly like the
+    content-hash index in dedup_incremental_exact; here both sides
+    derive from one cached signature pass). Candidate volume follows
+    the LSH invariant — band-key collisions, not batch × corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    mx = table_column_max(sf_dir, "documents", "doc_id")
+    if mx is None:
+        mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    cutoff = int(mx * 9 // 10)
+    sig = _minhash_signature_df(spark, sf_dir).cache()
+    sig.count()  # materialize before the multi-branch reuse (see dedup_minhash_lsh)
+    sig_arr = sig.select(
+        "doc_id", F.array(*[F.col(f"mh{i}") for i in range(NUM_MINHASHES)]).alias("sig")
+    )
+
+    def bands(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            "sig",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.col("sig")[2 * b].alias("h1"),
+                            F.col("sig")[2 * b + 1].alias("h2"),
+                        )
+                        for b in range(NUM_MINHASHES // 2)
+                    ]
+                )
+            ).alias("bk"),
+        )
+
+    bsig = sig_arr.filter(F.col("doc_id") >= cutoff)
+    csig = sig_arr.filter(F.col("doc_id") < cutoff)
+    a, c = bands(bsig).alias("a"), bands(csig).alias("c")
+    n_agree = F.size(
+        F.filter(F.zip_with(F.col("a.sig"), F.col("c.sig"), lambda x, y: x == y), lambda v: v)
+    )
+    scored = (
+        F.broadcast(a)
+        .join(c, F.col("a.bk") == F.col("c.bk"))
+        .select(
+            F.col("a.doc_id").alias("bid"),
+            F.col("c.doc_id").alias("cid"),
+            n_agree.alias("n_agree"),
+        )
+        .filter(F.col("n_agree") >= _MINHASH_MIN_AGREE)
+    )
+    # A pair matching in k bands yields k identical score rows (first()
+    # deterministic — same as dedup_minhash_lsh), then per-batch-doc
+    # argmax with the oracle's (n_agree DESC, cid) tie-break.
+    pairs = scored.groupBy("bid", "cid").agg(F.first("n_agree").alias("n_agree"))
+    wb = W.partitionBy("bid").orderBy(F.desc("n_agree"), F.asc("cid"))
+    best = pairs.withColumn("rn", F.row_number().over(wb)).filter(F.col("rn") == 1)
+    return (
+        bsig.select("doc_id")
+        .join(F.broadcast(best.withColumnRenamed("bid", "doc_id")), ["doc_id"], "left")
+        .select(
+            "doc_id",
+            F.col("cid").alias("match_id"),
+            F.coalesce("n_agree", F.lit(0)).alias("n_agree"),
+            F.when(F.col("cid").isNotNull(), 1).otherwise(0).alias("is_near_dup"),
+        )
     )
 
 
