@@ -393,3 +393,55 @@ def test_exact_round4_scale6_matches_rational_ground_truth(spark, ints):
     ).fetchall()[0]
     assert rel[0] == want_sum
     assert rel[1] == want_avg
+
+
+def test_short_doc_guards_match_oracle(spark, tmp_path):
+    """The word-shingle guards (docs with < n tokens) are never
+    exercised by the generated corpora — every fixture doc is long.
+    Build a documents table of degenerate docs (empty, 1-2 tokens,
+    repetitive loops) and pin Spark == DuckDB for the shingle-bearing
+    doc queries, so a fixture regeneration with short docs can't
+    surface a divergence (e.g. Spark sequence() auto-steps -1 on
+    descending ranges where DuckDB range() is empty)."""
+    import duckdb
+
+    import pandas as pd
+
+    from bigdata_riveranalysis_spark.plans.registry import REGISTRY
+
+    from .test_oracle_diff import _canon_rows
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(8)),
+            "text": [
+                "",
+                "one",
+                "two words",
+                "three word doc",
+                "a a a a a a",
+                "x y x y x y x y",
+                "the quick brown fox jumps over the lazy dog",
+                "the quick brown fox jumps over the lazy dog",
+            ],
+            "lang": ["en"] * 8,
+            "source": ["src0", "src1"] * 4,
+        }
+    )
+    docs["n_chars"] = docs["text"].str.len().astype("int64")
+    path = tmp_path / "documents.parquet"
+    docs.to_parquet(path, index=False)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    for name in ("text_repetition_stats", "dedup_ngram_jaccard",
+                 "minhash_signatures", "dedup_incremental_minhash"):
+        q = REGISTRY[name]
+        sdf = q.fn(spark, str(tmp_path))
+        s_cols = list(sdf.columns)
+        s_rows = [tuple(r) for r in sdf.collect()]
+        rel = con.execute(q.oracle)
+        d_cols = [d[0] for d in rel.description]
+        d_rows = rel.fetchall()
+        assert sorted(s_cols) == sorted(d_cols), name
+        assert _canon_rows(s_cols, s_rows) == _canon_rows(d_cols, d_rows), name
