@@ -382,12 +382,21 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_agree") >= _MINHASH_MIN_AGREE)
     )
-    # A pair matching in k bands yields k identical score rows (first()
-    # deterministic — same as dedup_minhash_lsh), then per-batch-doc
-    # argmax with the oracle's (n_agree DESC, cid) tie-break.
-    pairs = scored.groupBy("bid", "cid").agg(F.first("n_agree").alias("n_agree"))
-    wb = W.partitionBy("bid").orderBy(F.desc("n_agree"), F.asc("cid"))
-    best = pairs.withColumn("rn", F.row_number().over(wb)).filter(F.col("rn") == 1)
+    # A pair matching in k bands yields k identical score rows, and
+    # duplicates can't change an argmax — so pair-dedup and per-batch-
+    # doc best-match fuse into ONE aggregation: min over the integer
+    # struct (−n_agree, cid) is the oracle's (n_agree DESC, cid)
+    # row_number tie-break, with map-side partial aggregation and one
+    # Exchange instead of the groupBy + window pair.
+    best = (
+        scored.groupBy("bid")
+        .agg(
+            F.min(
+                F.struct((-F.col("n_agree")).alias("na"), F.col("cid").alias("cid"))
+            ).alias("b")
+        )
+        .select("bid", F.col("b.cid").alias("cid"), (-F.col("b.na")).alias("n_agree"))
+    )
     return (
         bsig.select("doc_id")
         .join(F.broadcast(best.withColumnRenamed("bid", "doc_id")), ["doc_id"], "left")
