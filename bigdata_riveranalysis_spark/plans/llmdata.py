@@ -1348,6 +1348,13 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
         SELECT doc_id, {TX.TOKENS_SQL.format(c="text")} AS t FROM documents
     ),
+    top AS (
+        SELECT doc_id, max(c) AS top_token_count
+        FROM (SELECT doc_id, w, count(*) AS c
+              FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+              GROUP BY doc_id, w)
+        GROUP BY doc_id
+    ),
     grams AS (
         SELECT doc_id, t,
                CASE WHEN len(t) >= 2 THEN {TX.word_shingles_sql("t", 2)}
@@ -1357,15 +1364,14 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM toks
     ),
     m AS (
-        SELECT doc_id,
+        SELECT g.doc_id,
                len(t) AS n_tokens,
-               list_max(list_transform(list_distinct(t),
-                        w -> len(list_filter(t, s -> s = w)))) AS top_token_count,
+               top.top_token_count,
                len(g2) AS n_2grams,
                len(g2) - len(list_distinct(g2)) AS n_dup_2grams,
                len(g3) AS n_3grams,
                len(g3) - len(list_distinct(g3)) AS n_dup_3grams
-        FROM grams
+        FROM grams g JOIN top ON g.doc_id = top.doc_id
     )
     SELECT doc_id, n_tokens, top_token_count,
            n_2grams, n_dup_2grams, n_3grams, n_dup_3grams,
@@ -1385,17 +1391,31 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Engine-exact by construction: every output is an integer count,
     and the flag is integer cross-multiplication (5·top > n etc.), so
-    there is no float to drift. Single narrow codegen'd pass, no
-    shuffle, no Python; work is row-local (top-token count is
-    O(distinct·n) inside the row — bounded by document length, so the
-    pass scales linearly with corpus size; a 100 TB variant with
-    megabyte documents would swap that one term for an
-    explode → count → max_by top-1, the same two-Exchange shape as
-    dedup_exact).
+    there is no float to drift. The gram stats are a narrow row-local
+    pass (array_distinct/size — native functions, codegen'd); the
+    top-token count runs as explode → (doc, token) count → per-doc
+    max — fully codegen'd two-Exchange aggregation, the same shape as
+    dedup_exact. (A row-local transform/filter-lambda formulation is
+    O(distinct·n) in INTERPRETED higher-order lambdas — HOF lambdas
+    never enter codegen — and measured ~5× slower at bench scale;
+    it also caps at per-row memory, while the exploded shape spreads
+    megabyte documents across reducers.)
     """
     docs = _docs(spark, sf_dir)
-    t = TX.tokens("text")
+    base = docs.select("doc_id", TX.tokens("text").alias("t"))
+    t = F.col("t")
     empty = F.array().cast("array<string>")
+
+    # tokens() of any string is non-empty (split yields [''] on ""),
+    # so explode_nonempty is safe and dodges the
+    # InferFiltersFromGenerate recompute on computed arrays.
+    top = (
+        base.select("doc_id", explode_nonempty(t).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_token_count"))
+    )
 
     def grams(n: int) -> F.Column:
         # Spark's sequence() auto-steps -1 on descending ranges, so
@@ -1405,24 +1425,24 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.when(F.size(t) >= n, TX.word_shingles(t, n)).otherwise(empty)
 
     g2, g3 = grams(2), grams(3)
-    top = F.array_max(
-        F.transform(F.array_distinct(t), lambda w: F.size(F.filter(t, lambda s: s == w)))
-    )
-    m = docs.select(
+    m = base.select(
         "doc_id",
         F.size(t).alias("n_tokens"),
-        top.alias("top_token_count"),
         F.size(g2).alias("n_2grams"),
         (F.size(g2) - F.size(F.array_distinct(g2))).alias("n_dup_2grams"),
         F.size(g3).alias("n_3grams"),
         (F.size(g3) - F.size(F.array_distinct(g3))).alias("n_dup_3grams"),
-    )
+    ).join(top, ["doc_id"])
     rep = (
         (F.lit(5) * F.col("top_token_count") > F.col("n_tokens"))
         | (F.lit(10) * F.col("n_dup_2grams") > F.lit(3) * F.col("n_2grams"))
         | (F.lit(5) * F.col("n_dup_3grams") > F.col("n_3grams"))
     )
-    return m.select("*", rep.alias("is_repetitive"))
+    return m.select(
+        "doc_id", "n_tokens", "top_token_count",
+        "n_2grams", "n_dup_2grams", "n_3grams", "n_dup_3grams",
+        rep.alias("is_repetitive"),
+    )
 
 
 @query(
