@@ -69,6 +69,7 @@ _ROTATE_FIRST = [
     "ann_ivf_recall_nprobe2",  # new in r5 — first driver check
     "text_repetition_stats",  # new in r5 — first driver check
     "dedup_incremental_minhash",  # new in r5 — first driver check
+    "full_outer_nation_wealth",  # new in r5 — first driver check
 ]
 
 

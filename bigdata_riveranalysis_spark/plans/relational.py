@@ -399,6 +399,59 @@ def anti_join_parts_never_shipped(spark: SparkSession, sf_dir: str) -> DataFrame
     return part.join(li, part.p_partkey == li.l_partkey, "left_anti").select("p_partkey", "p_name")
 
 
+@query(
+    "full_outer_nation_wealth",
+    oracle="""
+    WITH c AS (
+        SELECT c_nationkey AS k, count(*) AS n_rich_customers
+        FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey
+    ),
+    s AS (
+        SELECT s_nationkey AS k, count(*) AS n_rich_suppliers
+        FROM supplier WHERE s_acctbal > 9000 GROUP BY s_nationkey
+    )
+    SELECT n.n_name,
+           coalesce(c.n_rich_customers, 0) AS n_rich_customers,
+           coalesce(s.n_rich_suppliers, 0) AS n_rich_suppliers
+    FROM c FULL OUTER JOIN s ON c.k = s.k
+    JOIN nation n ON n.n_nationkey = coalesce(c.k, s.k)
+    """,
+)
+def full_outer_nation_wealth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: per-nation counts of high-balance customers
+    vs high-balance suppliers, keeping nations present on either side
+    only (the filters create genuinely one-sided rows). Completes the
+    join-type surface next to the semi/anti/as-of/range queries.
+
+    Scale: both inputs aggregate BEFORE the join, so the full-outer
+    operates on ≤ |nations| rows per side — a sort-merge join of two
+    tiny aggregates (full outer cannot broadcast: either side may
+    need to emit unmatched rows, so Spark correctly refuses a
+    broadcast strategy) — and the nation dim joins broadcast.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    c = (
+        cust.filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("ck"))
+        .agg(F.count("*").alias("n_rich_customers"))
+    )
+    s = (
+        supp.filter(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("sk"))
+        .agg(F.count("*").alias("n_rich_suppliers"))
+    )
+    both = c.join(s, c.ck == s.sk, "full_outer").select(
+        F.coalesce(c.ck, s.sk).alias("k"),
+        F.coalesce("n_rich_customers", F.lit(0)).alias("n_rich_customers"),
+        F.coalesce("n_rich_suppliers", F.lit(0)).alias("n_rich_suppliers"),
+    )
+    return both.join(
+        F.broadcast(nation), both.k == nation.n_nationkey
+    ).select("n_name", "n_rich_customers", "n_rich_suppliers")
+
+
 # --------------------------------------------------------------------------
 # Filters / projection
 # --------------------------------------------------------------------------
