@@ -465,6 +465,41 @@ def test_upsert_sink_pointer_commit_survives_read_failure(spark, tmp_path):
     assert os.path.exists(os.path.join(live, "part-00000.parquet"))
 
 
+def test_upsert_sink_pointer_crash_before_flip_keeps_old_live(spark, tmp_path):
+    """Crash AFTER writing a new generation but BEFORE the pointer
+    flip: the pointer still names the old generation, so readers keep
+    the old table; the next batch merges from the POINTER's target
+    (not the orphan) and sweeps the orphan dir."""
+    from bigdata_riveranalysis_spark.streaming.sinks import (
+        read_serving_table,
+        resolve_serving_path,
+        start_upsert_sink,
+    )
+
+    out = str(tmp_path / "serve")
+    # Committed generation __b7 with user 1; orphan __b9 (a crashed
+    # batch's output, never committed) with a WRONG state that must
+    # not be read or merged from.
+    spark.createDataFrame([(1, 10.0)], "user_id bigint, total double") \
+        .write.parquet(out + "__b7")
+    spark.createDataFrame([(99, 999.0)], "user_id bigint, total double") \
+        .write.parquet(out + "__b9")
+    with open(out + ".ptr", "w") as fh:
+        fh.write(os.path.basename(out) + "__b7")
+
+    b1 = [_ev(2, "2024-01-01 00:00:00", user_id=2, value=20.0)]
+    src1 = _write_files(tmp_path, [b1])
+    stream = file_json_stream(spark, src1, max_files_per_trigger=1)
+    agg = stream.groupBy("user_id").agg(F.sum("value").alias("total"))
+    q = start_upsert_sink(agg, out, str(tmp_path / "ckpt_cf"), ("user_id",),
+                          trigger_available_now=True, commit="pointer")
+    q.awaitTermination(120)
+    rows = {r.user_id: r.total for r in read_serving_table(spark, out).collect()}
+    assert rows == {1: 10.0, 2: 20.0}  # merged from __b7, not the orphan
+    assert not os.path.exists(out + "__b9")  # orphan swept
+    assert "__b" in os.path.basename(resolve_serving_path(out))
+
+
 def test_upsert_sink_pointer_retry_pingpong_never_overwrites_live(spark, tmp_path):
     """Retry of an already-committed batch (crash between pointer flip
     and checkpoint commit): the pointer names `__b0`, and batch 0 runs
