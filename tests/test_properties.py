@@ -445,3 +445,43 @@ def test_short_doc_guards_match_oracle(spark, tmp_path):
         d_rows = rel.fetchall()
         assert sorted(s_cols) == sorted(d_cols), name
         assert _canon_rows(s_cols, s_rows) == _canon_rows(d_cols, d_rows), name
+
+
+@SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=0, max_size=12),
+        min_size=1,
+        max_size=10,
+    ),
+    cap=st.integers(1, 10),
+)
+def test_jaccard_local_matches_set_arithmetic(spark, docs, cap):
+    """_jaccard_local's factorize + f32 blocked matmul + multiply-form
+    threshold must equal plain Python set arithmetic (with the df-cap
+    applied) on arbitrary tiny corpora — including empty sets, full
+    duplicates, and caps that zero out every gram."""
+    from bigdata_riveranalysis_spark.plans.llmdata import (
+        JACCARD_THRESHOLD,
+        _jaccard_local,
+    )
+
+    rows = [(i, sorted(set(d))) for i, d in enumerate(docs)]
+    sh = spark.createDataFrame(rows, "doc_id long, s array<string>")
+    out = _jaccard_local(spark, sh, cap)
+    assert out is not None  # tiny inputs never exceed the dense gates
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in out.collect()}
+
+    from collections import Counter
+
+    dfc = Counter(g for _, s in rows for g in s)
+    sets = {i: {g for g in s if dfc[g] <= cap} for i, s in rows}
+    want = {}
+    for i in sets:
+        for j in sets:
+            if i < j:
+                union = sets[i] | sets[j]
+                inter = sets[i] & sets[j]
+                if union and len(inter) / len(union) >= JACCARD_THRESHOLD:
+                    want[(i, j)] = round(len(inter) / len(union), 4)
+    assert got == want
