@@ -70,6 +70,11 @@ _ROTATE_FIRST = [
     "text_repetition_stats",  # new in r5 — first driver check
     "dedup_incremental_minhash",  # new in r5 — first driver check
     "full_outer_nation_wealth",  # new in r5 — first driver check
+    "docs_quality_funnel",  # new in r5 — first driver check
+    "ngram_topk_corpus",  # new in r5 — first driver check
+    "anomaly_mad_sensor",  # new in r5 — first driver check
+    "events_funnel_conversion",  # new in r5 — first driver check
+    "agg_decimal_bigsum",  # new in r5 — first driver check
 ]
 
 

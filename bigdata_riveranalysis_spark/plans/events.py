@@ -218,3 +218,88 @@ def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
         .fillna(0, subset=list(EVENT_TYPES))
     )
+
+
+@query(
+    "events_funnel_conversion",
+    oracle="""
+    WITH v AS (
+        SELECT user_id,
+               min(ts) FILTER (WHERE event_type = 'view') AS t_view
+        FROM events GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id,
+               min(e.ts) FILTER (WHERE e.event_type = 'click'
+                                 AND e.ts >= v.t_view) AS t_click,
+               min(v.t_view) AS t_view
+        FROM events e JOIN v USING (user_id) GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id,
+               min(e.ts) FILTER (WHERE e.event_type = 'purchase'
+                                 AND e.ts >= c.t_click) AS t_purchase,
+               min(c.t_view) AS t_view, min(c.t_click) AS t_click
+        FROM events e JOIN c USING (user_id) GROUP BY e.user_id
+    )
+    SELECT count(*)          AS n_users,
+           count(t_view)     AS n_view,
+           count(t_click)    AS n_view_click,
+           count(t_purchase) AS n_full_funnel,
+           floor((20000 * count(t_purchase) + count(*)) / (2 * count(*)))
+               / 10000.0     AS full_rate
+    FROM p
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: a user
+    advances a stage only with an event at-or-after their previous
+    stage's timestamp (first view, then first click ≥ that view, then
+    first purchase ≥ that click) — the product-analytics staple the
+    reference's event pipeline feeds but never computes.
+
+    Stage timestamps chain through cascading conditional-min
+    aggregations: each pass needs the previous stage's per-user time,
+    so the dependency depth (3 stages) fixes the pass count — but NOT
+    the shuffle count: every groupBy and join keys on user_id, so
+    after the first Exchange the plan reuses the same hash
+    partitioning end-to-end (one full-data shuffle + per-user-row
+    joins; verify with ReusedExchange in the plan). A NULL stage time
+    never advances (NULL-propagating compare), so funnel counts are
+    monotone by construction. All outputs are integer counts plus one
+    exact half-up ratio — engine-exact.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    ts, et = F.col("ts"), F.col("event_type")
+    v = ev.groupBy("user_id").agg(
+        F.min(F.when(et == "view", ts)).alias("t_view")
+    )
+    c = (
+        ev.join(v, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when((et == "click") & (ts >= F.col("t_view")), ts)).alias("t_click"),
+            F.min("t_view").alias("t_view"),
+        )
+    )
+    p = (
+        ev.join(c, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when((et == "purchase") & (ts >= F.col("t_click")), ts)).alias(
+                "t_purchase"
+            ),
+            F.min("t_view").alias("t_view"),
+            F.min("t_click").alias("t_click"),
+        )
+    )
+    n, full = F.count("*"), F.count("t_purchase")
+    return p.agg(
+        n.alias("n_users"),
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_view_click"),
+        full.alias("n_full_funnel"),
+        (F.floor((F.lit(20000) * full + n) / (F.lit(2) * n)) / F.lit(10000.0)).alias(
+            "full_rate"
+        ),
+    )

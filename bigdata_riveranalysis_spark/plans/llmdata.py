@@ -2189,3 +2189,56 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(attach_payload(docs)).select(
         "doc_id", "frame_no", "frame_len", "frame_first_byte"
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level n-gram statistics
+# ---------------------------------------------------------------------------
+
+#: Top-k cutoff for corpus n-gram reports.
+NGRAM_TOPK = 20
+
+
+@query(
+    "ngram_topk_corpus",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {TX.TOKENS_SQL.format(c="text")} AS t FROM documents
+    ),
+    g AS (
+        SELECT doc_id, unnest(list_distinct({TX.word_shingles_sql("t", 2)})) AS gram
+        FROM toks WHERE len(t) >= 2
+    )
+    SELECT gram, count(*) AS doc_freq
+    FROM g GROUP BY gram
+    ORDER BY doc_freq DESC, gram LIMIT {NGRAM_TOPK}
+    """,
+)
+def ngram_topk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-{NGRAM_TOPK} word bigrams by DOCUMENT frequency —
+    the boilerplate detector: phrases that appear in a large fraction
+    of documents are navigation chrome / license headers / templates,
+    and their doc-frequency ranking is what seeds a boilerplate
+    strip-list (and the df-cap used by dedup_ngram_jaccard's inverted
+    index).
+
+    Per-doc array_distinct BEFORE the explode keeps the counted unit
+    document-frequency (and caps a pathological looping doc's
+    contribution at 1). The aggregate partial-combines map-side, and
+    the top-k is TakeOrderedAndProject — each task keeps {NGRAM_TOPK}
+    rows, the driver merges task heads; no global sort at any scale.
+    Deterministic tie-break: (doc_freq DESC, gram ASC).
+    """
+    docs = _docs(spark, sf_dir)
+    t = TX.tokens("text")
+    grams = (
+        docs.select("doc_id", t.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(explode_nonempty(F.array_distinct(TX.word_shingles(F.col("t"), 2))).alias("gram"))
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), "gram")
+        .limit(NGRAM_TOPK)
+    )

@@ -1126,3 +1126,50 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         EX.sum_round4(EX.cents("amount"), 2).alias("total"),
         EX.avg_round4(EX.cents("amount"), 2).alias("mean"),
     )
+
+
+@query(
+    "agg_decimal_bigsum",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           CAST(sum(CAST({_REV_INT_SQL} AS DECIMAL(38, 0))) AS VARCHAR)
+               AS sum_disc_price_s4,
+           CAST(sum(CAST({_REV_INT_SQL} * (100 + {EX.cents_sql('l_tax')})
+                         AS DECIMAL(38, 0))) AS VARCHAR)
+               AS sum_charge_s6
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_decimal_bigsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q1's scale-6 money sums on DECIMAL(38,0) — the documented
+    large-SF escape hatch (q1_pricing_summary's headroom note) as a
+    living, verified plan rather than a comment: the ~1e11-per-row
+    charge term overflows a per-group long sum around sf30, while a
+    DECIMAL(38) sum holds to ~1e26 rows/group — beyond any real
+    cluster — with the exact same fixed-point semantics.
+
+    Sums are emitted as STRINGS of the full-precision integers:
+    decimal division/round rules legitimately differ between engines,
+    but the undivided sums are exact integers both engines render
+    identically — so the oracle pins the entire 38-digit value, not a
+    rounded projection of it. Single shuffle, map-side partial
+    aggregation in decimal (Spark's Sum operates on UnscaledValue
+    longs until overflow risk, then Decimal128 — Tungsten-resident
+    either way).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    disc_int = _REV_INT().cast(dec)
+    charge_int = (_REV_INT() * (F.lit(100) + EX.cents("l_tax"))).cast(dec)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(disc_int).cast("string").alias("sum_disc_price_s4"),
+            F.sum(charge_int).cast("string").alias("sum_charge_s6"),
+        )
+    )

@@ -290,3 +290,68 @@ def sensor_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("v", ignorenulls=True).over(w).alias("value_ffill"),
         F.when(F.col("n") == 0, 1).otherwise(0).alias("is_gap"),
     )
+
+
+@query(
+    "anomaly_mad_sensor",
+    oracle="""
+    WITH c AS (
+        SELECT event_id, user_id, value,
+               CAST(round(value * 100) AS BIGINT) AS c
+        FROM events
+    ),
+    m AS (SELECT user_id, quantile_cont(c, 0.5) AS med FROM c GROUP BY user_id),
+    d AS (SELECT c.*, m.med, abs(c.c - m.med) AS dev
+          FROM c JOIN m USING (user_id)),
+    md AS (SELECT user_id, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY user_id)
+    SELECT d.event_id, d.user_id AS sensor_id, round(d.value, 4) AS value,
+           round((d.c - d.med) / (1.4826 * md.mad), 4) AS robust_z
+    FROM d JOIN md USING (user_id)
+    WHERE md.mad > 0 AND abs(d.c - d.med) > 4.4478 * md.mad
+    """,
+)
+def anomaly_mad_sensor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection via median absolute deviation — the
+    outlier-resistant twin of sensor_zscore_anomalies: a sensor whose
+    history contains spikes inflates its stddev (masking later
+    spikes), but barely moves its median/MAD. Flags |x − med| >
+    3·1.4826·MAD (1.4826 = consistency constant making MAD estimate
+    σ under normality), reporting the robust z-score.
+
+    Engine-exact without integer moments: the inputs to both
+    percentile passes are exactly representable doubles (cent-scaled
+    BIGINTs, then deviations on the 0.5 grid), and linear
+    interpolation at fraction 0.5 is exact double midpoint math — so
+    med, dev, and mad are bit-identical across engines, and the flag
+    compare (one rounded multiply, identical op tree) cannot flip.
+    Zero-MAD sensors (>50% identical readings) are excluded: every
+    deviation would be infinitely anomalous — the caller's signal to
+    fall back to the zscore variant.
+
+    Scale: two aggregate passes over the readings (median needs a
+    first pass; MAD needs deviations FROM that median), each followed
+    by a broadcast of the tiny per-sensor stats — no second full-data
+    shuffle for the joins. Exact percentile buffers per-group values
+    (same caveat as agg_percentiles_lineitem); at 100 TB both passes
+    swap to approx_percentile (t-digest, mergeable partials) with the
+    flag threshold unchanged.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select("event_id", "user_id", "value", EX.cents("value").alias("c"))
+    med = base.groupBy("user_id").agg(F.percentile("c", F.lit(0.5)).alias("med"))
+    d = base.join(F.broadcast(med), "user_id").withColumn(
+        "dev", F.abs(F.col("c") - F.col("med"))
+    )
+    mad = d.groupBy("user_id").agg(F.percentile("dev", F.lit(0.5)).alias("mad"))
+    return (
+        d.join(F.broadcast(mad), "user_id")
+        .filter((F.col("mad") > 0) & (F.col("dev") > 4.4478 * F.col("mad")))
+        .select(
+            "event_id",
+            F.col("user_id").alias("sensor_id"),
+            F.round("value", 4).alias("value"),
+            F.round((F.col("c") - F.col("med")) / (F.lit(1.4826) * F.col("mad")), 4).alias(
+                "robust_z"
+            ),
+        )
+    )

@@ -564,3 +564,71 @@ def seq_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binned.groupBy("source", "bin").agg(
         F.count("*").alias("n_docs"), F.sum("n_tok").alias("tokens_in_bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-filter funnel
+# ---------------------------------------------------------------------------
+
+#: Funnel thresholds (chars, then tokens) — config-as-constants like
+#: MIX_WEIGHTS; chosen to discriminate on the synthetic corpus
+#: (n_chars spans ~50-550, token counts ~10-110).
+FUNNEL_MIN_CHARS = 200
+FUNNEL_MIN_TOKENS = 30
+
+
+@query(
+    "docs_quality_funnel",
+    oracle=f"""
+    WITH staged AS (
+        SELECT lang,
+               (n_chars >= {FUNNEL_MIN_CHARS}) AS s1,
+               (n_chars >= {FUNNEL_MIN_CHARS}
+                AND len({TX.TOKENS_SQL.format(c="text")}) >= {FUNNEL_MIN_TOKENS}) AS s2,
+               (n_chars >= {FUNNEL_MIN_CHARS}
+                AND len({TX.TOKENS_SQL.format(c="text")}) >= {FUNNEL_MIN_TOKENS}
+                AND len(list_intersect({TX.TOKENS_SQL.format(c="text")},
+                        [{", ".join(f"'{s}'" for s in TX.STOPWORDS)}])) > 0) AS s3
+        FROM documents
+    )
+    SELECT lang,
+           count(*)                     AS n_docs,
+           count(*) FILTER (WHERE s1)   AS n_len_ok,
+           count(*) FILTER (WHERE s2)   AS n_tok_ok,
+           count(*) FILTER (WHERE s3)   AS n_clean,
+           floor((20000 * count(*) FILTER (WHERE s3) + count(*))
+                 / (2 * count(*))) / 10000.0 AS retained_rate
+    FROM staged GROUP BY lang
+    """,
+)
+def docs_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-stage quality-filter funnel with per-stage survival counts
+    — the "how much corpus does each filter cost me" report every
+    curation pipeline runs before committing to thresholds (cf. the
+    filter-ablation tables in C4/Gopher/RefinedWeb dataset papers).
+
+    Stages cascade (each implies the previous): length floor → token
+    floor → stopword presence (the classic natural-language screen).
+    All counts are integers from a SINGLE scan — conditional
+    aggregation, not one pass per stage — and the retention rate is
+    the exact half-up integer ratio (functions.exact), so the output
+    is engine-exact. At 100 TB this is scan speed + a 5-group
+    aggregate: the cheapest possible shape for an N-stage report.
+    """
+    docs = _docs(spark, sf_dir)
+    t = TX.tokens("text")
+    stop_arr = F.array(*[F.lit(s) for s in TX.STOPWORDS])
+    s1 = F.col("n_chars") >= FUNNEL_MIN_CHARS
+    s2 = s1 & (F.size(t) >= FUNNEL_MIN_TOKENS)
+    s3 = s2 & F.arrays_overlap(t, stop_arr)
+    staged = docs.select("lang", s1.alias("s1"), s2.alias("s2"), s3.alias("s3"))
+    n, n_clean = F.count("*"), F.count_if("s3")
+    return staged.groupBy("lang").agg(
+        n.alias("n_docs"),
+        F.count_if("s1").alias("n_len_ok"),
+        F.count_if("s2").alias("n_tok_ok"),
+        n_clean.alias("n_clean"),
+        (F.floor((F.lit(20000) * n_clean + n) / (F.lit(2) * n)) / F.lit(10000.0)).alias(
+            "retained_rate"
+        ),
+    )
