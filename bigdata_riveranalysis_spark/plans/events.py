@@ -261,10 +261,12 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     Stage timestamps chain through cascading conditional-min
     aggregations: each pass needs the previous stage's per-user time,
     so the dependency depth (3 stages) fixes the pass count — but NOT
-    the shuffle count: every groupBy and join keys on user_id, so
-    after the first Exchange the plan reuses the same hash
-    partitioning end-to-end (one full-data shuffle + per-user-row
-    joins; verify with ReusedExchange in the plan). A NULL stage time
+    the join cost: every groupBy and join keys on user_id. At bench
+    scale AQE broadcasts the tiny per-user stage tables (observed:
+    BroadcastHashJoin ×2 — no extra full-data shuffle); at 100 TB,
+    where per-user rows outgrow broadcast, all operators share the
+    user_id hash partitioning so the fact side's Exchange is built
+    once and reused across the cascade. A NULL stage time
     never advances (NULL-propagating compare), so funnel counts are
     monotone by construction. All outputs are integer counts plus one
     exact half-up ratio — engine-exact.
