@@ -75,6 +75,7 @@ _ROTATE_FIRST = [
     "anomaly_mad_sensor",  # new in r5 — first driver check
     "events_funnel_conversion",  # new in r5 — first driver check
     "agg_decimal_bigsum",  # new in r5 — first driver check
+    "sensor_rollup_time_grains",  # new in r5 — first driver check
 ]
 
 

@@ -355,3 +355,80 @@ def anomaly_mad_sensor(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "sensor_rollup_time_grains",
+    oracle=f"""
+    WITH b AS (
+        SELECT user_id, value,
+               date_trunc('hour', ts)  AS h,
+               date_trunc('day', ts)   AS d,
+               date_trunc('month', ts) AS m
+        FROM events
+    )
+    SELECT user_id AS sensor_id,
+           CASE WHEN GROUPING(h) = 0 THEN 'hour'
+                WHEN GROUPING(d) = 0 THEN 'day'
+                ELSE 'month' END AS grain,
+           strftime(coalesce(h, d, m), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+           count(*)             AS n_readings,
+           {_avg4_exact_sql()}  AS avg_value,
+           round(min(value), 4) AS min_value,
+           round(max(value), 4) AS max_value
+    FROM b
+    GROUP BY GROUPING SETS ((user_id, h), (user_id, d), (user_id, m))
+    """,
+)
+def sensor_rollup_time_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: per-sensor stats
+    at hour, day, AND month grain from ONE scan — the multi-resolution
+    downsampling a time-series store precomputes (cf. TimescaleDB
+    continuous aggregates / Druid rollup), as a single GROUPING SETS
+    pass.
+
+    Scale: Spark expands the three grains map-side (Expand ×3) but
+    partial aggregation collapses each task's expansion to its
+    distinct (sensor, bucket) rows before the single shuffle — versus
+    three separate jobs re-reading the fact table. The grain label
+    derives from GROUPING() (which set produced the row), not from
+    NULL-sniffing bucket values, so a genuinely-NULL bucket could
+    never mislabel. At 100 TB the monthly/daily rows are the
+    dashboard-serving layer; writing them partitioned by grain gives
+    readers partition pruning per resolution.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id",
+        "value",
+        F.date_trunc("hour", "ts").alias("h"),
+        F.date_trunc("day", "ts").alias("d"),
+        F.date_trunc("month", "ts").alias("m"),
+    )
+    grain = (
+        F.when(F.grouping("h") == 0, "hour")
+        .when(F.grouping("d") == 0, "day")
+        .otherwise("month")
+    )
+    return (
+        b.groupingSets(
+            [["user_id", "h"], ["user_id", "d"], ["user_id", "m"]],
+            "user_id", "h", "d", "m",
+        )
+        .agg(
+            grain.alias("grain"),
+            F.count("*").alias("n_readings"),
+            _avg4_exact().alias("avg_value"),
+            F.round(F.min("value"), 4).alias("min_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+        )
+        .select(
+            F.col("user_id").alias("sensor_id"),
+            "grain",
+            F.date_format(F.coalesce("h", "d", "m"), "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+            "n_readings",
+            "avg_value",
+            "min_value",
+            "max_value",
+        )
+    )
