@@ -76,6 +76,7 @@ _ROTATE_FIRST = [
     "events_funnel_conversion",  # new in r5 — first driver check
     "agg_decimal_bigsum",  # new in r5 — first driver check
     "sensor_rollup_time_grains",  # new in r5 — first driver check
+    "events_retention_cohorts",  # new in r5 — first driver check
 ]
 
 

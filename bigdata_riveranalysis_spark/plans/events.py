@@ -305,3 +305,51 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "full_rate"
         ),
     )
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH aw AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+    ),
+    c AS (
+        SELECT user_id, min(w) AS cohort FROM aw GROUP BY user_id
+    )
+    SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_week,
+           date_diff('day', c.cohort, aw.w) // 7 AS weeks_since,
+           count(*) AS n_active_users
+    FROM aw JOIN c USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active week
+    (their cohort), counted in each subsequent week they return —
+    the triangle chart behind every retention dashboard. Weekly
+    grain: the fixture clickstream spans ~one month, so weeks give a
+    real matrix where months would collapse to one cell; the grain
+    is one date_trunc argument either way.
+
+    The week-activity relation is deduplicated FIRST (distinct
+    (user, week) — partial-aggregated map-side, so the shuffle
+    carries at most users × weeks rows, not raw events), and the
+    cohort table derives from that same small relation, not from a
+    second scan of the fact table. The cohort join keys on user_id
+    against a one-row-per-user table — broadcast at dashboard scales,
+    shuffle-join with exchange reuse beyond. weeks_since is exact
+    integer day arithmetic on week-start timestamps (both engines
+    truncate weeks to Monday; the day delta is an exact multiple
+    of 7).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    aw = ev.select("user_id", F.date_trunc("week", "ts").alias("w")).distinct()
+    c = aw.groupBy("user_id").agg(F.min("w").alias("cohort"))
+    return (
+        aw.join(c, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(F.datediff("w", "cohort") / 7).cast("long").alias("weeks_since"),
+        )
+        .agg(F.count("*").alias("n_active_users"))
+    )

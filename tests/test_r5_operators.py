@@ -125,3 +125,31 @@ def test_decimal_bigsum_agrees_with_long_path(spark):
         s6 = int(d.sum_charge_s6)  # scale 6: half-up to 4 decimals
         assert q1[key].sum_charge == ((2 * s6 + 100) // 200) / 10000.0, key
         assert q1[key].count_order == d.n_rows, key
+
+
+def test_retention_cohorts_triangle(spark, tmp_path):
+    """Two cohorts with known return patterns produce the expected
+    triangle — including a user who skips a week (gap weeks get no
+    row, they don't shift later offsets)."""
+    rows = [
+        # cohort A (week of 2026-01-05): u1 active wk0, wk1, wk3; u2 wk0 only
+        (1, "2026-01-05 10:00:00", 1, "view", 1.0),
+        (2, "2026-01-13 10:00:00", 1, "view", 1.0),
+        (3, "2026-01-28 10:00:00", 1, "view", 1.0),
+        (4, "2026-01-07 10:00:00", 2, "view", 1.0),
+        # cohort B (week of 2026-01-12): u3 active wk0 and wk1
+        (5, "2026-01-14 10:00:00", 3, "view", 1.0),
+        (6, "2026-01-20 10:00:00", 3, "view", 1.0),
+    ]
+    sf_dir = _write_events(tmp_path, rows)
+    out = {
+        (r.cohort_week, r.weeks_since): r.n_active_users
+        for r in REGISTRY["events_retention_cohorts"].fn(spark, sf_dir).collect()
+    }
+    assert out == {
+        ("2026-01-05", 0): 2,  # u1, u2
+        ("2026-01-05", 1): 1,  # u1
+        ("2026-01-05", 3): 1,  # u1 (wk2 gap: no row)
+        ("2026-01-12", 0): 1,  # u3
+        ("2026-01-12", 1): 1,  # u3
+    }
