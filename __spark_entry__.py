@@ -77,6 +77,7 @@ _ROTATE_FIRST = [
     "agg_decimal_bigsum",  # new in r5 — first driver check
     "sensor_rollup_time_grains",  # new in r5 — first driver check
     "events_retention_cohorts",  # new in r5 — first driver check
+    "sample_stratified_topn",  # new in r5 — first driver check
 ]
 
 

@@ -147,6 +147,8 @@ def main() -> None:
         "sql_q10_returned_revenue",
         "stream_windowed_quality",
         "stream_stream_join",
+        "events_funnel_conversion",
+        "sensor_rollup_time_grains",
     ]
     headline = {n: timings[n] for n in headline_names if n in timings}
     payload = json.dumps(

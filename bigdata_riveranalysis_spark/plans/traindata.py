@@ -632,3 +632,52 @@ def docs_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retained_rate"
         ),
     )
+
+
+#: Exact per-stratum sample size for sample_stratified_topn.
+STRATIFIED_N = 10
+
+
+@query(
+    "sample_stratified_topn",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT source, doc_id,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY {TX.hash32_sql("CAST(doc_id AS VARCHAR)")}, doc_id
+               ) AS rnk
+        FROM documents
+    )
+    SELECT source, doc_id, rnk FROM ranked WHERE rnk <= {STRATIFIED_N}
+    """,
+)
+def sample_stratified_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-N stratified sampling: precisely {STRATIFIED_N} documents
+    per source, selected by deterministic hash rank — the complement
+    of sample_domain_mix (which keeps a deterministic FRACTION per
+    stratum, so its per-stratum counts vary with corpus size; eval-set
+    construction and per-domain probes need exact counts).
+
+    Hash-ordering (md5 of the key, not the key itself) makes the
+    sample unbiased w.r.t. ingestion order and stable across runs,
+    cluster sizes, AND corpus growth in the retained prefix sense:
+    a new doc displaces at most one old pick per stratum. doc_id
+    tie-breaks the (collision-improbable) equal hashes so row_number
+    is total.
+
+    Scale: the window shuffles each stratum to one reducer — fine for
+    N strata ≪ cluster. At 100 TB with huge strata, pre-filter with a
+    conservative hash threshold (keep hash < N/n_docs-per-stratum
+    × headroom, priced from table stats like the incremental-dedup
+    cutoff) so the shuffle carries candidates, not the corpus, then
+    rank the survivors identically.
+    """
+    docs = _docs(spark, sf_dir)
+    w = W.partitionBy("source").orderBy(
+        TX.hash32(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("source", "doc_id", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= STRATIFIED_N)
+    )

@@ -153,3 +153,32 @@ def test_retention_cohorts_triangle(spark, tmp_path):
         ("2026-01-12", 0): 1,  # u3
         ("2026-01-12", 1): 1,  # u3
     }
+
+
+def _write_docs(tmp_path, n, start=0):
+    df = pd.DataFrame(
+        {
+            "doc_id": range(start, start + n),
+            "text": [f"document number {i} body text" for i in range(start, start + n)],
+            "lang": ["en"] * n,
+            "source": ["srcA"] * n,
+        }
+    )
+    df["n_chars"] = df["text"].str.len().astype("int64")
+    df = df.astype({"doc_id": "int64"})
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+    return str(tmp_path)
+
+
+def test_stratified_topn_exact_count_and_growth_stability(spark, tmp_path):
+    """Exactly N picks per stratum, and corpus growth by one doc
+    displaces at most one prior pick (hash-rank stability — the
+    property that keeps eval sets comparable across crawls)."""
+    sf_dir = _write_docs(tmp_path, 30)
+    q = REGISTRY["sample_stratified_topn"].fn
+    before = {r.doc_id for r in q(spark, sf_dir).collect()}
+    assert len(before) == 10
+    _write_docs(tmp_path, 31)  # same 30 docs + one new
+    after = {r.doc_id for r in q(spark, sf_dir).collect()}
+    assert len(after) == 10
+    assert len(before & after) >= 9
