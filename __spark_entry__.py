@@ -78,6 +78,8 @@ _ROTATE_FIRST = [
     "sensor_rollup_time_grains",  # new in r5 — first driver check
     "events_retention_cohorts",  # new in r5 — first driver check
     "sample_stratified_topn",  # new in r5 — first driver check
+    "events_pareto_users",  # new in r5 — first driver check
+    "docs_length_histogram",  # new in r5 — first driver check
 ]
 
 

@@ -353,3 +353,66 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_active_users"))
     )
+
+
+@query(
+    "events_pareto_users",
+    oracle="""
+    WITH t AS (
+        SELECT user_id, sum(CAST(round(value * 100) AS BIGINT)) AS v
+        FROM events GROUP BY user_id
+    ),
+    o AS (
+        SELECT user_id, v,
+               sum(v) OVER (ORDER BY v DESC, user_id
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(v) OVER () AS tot,
+               row_number() OVER (ORDER BY v DESC, user_id) AS rnk
+        FROM t
+    )
+    SELECT user_id, rnk,
+           round(v / 100.0, 4)   AS total_value,
+           round(cum / (1.0 * tot), 4) AS cum_share,
+           ((cum - v) * 5 < tot * 4) AS in_top80
+    FROM o
+    """,
+)
+def events_pareto_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC contribution analysis: users ranked by total event
+    value with cumulative share and an in_top80 flag (users whose
+    cumulative share BEFORE them is under 80% — i.e. the head that
+    delivers the first 80% of value, whale-watching's "which 20% of
+    users matter").
+
+    The 80% membership test is pure integer cross-multiplication over
+    exact cent sums ((cum−v)·5 < tot·4), so the flag cannot flip on
+    float rounding; the reported shares are single-division doubles —
+    identical op trees on both engines. Scale: the windows run over
+    the PER-USER aggregate (one row per user), not the event log; the
+    unpartitioned ordered window is a deliberate single-reducer pass
+    over that small table — at 100 TB with billions of users, band
+    the cumsum by value-range buckets first (two-level prefix sums),
+    same outputs.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.groupBy("user_id").agg(F.sum(EX.cents("value")).alias("v"))
+    w_cum = W.orderBy(F.desc("v"), "user_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_all = W.orderBy(F.desc("v"), "user_id").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    o = t.select(
+        "user_id",
+        "v",
+        F.sum("v").over(w_cum).alias("cum"),
+        F.sum("v").over(w_all).alias("tot"),
+        F.row_number().over(W.orderBy(F.desc("v"), "user_id")).alias("rnk"),
+    )
+    return o.select(
+        "user_id",
+        "rnk",
+        F.round(F.col("v") / 100.0, 4).alias("total_value"),
+        F.round(F.col("cum") / (F.lit(1.0) * F.col("tot")), 4).alias("cum_share"),
+        ((F.col("cum") - F.col("v")) * 5 < F.col("tot") * 4).alias("in_top80"),
+    )

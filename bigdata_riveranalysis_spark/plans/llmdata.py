@@ -2242,3 +2242,45 @@ def ngram_topk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("doc_freq").desc(), "gram")
         .limit(NGRAM_TOPK)
     )
+
+
+#: Histogram config for docs_length_histogram: NB equal-width buckets
+#: over [0, HIST_HI); the last bucket absorbs the overflow tail.
+HIST_NB = 10
+HIST_HI = 600
+
+
+@query(
+    "docs_length_histogram",
+    oracle=f"""
+    SELECT least({HIST_NB - 1}, n_chars * {HIST_NB} // {HIST_HI}) AS bucket,
+           count(*)     AS n_docs,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram of document lengths — the distribution
+    profile that picks the funnel's length thresholds (and the shape
+    check after every corpus refresh). {HIST_NB} buckets of
+    {HIST_HI // HIST_NB} chars over [0, {HIST_HI}); the top bucket
+    absorbs the tail, so no row is dropped.
+
+    Bucketing is INTEGER division (Spark `div` ≡ DuckDB `//`) — no
+    float edge where a boundary-length doc lands in different buckets
+    per engine (the width_bucket-style float formulation has exactly
+    that hazard at representable boundaries). Single scan, map-side
+    partial aggregation to ≤{HIST_NB} rows per task: histogramming is
+    the cheapest possible profile at any scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.least(
+        F.lit(HIST_NB - 1), F.expr(f"n_chars * {HIST_NB} div {HIST_HI}")
+    )
+    return docs.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )

@@ -182,3 +182,21 @@ def test_stratified_topn_exact_count_and_growth_stability(spark, tmp_path):
     after = {r.doc_id for r in q(spark, sf_dir).collect()}
     assert len(after) == 10
     assert len(before & after) >= 9
+
+
+def test_pareto_top80_integer_boundary(spark, tmp_path):
+    """The in_top80 flag is integer-exact at the boundary: a user whose
+    preceding cumulative share is exactly 80% is OUT (strict <), with
+    no float wobble deciding it."""
+    rows = [
+        (1, "2026-01-01 10:00:00", 1, "view", 80.0),  # head: 80% of value
+        (2, "2026-01-01 10:01:00", 2, "view", 15.0),
+        (3, "2026-01-01 10:02:00", 3, "view", 5.0),
+    ]
+    sf_dir = _write_events(tmp_path, rows)
+    out = {r.user_id: r for r in REGISTRY["events_pareto_users"].fn(spark, sf_dir).collect()}
+    assert out[1].in_top80 is True and out[1].rnk == 1
+    # cum before u2 is exactly 80/100 -> excluded by strict <
+    assert out[2].in_top80 is False
+    assert out[3].in_top80 is False
+    assert out[1].cum_share == 0.8 and out[3].cum_share == 1.0
