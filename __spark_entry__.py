@@ -80,6 +80,7 @@ _ROTATE_FIRST = [
     "sample_stratified_topn",  # new in r5 — first driver check
     "events_pareto_users",  # new in r5 — first driver check
     "docs_length_histogram",  # new in r5 — first driver check
+    "embedding_quantize_int8",  # new in r5 — first driver check
 ]
 
 

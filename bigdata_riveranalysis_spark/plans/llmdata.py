@@ -2284,3 +2284,75 @@ def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH ex AS (
+        SELECT u.dim AS dim, u.v
+        FROM embeddings,
+             LATERAL (SELECT unnest(embedding) AS v,
+                             generate_subscripts(embedding, 1) AS dim) u
+    ),
+    d AS (
+        SELECT dim, CAST(min(v) AS DOUBLE) AS mn, CAST(max(v) AS DOUBLE) AS mx
+        FROM ex GROUP BY dim
+    ),
+    s AS (
+        SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs FROM d
+    )
+    SELECT vec_id,
+           list_transform(range(1, len(embedding) + 1),
+               i -> CASE WHEN s.mxs[i] = s.mns[i] THEN 0
+                         ELSE least(255, CAST(floor(
+                             (CAST(embedding[i] AS DOUBLE) - s.mns[i])
+                             / (s.mxs[i] - s.mns[i]) * 256) AS BIGINT))
+                    END) AS codes
+    FROM embeddings, s
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (SQ8) quantization: per-dimension min/max calibration
+    over the corpus, then each float32 component encoded as an 8-bit
+    bucket — the 4× memory cut that lets an ANN index hold 4× the
+    vectors per executor (the standard IVF+SQ8 layout; recall cost is
+    measured by the same harness as ann_ivf_recall_nprobe2).
+
+    Determinism: min/max of floats are exact element picks (no sum
+    drift), every arithmetic step is explicitly CAST to double so
+    both engines evaluate the identical op tree on identical bits,
+    and floor() of that identical double cannot diverge — so codes
+    are integer-exact across engines with no rounding tolerance
+    needed. Degenerate constant dimensions (max = min) encode 0.
+
+    Scale: calibration is posexplode → (dim) partial-agged min/max —
+    a 64-row result from any corpus size; the code pass is one
+    map-side transform against the broadcast calibration arrays (no
+    shuffle of vectors, no Python). The top code is clamped (x = max
+    → 255) so the range is exactly [0, 255].
+    """
+    emb = _embs(spark, sf_dir)
+    ex = emb.select(F.posexplode("embedding").alias("dim", "v"))
+    d = ex.groupBy("dim").agg(
+        F.min("v").cast("double").alias("mn"), F.max("v").cast("double").alias("mx")
+    )
+    stats = d.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mn"))), lambda s: s.mn
+        ).alias("mns"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mx"))), lambda s: s.mx
+        ).alias("mxs"),
+    )
+
+    def code(x, i):
+        mn = F.element_at("mns", i + 1)
+        mx = F.element_at("mxs", i + 1)
+        q = F.floor((x.cast("double") - mn) / (mx - mn) * 256).cast("long")
+        return F.when(mx == mn, F.lit(0).cast("long")).otherwise(F.least(F.lit(255), q))
+
+    return (
+        emb.crossJoin(F.broadcast(stats))
+        .select("vec_id", F.transform("embedding", code).alias("codes"))
+    )
