@@ -81,6 +81,8 @@ _ROTATE_FIRST = [
     "events_pareto_users",  # new in r5 — first driver check
     "docs_length_histogram",  # new in r5 — first driver check
     "embedding_quantize_int8",  # new in r5 — first driver check
+    "minhash_estimate_error",  # new in r5 — first driver check
+    "dq_drift_report",  # new in r5 — first driver check
 ]
 
 

@@ -2356,3 +2356,77 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.crossJoin(F.broadcast(stats))
         .select("vec_id", F.transform("embedding", code).alias("codes"))
     )
+
+
+@query(
+    "minhash_estimate_error",
+    oracle=f"""
+    WITH lsh AS ({_lsh_pairs_oracle()}),
+    toks2 AS (
+        SELECT doc_id, {TX.TOKENS_SQL.format(c="text")} AS t FROM documents
+    ),
+    shset AS (
+        SELECT doc_id,
+               list_distinct({TX.word_shingles_sql("t", MINHASH_SHINGLE_N)}) AS s
+        FROM toks2 WHERE len(t) >= {MINHASH_SHINGLE_N}
+    )
+    SELECT p.doc_a, p.doc_b, p.est_jaccard,
+           round(len(list_intersect(a.s, b.s))
+                 / (1.0 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))), 4)
+               AS exact_jaccard,
+           (abs(CAST(p.est_jaccard * {NUM_MINHASHES} AS BIGINT)
+                    * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                - {NUM_MINHASHES} * len(list_intersect(a.s, b.s)))
+            <= 2 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))))
+               AS within_quarter
+    FROM lsh p
+    JOIN shset a ON a.doc_id = p.doc_a
+    JOIN shset b ON b.doc_id = p.doc_b
+    """,
+)
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-accuracy audit for the MinHash pipeline: every LSH
+    candidate pair's signature-agreement estimate next to the TRUE
+    shingle-set Jaccard, with an integer-exact within-0.25 witness —
+    the same measured-accuracy discipline as ann_ivf_recall_nprobe2
+    (state the estimator's error, don't imply it). 8-hash signatures
+    have σ ≈ √(j(1−j)/8) ≤ 0.18, so |est − true| ≤ 0.25 holding on
+    every pair is the expected regime, and a broken hash family or
+    banding bug shows up as witness=false rows.
+
+    The witness compares k/8 vs i/u by cross-multiplication
+    (|k·u − 8·i| ≤ 2·u — all integers; est_jaccard·8 is exact because
+    eighths are dyadic), so no float tolerance decides it. Exact
+    Jaccard is computed ONLY on candidate pairs (LSH-sized, not n²);
+    |∪| = |a|+|b|−|∩| avoids a second array op. Scale: the pair table
+    is the small side — broadcast against the shingle sets; at 100 TB
+    the shingle-set join reads the same signature-era corpus scan the
+    LSH already priced.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    tok = TX.tokens("text")
+    shset = (
+        docs.select("doc_id", tok.alias("t"))
+        .filter(F.size("t") >= MINHASH_SHINGLE_N)
+        .select(
+            "doc_id",
+            F.array_distinct(TX.word_shingles(F.col("t"), MINHASH_SHINGLE_N)).alias("s"),
+        )
+    )
+    a = shset.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    b = shset.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    uni = F.size("sa") + F.size("sb") - inter
+    k = (F.col("est_jaccard") * NUM_MINHASHES).cast("long")
+    return (
+        a.join(F.broadcast(pairs), "doc_a")
+        .join(F.broadcast(b), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            F.round(inter / (F.lit(1.0) * uni), 4).alias("exact_jaccard"),
+            (F.abs(k * uni - NUM_MINHASHES * inter) <= 2 * uni).alias("within_quarter"),
+        )
+    )

@@ -681,3 +681,92 @@ def sample_stratified_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("source", "doc_id", F.row_number().over(w).alias("rnk"))
         .filter(F.col("rnk") <= STRATIFIED_N)
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch-vs-corpus distribution drift
+# ---------------------------------------------------------------------------
+
+#: Drift histogram config (mirrors docs_length_histogram's buckets) and
+#: the per-bucket share tolerance (±10 percentage-point-equivalents on
+#: the relative share, integer cross-multiplied).
+DRIFT_NB = 10
+DRIFT_HI = 600
+
+
+@query(
+    "dq_drift_report",
+    oracle=f"""
+    WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+    base AS (
+        SELECT least({DRIFT_NB - 1}, n_chars * {DRIFT_NB} // {DRIFT_HI}) AS bucket,
+               (doc_id >= (m * 9) // 10) AS is_batch
+        FROM documents, mx
+    ),
+    g AS (
+        SELECT bucket,
+               count(*) FILTER (WHERE NOT is_batch) AS corpus_n,
+               count(*) FILTER (WHERE is_batch)     AS batch_n
+        FROM base GROUP BY bucket
+    ),
+    t AS (
+        SELECT bucket, corpus_n, batch_n,
+               sum(corpus_n) OVER () AS ct,
+               sum(batch_n)  OVER () AS bt
+        FROM g
+    )
+    SELECT bucket, corpus_n, batch_n,
+           (abs(batch_n * ct - corpus_n * bt) * 10 <= ct * bt) AS share_within_10pct
+    FROM t
+    """,
+)
+def dq_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-drift detector: the new batch's document-length
+    distribution against the historical corpus's, per histogram
+    bucket, with a share-drift witness — the check that catches a
+    crawler change (truncation bug, new boilerplate, encoding shift)
+    BEFORE the batch pollutes the corpus. Same batch cutoff as
+    dedup_incremental_exact; same buckets as docs_length_histogram.
+
+    The witness |batch_share − corpus_share| ≤ 0.1 is evaluated as
+    |b·Ct − c·Bt|·10 ≤ Ct·Bt — pure integer cross-multiplication over
+    counts, so no float division decides a drift alarm. Scale: one
+    scan, a ≤{DRIFT_NB}-row aggregate, and window totals over that
+    tiny table; the alarm consumer reads {DRIFT_NB} rows regardless
+    of corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    mx = table_column_max(sf_dir, "documents", "doc_id")
+    if mx is None:
+        mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    cutoff = int(mx * 9 // 10)
+    bucket = F.least(
+        F.lit(DRIFT_NB - 1), F.expr(f"n_chars * {DRIFT_NB} div {DRIFT_HI}")
+    )
+    g = (
+        docs.select(
+            bucket.alias("bucket"), (F.col("doc_id") >= cutoff).alias("is_batch")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count_if(~F.col("is_batch")).alias("corpus_n"),
+            F.count_if("is_batch").alias("batch_n"),
+        )
+    )
+    w = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    t = g.select(
+        "bucket",
+        "corpus_n",
+        "batch_n",
+        F.sum("corpus_n").over(w).alias("ct"),
+        F.sum("batch_n").over(w).alias("bt"),
+    )
+    return t.select(
+        "bucket",
+        "corpus_n",
+        "batch_n",
+        (
+            F.abs(F.col("batch_n") * F.col("ct") - F.col("corpus_n") * F.col("bt")) * 10
+            <= F.col("ct") * F.col("bt")
+        ).alias("share_within_10pct"),
+    )
