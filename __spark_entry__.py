@@ -83,6 +83,7 @@ _ROTATE_FIRST = [
     "embedding_quantize_int8",  # new in r5 — first driver check
     "minhash_estimate_error",  # new in r5 — first driver check
     "dq_drift_report",  # new in r5 — first driver check
+    "division_supplier_coverage",  # new in r5 — first driver check
 ]
 
 

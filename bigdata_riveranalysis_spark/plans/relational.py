@@ -1183,3 +1183,61 @@ def agg_decimal_bigsum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(charge_int).cast("string").alias("sum_charge_s6"),
         )
     )
+
+
+@query(
+    "division_supplier_coverage",
+    oracle="""
+    WITH target AS (SELECT p_partkey FROM part WHERE p_size <= 5),
+    tot AS (SELECT count(*) AS n FROM target),
+    cov AS (
+        SELECT l_suppkey AS s_suppkey, count(DISTINCT l_partkey) AS parts_covered
+        FROM lineitem JOIN target ON l_partkey = p_partkey
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, parts_covered, tot.n AS target_total,
+           (parts_covered = tot.n) AS is_full_cover,
+           parts_covered * 1000 // tot.n AS coverage_permille
+    FROM cov, tot
+    ORDER BY parts_covered DESC, s_suppkey LIMIT 20
+    """,
+)
+def division_supplier_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division, reported as coverage: which suppliers have
+    shipped EVERY small part (p_size ≤ 5)? is_full_cover is the
+    classical division answer; the per-supplier covered-count ranking
+    is what a sourcing analyst actually reads when nobody divides
+    exactly (the synthetic corpus's case — verified non-degenerate:
+    top coverage ≈ a third of the target set).
+
+    Plan: the target-part list broadcasts into the lineitem scan (the
+    filter side of division is always the small side), the distinct
+    (supplier, part) pre-aggregation runs BEFORE counting — partial
+    aggregation collapses repeat shipments map-side and avoids the
+    count-distinct Expand (same rewrite as approx_distinct_customers)
+    — and the one-row target total broadcasts into the result. Top-k
+    via TakeOrderedAndProject with the supplier key as tie-break.
+    """
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    target = part.filter(F.col("p_size") <= 5).select("p_partkey")
+    tot = target.agg(F.count("*").alias("n"))
+    cov = (
+        li.join(F.broadcast(target), li.l_partkey == target.p_partkey)
+        .select(F.col("l_suppkey").alias("s_suppkey"), "l_partkey")
+        .distinct()
+        .groupBy("s_suppkey")
+        .agg(F.count("*").alias("parts_covered"))
+    )
+    return (
+        cov.crossJoin(F.broadcast(tot))
+        .select(
+            "s_suppkey",
+            "parts_covered",
+            F.col("n").alias("target_total"),
+            (F.col("parts_covered") == F.col("n")).alias("is_full_cover"),
+            F.expr("parts_covered * 1000 div n").alias("coverage_permille"),
+        )
+        .orderBy(F.desc("parts_covered"), "s_suppkey")
+        .limit(20)
+    )
