@@ -435,7 +435,9 @@ def test_short_doc_guards_match_oracle(spark, tmp_path):
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
     for name in ("text_repetition_stats", "dedup_ngram_jaccard",
-                 "minhash_signatures", "dedup_incremental_minhash"):
+                 "minhash_signatures", "dedup_incremental_minhash",
+                 "minhash_estimate_error", "ngram_topk_corpus",
+                 "docs_quality_funnel", "docs_length_histogram"):
         q = REGISTRY[name]
         sdf = q.fn(spark, str(tmp_path))
         s_cols = list(sdf.columns)

@@ -200,3 +200,54 @@ def test_pareto_top80_integer_boundary(spark, tmp_path):
     assert out[2].in_top80 is False
     assert out[3].in_top80 is False
     assert out[1].cum_share == 0.8 and out[3].cum_share == 1.0
+
+
+def test_quantizer_constant_dimension_and_range(spark, tmp_path):
+    """A constant dimension (max = min) must encode 0 — not NaN or a
+    division error — and varying dims must hit the exact [0, 255]
+    endpoints (min → 0, max → clamped 255)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([1, 2, 3], type=pa.int64()),
+            "embedding": pa.array(
+                [[1.0, 5.0], [2.0, 5.0], [3.0, 5.0]],
+                type=pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0, 0, 0], type=pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    out = {
+        r.vec_id: list(r.codes)
+        for r in REGISTRY["embedding_quantize_int8"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out == {1: [0, 0], 2: [128, 0], 3: [255, 0]}
+
+
+def test_drift_report_fires_on_planted_shift(spark, tmp_path):
+    """A batch whose lengths land in a different histogram bucket than
+    the corpus must produce witness=false rows for both the vacated
+    and the newly-filled bucket."""
+    n = 100
+    # cutoff = max(doc_id)*9//10 = 89, so the batch is doc_id 89..99:
+    # one straggler short doc plus the ten shifted ones.
+    texts = ["x" * 100] * 90 + ["y" * 500] * 10
+    df = pd.DataFrame(
+        {
+            "doc_id": range(n),
+            "text": texts,
+            "lang": ["en"] * n,
+            "source": ["srcA"] * n,
+        }
+    )
+    df["n_chars"] = df["text"].str.len().astype("int64")
+    df = df.astype({"doc_id": "int64"})
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+    rows = {r.bucket: r for r in REGISTRY["dq_drift_report"].fn(spark, str(tmp_path)).collect()}
+    assert rows[1].corpus_n == 89 and rows[1].batch_n == 1
+    assert rows[8].corpus_n == 0 and rows[8].batch_n == 10
+    assert rows[1].share_within_10pct is False
+    assert rows[8].share_within_10pct is False
