@@ -84,6 +84,8 @@ _ROTATE_FIRST = [
     "minhash_estimate_error",  # new in r5 — first driver check
     "dq_drift_report",  # new in r5 — first driver check
     "division_supplier_coverage",  # new in r5 — first driver check
+    "orders_monthly_momentum",  # new in r5 — first driver check
+    "customer_rfm_segments",  # new in r5 — first driver check
 ]
 
 

@@ -1241,3 +1241,114 @@ def division_supplier_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("parts_covered"), "s_suppkey")
         .limit(20)
     )
+
+
+@query(
+    "orders_monthly_momentum",
+    oracle="""
+    WITH m AS (
+        SELECT date_trunc('month', o_orderdate) AS month,
+               count(*) AS n_orders,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_c
+        FROM orders GROUP BY 1
+    )
+    SELECT strftime(month, '%Y-%m-%d') AS month,
+           n_orders,
+           round(total_c / 100.0, 4) AS total_price,
+           round((total_c - lag(total_c) OVER w) / 100.0, 4) AS mom_delta,
+           round(total_c / (1.0 * lag(total_c, 12) OVER w), 4) AS yoy_ratio
+    FROM m WINDOW w AS (ORDER BY month)
+    """,
+)
+def orders_monthly_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month and year-over-year revenue momentum — the
+    trend/seasonality readout every revenue dashboard leads with:
+    monthly totals, the MoM delta, and the ratio against the same
+    month a year earlier (lag 12 on a dense monthly series).
+
+    All arithmetic runs on exact cent sums; the lags subtract/divide
+    integers, so deltas are exact and the single ratio division is
+    the only float op (identical op tree both engines). First months
+    carry NULL deltas/ratios by lag semantics — the honest answer,
+    not zero. Scale: the window runs over the per-month aggregate
+    (one row per month — centuries fit one reducer); the fact scan
+    shuffles once into the monthly groupBy with map-side partials.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(EX.cents("o_totalprice")).alias("total_c"),
+    )
+    w = W.orderBy("month")
+    return m.select(
+        F.date_format("month", "yyyy-MM-dd").alias("month"),
+        "n_orders",
+        F.round(F.col("total_c") / 100.0, 4).alias("total_price"),
+        F.round((F.col("total_c") - F.lag("total_c").over(w)) / 100.0, 4).alias("mom_delta"),
+        F.round(F.col("total_c") / (F.lit(1.0) * F.lag("total_c", 12).over(w)), 4).alias(
+            "yoy_ratio"
+        ),
+    )
+
+
+@query(
+    "customer_rfm_segments",
+    oracle="""
+    WITH ref AS (SELECT max(o_orderdate) AS r FROM orders),
+    base AS (
+        SELECT o_custkey AS c_custkey,
+               date_diff('day', max(o_orderdate), (SELECT r FROM ref)) AS recency_days,
+               count(*) AS frequency,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS monetary_c
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT c_custkey, recency_days, frequency,
+           round(monetary_c / 100.0, 4) AS monetary,
+           ntile(5) OVER (ORDER BY recency_days DESC, c_custkey) AS r_score,
+           ntile(5) OVER (ORDER BY frequency ASC,  c_custkey) AS f_score,
+           ntile(5) OVER (ORDER BY monetary_c ASC, c_custkey) AS m_score
+    FROM base
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency (days since last order, against the
+    corpus's max date so the query is reproducible), frequency, and
+    monetary value per customer, each quintile-scored 1-5 with 5 =
+    best — the marketing-analytics workhorse for churn/VIP targeting.
+
+    ntile is order-dependent, so every score window carries the customer
+    key as the deterministic tie-break (the same rule as
+    topk_orders_per_segment); recency sorts DESC so the most recent
+    customers land in tile 5. Scale: three ntile windows over the
+    per-customer aggregate — unpartitioned by design (quintiles are
+    global); at 100 TB swap ntile for a percentile-threshold join
+    (approx_percentile on the aggregate, then a range comparison),
+    which scores identically at the 5-bucket grain without a global
+    sort.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    ref = orders.agg(F.max("o_orderdate").alias("r"))
+    base = (
+        orders.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.sum(EX.cents("o_totalprice")).alias("monetary_c"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "c_custkey",
+            F.datediff("r", "last_order").alias("recency_days"),
+            "frequency",
+            "monetary_c",
+        )
+    )
+    return base.select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        F.round(F.col("monetary_c") / 100.0, 4).alias("monetary"),
+        F.ntile(5).over(W.orderBy(F.desc("recency_days"), "c_custkey")).alias("r_score"),
+        F.ntile(5).over(W.orderBy(F.asc("frequency"), "c_custkey")).alias("f_score"),
+        F.ntile(5).over(W.orderBy(F.asc("monetary_c"), "c_custkey")).alias("m_score"),
+    )
