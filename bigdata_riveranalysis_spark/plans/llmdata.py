@@ -2419,9 +2419,11 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect("sa", "sb"))
     uni = F.size("sa") + F.size("sb") - inter
     k = (F.col("est_jaccard") * NUM_MINHASHES).cast("long")
+    # Both joins broadcast the PAIR-sized side: first the bare pair
+    # table into the a-side shingle scan, then that (still pair-sized,
+    # now carrying sa) result into the b-side scan — never the corpus.
     return (
-        a.join(F.broadcast(pairs), "doc_a")
-        .join(F.broadcast(b), "doc_b")
+        b.join(F.broadcast(a.join(F.broadcast(pairs), "doc_a")), "doc_b")
         .select(
             "doc_a",
             "doc_b",
