@@ -86,6 +86,7 @@ _ROTATE_FIRST = [
     "division_supplier_coverage",  # new in r5 — first driver check
     "orders_monthly_momentum",  # new in r5 — first driver check
     "customer_rfm_segments",  # new in r5 — first driver check
+    "fuzzy_part_name_pairs",  # new in r5 — first driver check (fills the window)
 ]
 
 
