@@ -35,10 +35,11 @@ from bigdata_riveranalysis_spark.functions import vectors as VX
 from bigdata_riveranalysis_spark.functions.arrays import explode_nonempty
 from bigdata_riveranalysis_spark.plans.registry import query
 from bigdata_riveranalysis_spark.sources.tables import (
+    BATCH_CUTOFF_SQL,
+    batch_cutoff,
     load_table,
     spread_small_scan,
     table_column_bytes,
-    table_column_max,
     table_rowcount,
 )
 
@@ -290,8 +291,8 @@ def _band_rows_sql(src: str) -> str:
     oracle=f"""
     WITH {_minhash_signature_cte()},
     mx AS (SELECT max(doc_id) AS m FROM documents),
-    bsig AS (SELECT s.* FROM sig s, mx WHERE s.doc_id >= (m * 9) // 10),
-    csig AS (SELECT s.* FROM sig s, mx WHERE s.doc_id < (m * 9) // 10),
+    bsig AS (SELECT s.* FROM sig s, mx WHERE s.doc_id >= {BATCH_CUTOFF_SQL}),
+    csig AS (SELECT s.* FROM sig s, mx WHERE s.doc_id < {BATCH_CUTOFF_SQL}),
     bbands AS ({_band_rows_sql("bsig")}),
     cbands AS ({_band_rows_sql("csig")}),
     cand AS (
@@ -338,10 +339,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the LSH invariant — band-key collisions, not batch × corpus.
     """
     docs = load_table(spark, sf_dir, "documents")
-    mx = table_column_max(sf_dir, "documents", "doc_id")
-    if mx is None:
-        mx = docs.agg(F.max("doc_id")).collect()[0][0]
-    cutoff = int(mx * 9 // 10)
+    cutoff = batch_cutoff(spark, sf_dir)
     sig = _minhash_signature_df(spark, sf_dir).cache()
     sig.count()  # materialize before the multi-branch reuse (see dedup_minhash_lsh)
     sig_arr = sig.select(
@@ -654,7 +652,11 @@ def _jaccard_local(spark: SparkSession, sh: DataFrame, df_cap: int) -> DataFrame
         jac = common[ai, bj].astype(np.float64) / union[ai, bj].astype(np.float64)
         out_a.append(ids[start:stop][ai])
         out_b.append(ids[bj])
-        out_j.append(np.round(jac, 4))
+        # Half-AWAY rounding (floor(x·10⁴ + 0.5), jaccard > 0), matching
+        # Spark F.round (HALF_UP) and DuckDB round on the dyadic
+        # half-boundaries (17/32 → 0.5313) where np.round's half-even
+        # would emit 0.5312 and break the regime-equality contract.
+        out_j.append(np.floor(jac * 1e4 + 0.5) / 1e4)
     res = pd.DataFrame(
         {
             "doc_a": np.concatenate(out_a),
@@ -1539,7 +1541,10 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exercises the full multimodal path — payload binary column +
     typed metadata struct + Pandas-batch decode (stubbed,
     deterministic) — and the oracle still verifies it end-to-end
-    because the stub's features are SQL-computable.
+    because the stub's features are SQL-computable. The oracle's
+    char==byte addressing (ascii(substr(...)) vs payload[0]) assumes
+    a pure-ASCII corpus — pinned per fixture SF by
+    tests/test_sinks_and_plans.py::test_multimodal_oracle_corpus_assumption_holds.
     """
     from bigdata_riveranalysis_spark.operators.multimodal import attach_payload, extract_features
 
@@ -1653,8 +1658,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
       ann_lsh_bucketed candidates + exact rescore, which trades only
       cross-bucket borderline pairs.
 
-    All accumulation in float64 so the 6-decimal rounding matches the
-    oracle's fold.
+    Numeric honesty: accumulation is float64 BLAS (normalize-then-
+    matmul), a DIFFERENT op tree from the oracle's sequential
+    dot/(‖a‖·‖b‖) fold — the two agree only to last-ulp level, not
+    bit-for-bit, so (a) rounding is half-AWAY at 6 decimals to match
+    the engines' convention, absorbing the ulp gap, and (b) a pair
+    whose true cosine sits within ~1e-15 of the threshold could in
+    principle land on different sides (measure-zero for real
+    embedding data; the Spark-side VX.cosine queries replicate the
+    fold exactly and carry no such gap).
     """
     import numpy as np
     import pandas as pd
@@ -1687,7 +1699,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                     {
                         "vec_a": a_ids[ai],
                         "vec_b": b_ids[bj],
-                        "cosine": np.round(S[ai, bj], 6),
+                        # Half-AWAY (floor(x·10⁶+0.5); cosine ≥ threshold > 0) to
+                        # match DuckDB round / Spark HALF_UP, not np half-even.
+                        "cosine": np.floor(S[ai, bj] * 1e6 + 0.5) / 1e6,
                     }
                 )
 
@@ -1754,7 +1768,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             {
                 "vec_a": va,
                 "vec_b": vb,
-                "cosine": np.round(S[ai, bj_], 6),
+                # Half-AWAY rounding — see block_pairs note.
+                "cosine": np.floor(S[ai, bj_] * 1e6 + 0.5) / 1e6,
             }
         )
 

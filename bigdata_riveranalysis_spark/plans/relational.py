@@ -820,13 +820,24 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregate battery: correlation, covariance,
     variance, skewness per return flag — single-pass moment
-    aggregates (no self-join, no window)."""
+    aggregates (no self-join, no window).
+
+    Estimator alignment: Spark's skewness is the POPULATION g1 while
+    DuckDB's is the bias-adjusted SAMPLE G1 = g1·√(n(n−1))/(n−2) —
+    systematically ~1/n apart, which round-4 only hides while no
+    group's value sits near a 0.00005 boundary (a data-dependent
+    coin flip). The engine applies the adjustment explicitly so both
+    sides estimate the SAME quantity; the residual difference is then
+    ulp-level, which round-4 absorbs with ~1e-11 boundary exposure.
+    """
     li = load_table(spark, sf_dir, "lineitem")
+    n = F.count("*")
+    g1_to_G1 = F.sqrt(n * (n - F.lit(1))) / (n - F.lit(2))
     return li.groupBy("l_returnflag").agg(
         F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_covar"),
         F.round(F.var_samp("l_discount"), 4).alias("discount_var"),
-        F.round(F.skewness("l_quantity"), 4).alias("qty_skew"),
+        F.round(F.skewness("l_quantity") * g1_to_G1, 4).alias("qty_skew"),
     )
 
 

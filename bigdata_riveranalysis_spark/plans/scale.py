@@ -107,12 +107,12 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_salted_replicate",
     oracle=f"""
-    WITH dim(event_type, category, weight) AS (
-        VALUES {", ".join(f"('{k}', '{c}', {w})" for k, (c, w) in EVENT_TYPE_DIM.items())}
+    WITH dim(event_type, category, w_pm) AS (
+        VALUES {", ".join(f"('{k}', '{c}', {int(w * 1000)})" for k, (c, w) in EVENT_TYPE_DIM.items())}
     )
     SELECT d.category,
            count(*)                        AS n_events,
-           round(sum(e.value * d.weight), 4) AS weighted_value
+           {EX.sum_round4_sql(f"{EX.cents_sql('e.value')} * d.w_pm", 5)} AS weighted_value
     FROM events e JOIN dim d ON e.event_type = d.event_type
     GROUP BY d.category
     """,
@@ -133,9 +133,15 @@ def join_salted_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     too-big-to-broadcast middle dim.
     """
     events = load_table(spark, sf_dir, "events")
+    # Weights carried as exact permille INTEGERS (all configured
+    # weights are half-integers): cents(value) × w_pm is a scale-5
+    # long, so the weighted sum is order-independent — the raw-double
+    # sum(value·weight) this replaces drifts ~√n ulps and flips the
+    # 4th decimal between engines at large group sizes (functions.
+    # exact policy; flagged in review).
     dim = events.sparkSession.createDataFrame(
-        [(k, c, w) for k, (c, w) in EVENT_TYPE_DIM.items()],
-        "event_type string, category string, weight double",
+        [(k, c, int(w * 1000)) for k, (c, w) in EVENT_TYPE_DIM.items()],
+        "event_type string, category string, w_pm long",
     )
     salt_spine = F.explode(F.sequence(F.lit(0), F.lit(SALT_BUCKETS - 1))).alias("salt")
     dim_rep = dim.select("*", salt_spine)
@@ -145,5 +151,5 @@ def join_salted_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = fact.hint("shuffle_hash").join(dim_rep, ["event_type", "salt"])
     return joined.groupBy("category").agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum(F.col("value") * F.col("weight")), 4).alias("weighted_value"),
+        EX.sum_round4(EX.cents("value") * F.col("w_pm"), 5).alias("weighted_value"),
     )

@@ -34,7 +34,6 @@ import atexit
 import os
 import shutil
 import tempfile
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -43,6 +42,7 @@ from pyspark.sql import types as T
 from bigdata_riveranalysis_spark.functions import exact as EX
 from bigdata_riveranalysis_spark.plans.registry import query
 from bigdata_riveranalysis_spark.streaming.pipeline import threshold_alerts
+
 
 def _events_schema(ts_nanos: bool) -> T.StructType:
     """events stream schema; ``ts`` declared long for nanos-unit
@@ -88,7 +88,9 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw
 
 
-def _run_stream(df: DataFrame, spark: SparkSession, output_mode: str) -> DataFrame:
+def _run_stream(
+    df: DataFrame, spark: SparkSession, output_mode: str, label: str
+) -> DataFrame:
     # Stateful streaming pins one state-store instance per shuffle
     # partition for the query's lifetime; each instance has per-batch
     # maintenance cost, so partition count trades parallelism against
@@ -100,7 +102,12 @@ def _run_stream(df: DataFrame, spark: SparkSession, output_mode: str) -> DataFra
     # state volume (keys × window horizon ÷ target store size), not to
     # a cores heuristic, and cannot change across restarts of the same
     # checkpoint — which is why production pins it explicitly.
-    name = "stream_result_" + uuid.uuid4().hex[:12]
+    # Deterministic per-query sink name: the memory sink registers via
+    # createOrReplaceTempView, so a repeat invocation (bench min-of-N)
+    # REPLACES the previous run's result table instead of accumulating
+    # a new uuid-named MemorySink's rows on the driver per repetition
+    # (unbounded session-lifetime growth; flagged in review).
+    name = "stream_result_" + label
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
         "spark.sql.shuffle.partitions",
@@ -114,7 +121,13 @@ def _run_stream(df: DataFrame, spark: SparkSession, output_mode: str) -> DataFra
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        # availableNow must drain within the timeout; a False return
+        # means the sink holds a PARTIAL result — surfacing it as the
+        # query output would silently pass rows-only checks and record
+        # bogus bench timings, so fail loudly instead.
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(f"streaming query {name} exceeded 600s; partial sink discarded")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
@@ -155,7 +168,7 @@ def stream_windowed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_value",
         )
     )
-    return _run_stream(agg, spark, "complete")
+    return _run_stream(agg, spark, "complete", "windowed_quality")
 
 
 @query(
@@ -202,7 +215,7 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    return _run_stream(agg, spark, "complete")
+    return _run_stream(agg, spark, "complete", "session_windows")
 
 
 @query(
@@ -219,7 +232,7 @@ def stream_distinct_user_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type")
         .dropDuplicates(["user_id", "event_type"])
     )
-    return _run_stream(dedup, spark, "append")
+    return _run_stream(dedup, spark, "append", "distinct_user_event")
 
 
 @query(
@@ -245,7 +258,7 @@ def stream_threshold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 4).alias("value"),
         "severity",
     )
-    return _run_stream(alerts, spark, "append")
+    return _run_stream(alerts, spark, "append", "threshold_alerts")
 
 
 @query(
@@ -289,7 +302,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").alias("nationkey"),
         F.round("value", 4).alias("value"),
     )
-    return _run_stream(enriched, spark, "append")
+    return _run_stream(enriched, spark, "append", "static_enrich")
 
 
 @query(
@@ -353,4 +366,4 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
         F.round("p_value", 4).alias("purchase_value"),
     )
-    return _run_stream(joined, spark, "append")
+    return _run_stream(joined, spark, "append", "stream_join")

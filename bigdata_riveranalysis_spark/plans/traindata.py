@@ -42,7 +42,12 @@ from pyspark.sql import functions as F
 from bigdata_riveranalysis_spark.functions import text as TX
 from bigdata_riveranalysis_spark.functions.arrays import explode_nonempty
 from bigdata_riveranalysis_spark.plans.registry import query
-from bigdata_riveranalysis_spark.sources.tables import load_table, table_column_max, spread_small_scan
+from bigdata_riveranalysis_spark.sources.tables import (
+    BATCH_CUTOFF_SQL,
+    batch_cutoff,
+    load_table,
+    spread_small_scan,
+)
 
 #: train/val/test bucket edges out of 100 hash buckets (90/5/5).
 SPLIT_TRAIN_END = 90
@@ -460,16 +465,16 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_incremental_exact",
-    oracle="""
+    oracle=f"""
     WITH mx AS (SELECT max(doc_id) AS m FROM documents),
     new_batch AS (
         SELECT doc_id, md5(text) AS h FROM documents, mx
-        WHERE doc_id >= (m * 9) // 10
+        WHERE doc_id >= {BATCH_CUTOFF_SQL}
     ),
     corpus AS (
         SELECT md5(text) AS h, min(doc_id) AS first_seen
         FROM documents, mx
-        WHERE doc_id < (m * 9) // 10
+        WHERE doc_id < {BATCH_CUTOFF_SQL}
         GROUP BY md5(text)
     )
     SELECT n.doc_id, c.first_seen,
@@ -491,13 +496,7 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join against the bucketed index is co-located.
     """
     docs = load_table(spark, sf_dir, "documents")
-    # Batch cutoff from parquet row-group statistics — metadata, no
-    # extra scan job (same policy as the regime gates); the agg-job
-    # fallback covers stats-less files.
-    mx = table_column_max(sf_dir, "documents", "doc_id")
-    if mx is None:
-        mx = docs.agg(F.max("doc_id")).collect()[0][0]
-    cutoff = int(mx * 9 // 10)
+    cutoff = batch_cutoff(spark, sf_dir)
     new_batch = docs.filter(F.col("doc_id") >= cutoff).select(
         "doc_id", F.md5("text").alias("h")
     )
@@ -700,7 +699,7 @@ DRIFT_HI = 600
     WITH mx AS (SELECT max(doc_id) AS m FROM documents),
     base AS (
         SELECT least({DRIFT_NB - 1}, n_chars * {DRIFT_NB} // {DRIFT_HI}) AS bucket,
-               (doc_id >= (m * 9) // 10) AS is_batch
+               (doc_id >= {BATCH_CUTOFF_SQL}) AS is_batch
         FROM documents, mx
     ),
     g AS (
@@ -736,10 +735,7 @@ def dq_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     of corpus size.
     """
     docs = load_table(spark, sf_dir, "documents")
-    mx = table_column_max(sf_dir, "documents", "doc_id")
-    if mx is None:
-        mx = docs.agg(F.max("doc_id")).collect()[0][0]
-    cutoff = int(mx * 9 // 10)
+    cutoff = batch_cutoff(spark, sf_dir)
     bucket = F.least(
         F.lit(DRIFT_NB - 1), F.expr(f"n_chars * {DRIFT_NB} div {DRIFT_HI}")
     )

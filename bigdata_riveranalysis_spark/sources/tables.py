@@ -283,3 +283,24 @@ def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
     """
     for name, df in load_tables(spark, sf_dir, *names).items():
         df.createOrReplaceTempView(name)
+
+
+#: Batch fraction for the incremental (batch-vs-corpus) operators: the
+#: newest ~10% of doc_ids is "today's ingest". Shared between the
+#: Python cutoff below and the SQL twin so the two can't drift.
+BATCH_CUTOFF_SQL = "(m * 9) // 10"
+
+
+def batch_cutoff(spark, sf_dir: str, name: str = "documents", column: str = "doc_id") -> int:
+    """The incremental operators' batch cutoff: ids ≥ max·9//10 form
+    the new batch. Priced from parquet row-group statistics (no scan
+    job); falls back to an aggregation when stats are absent. One
+    definition for the three incremental/drift operators — the
+    previously copy-pasted derivation had four places to miss on a
+    fraction change (review finding)."""
+    from pyspark.sql import functions as F
+
+    mx = table_column_max(sf_dir, name, column)
+    if mx is None:
+        mx = load_table(spark, sf_dir, name).agg(F.max(column)).collect()[0][0]
+    return int(mx * 9 // 10)

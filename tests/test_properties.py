@@ -8,6 +8,7 @@ kept small — each example is a Spark job.
 from __future__ import annotations
 
 import json
+import math
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -485,5 +486,9 @@ def test_jaccard_local_matches_set_arithmetic(spark, docs, cap):
                 union = sets[i] | sets[j]
                 inter = sets[i] & sets[j]
                 if union and len(inter) / len(union) >= JACCARD_THRESHOLD:
-                    want[(i, j)] = round(len(inter) / len(union), 4)
+                    # Half-AWAY expectation (floor(x·10⁴ + 0.5)) to match
+                    # the engine/oracle convention — Python round() is
+                    # half-even and diverges on dyadic boundaries (17/32).
+                    j_val = len(inter) / len(union)
+                    want[(i, j)] = math.floor(j_val * 1e4 + 0.5) / 1e4
     assert got == want
