@@ -133,16 +133,25 @@ def parse_readings(raw_json: DataFrame, value_col: str = "value") -> DataFrame:
     rows → NULL struct, the from_json default the reference relied on,
     streaming/spark_processor.py:38), then explicit rename + cast.
     Works identically on batch and streaming DataFrames.
+
+    The casts are try_* variants: under Spark 4's default ANSI mode a
+    plain cast('double') on a well-formed-JSON row carrying a
+    non-numeric field ('NA') — or to_timestamp on a non-yyyy-MM-dd
+    date — throws and aborts the whole job, which violates this
+    function's malformed→NULL contract for exactly the dirty-field
+    case the all-string wire schema exists to survive (review finding,
+    reproduced on 4.1.2; the earlier tests only fed non-JSON garbage,
+    which from_json NULLs before any cast runs).
     """
     parsed = raw_json.select(
         F.from_json(F.col(value_col).cast("string"), RAW_WIRE_SCHEMA).alias("r")
     )
     return parsed.select(
         F.col("r.WaterbodyName").alias("sensor_id"),
-        F.to_timestamp("r.FullDate", "yyyy-MM-dd").alias("timestamp"),
-        F.col("r.pH").cast("double").alias("ph_value"),
-        F.col("r.`Dissolved Oxygen`").cast("double").alias("do_value"),
-        F.col("r.`Conductivity @25°C`").cast("double").alias("tds_value"),
+        F.try_to_timestamp(F.col("r.FullDate"), F.lit("yyyy-MM-dd")).alias("timestamp"),
+        F.col("r.pH").try_cast("double").alias("ph_value"),
+        F.col("r.`Dissolved Oxygen`").try_cast("double").alias("do_value"),
+        F.col("r.`Conductivity @25°C`").try_cast("double").alias("tds_value"),
     )
 
 
@@ -152,15 +161,28 @@ def wqi_classify(readings: DataFrame) -> DataFrame:
     Canonical bands (engine-defined; the reference never specified
     them): pH in [6.5, 8.5], DO ≥ 80 %sat, conductivity ≤ 1000 µS/cm
     → 'good'; one violation → 'fair'; otherwise 'poor'.
+
+    A reading with NO non-NULL measurement gets band NULL, not
+    'good': NULL comparisons are not-true, so an all-NULL
+    (malformed-wire) row would otherwise count zero violations and
+    report garbage as good water quality (review finding). A
+    partially-NULL reading is still banded on what it has — a NULL
+    field simply can't add a violation.
     """
     violations = (
         F.when((F.col("ph_value") < 6.5) | (F.col("ph_value") > 8.5), 1).otherwise(0)
         + F.when(F.col("do_value") < 80.0, 1).otherwise(0)
         + F.when(F.col("tds_value") > 1000.0, 1).otherwise(0)
     )
+    all_null = (
+        F.col("ph_value").isNull()
+        & F.col("do_value").isNull()
+        & F.col("tds_value").isNull()
+    )
     return readings.withColumn("n_violations", violations).withColumn(
         "wqi_band",
-        F.when(F.col("n_violations") == 0, "good")
+        F.when(all_null, F.lit(None).cast("string"))
+        .when(F.col("n_violations") == 0, "good")
         .when(F.col("n_violations") == 1, "fair")
         .otherwise("poor"),
     )
@@ -171,7 +193,11 @@ def flag_anomalies(readings: DataFrame, z_threshold: float = 3.0) -> DataFrame:
 
     Global per-sensor stats are a tiny aggregate (one row per sensor)
     broadcast back against the readings — one pass over the data,
-    no per-row Python.
+    no per-row Python. The stats join is NULL-safe: a plain equi-join
+    would silently DROP readings with NULL sensor_id (malformed wire
+    rows) because NULL keys never match, breaking this function's
+    adds-columns-only contract (review finding); with eqNullSafe they
+    join their own NULL-sensor stats group like any other key.
     """
     stats = readings.groupBy("sensor_id").agg(
         *[
@@ -180,7 +206,11 @@ def flag_anomalies(readings: DataFrame, z_threshold: float = 3.0) -> DataFrame:
             for n, f in (("mu", F.avg), ("sigma", F.stddev_samp))
         ]
     )
-    out = readings.join(F.broadcast(stats), "sensor_id")
+    st = stats.withColumnRenamed("sensor_id", "_stats_sensor_id")
+    out = readings.join(
+        F.broadcast(st),
+        readings["sensor_id"].eqNullSafe(st["_stats_sensor_id"]),
+    ).drop("_stats_sensor_id")
     for c in ("ph_value", "do_value", "tds_value"):
         # try_divide: a zero-variance column (constant sensor) yields
         # NULL z, not a DIVIDE_BY_ZERO job failure under ANSI mode;

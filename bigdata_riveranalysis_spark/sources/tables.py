@@ -55,6 +55,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # truncation. Micros-unit generations (current TESTDATA) read
         # directly; the unit is sniffed from the parquet footer, not
         # assumed.
+        #
+        # Known session-scope leak: the conf must still be true when
+        # the LAZY scan below actually executes, so it cannot be reset
+        # here — after one nanos-events load, an unrelated nanos-unit
+        # parquet read in the same session would come back LongType
+        # instead of being rejected loudly. Contained in this engine
+        # because every table read routes through load_table (which
+        # sniffs per table); callers mixing in raw spark.read.parquet
+        # of foreign nanos files should read them first or in another
+        # session.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
@@ -78,7 +88,7 @@ def events_ts_is_nanos(path: str) -> bool:
     _footer_stats — a bare-path cache served a stale unit decision
     after an in-process fixture regeneration (ADVICE r4); fixtures ARE
     regenerated between rounds (FIXTURES.md)."""
-    sig = hash(tuple((f, os.stat(f).st_mtime_ns, os.path.getsize(f)) for f in _table_files(path)))
+    sig = _files_sig(path)
     return _events_ts_is_nanos(path, sig)
 
 
@@ -98,14 +108,37 @@ def _events_ts_is_nanos(path: str, files_sig: int) -> bool:
 
 
 def _table_files(path: str) -> tuple[str, ...]:
-    """Data files of a parquet table path (single file or directory)."""
+    """Data files of a parquet table path (single file or directory).
+
+    Directories are walked RECURSIVELY: a partitioned table's data
+    files live under key=value/ subdirectories, and a top-level-only
+    listing returned () there — so footer stats silently reported
+    (0, 0) and every metadata-priced gate mispriced the table (review
+    finding). An empty result for an existing directory raises for
+    the same reason: no caller can distinguish "0 rows" from "looked
+    in the wrong place"."""
     if os.path.isdir(path):
-        return tuple(
-            os.path.join(path, f)
-            for f in sorted(os.listdir(path))
-            if f.endswith(".parquet")
+        files = tuple(
+            sorted(
+                os.path.join(root, f)
+                for root, _dirs, names in os.walk(path)
+                for f in names
+                if f.endswith(".parquet")
+            )
         )
+        if not files:
+            raise FileNotFoundError(f"parquet table dir {path!r} contains no .parquet files")
+        return files
     return (path,)
+
+
+def _files_sig(path: str) -> int:
+    """Cache signature over the table's full (name, mtime, size) file
+    list — one definition for every footer-metadata cache (the
+    expression was previously copy-pasted at four call sites)."""
+    return hash(
+        tuple((f, os.stat(f).st_mtime_ns, os.path.getsize(f)) for f in _table_files(path))
+    )
 
 
 @lru_cache(maxsize=256)
@@ -131,7 +164,7 @@ def _footer_stats(path: str) -> tuple[int, int]:
     # Cache key: hash of the full (name, mtime, size) file list — a
     # max-mtime key can serve stale stats after a file DELETION
     # (max of the remaining mtimes may be unchanged; ADVICE r3).
-    sig = hash(tuple((f, os.stat(f).st_mtime_ns, os.path.getsize(f)) for f in _table_files(path)))
+    sig = _files_sig(path)
     return _parquet_footer_stats(path, sig)
 
 
@@ -159,7 +192,7 @@ def table_column_max(sf_dir: str, name: str, column: str):
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = f"{sf_dir}/{name}.parquet"
-    sig = hash(tuple((f, os.stat(f).st_mtime_ns, os.path.getsize(f)) for f in _table_files(path)))
+    sig = _files_sig(path)
     return _parquet_column_max(path, column, sig)
 
 
@@ -191,7 +224,7 @@ def table_column_bytes(sf_dir: str, name: str, column: str) -> int:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = f"{sf_dir}/{name}.parquet"
-    sig = hash(tuple((f, os.stat(f).st_mtime_ns, os.path.getsize(f)) for f in _table_files(path)))
+    sig = _files_sig(path)
     return _parquet_column_bytes(path, column, sig)
 
 
@@ -298,8 +331,6 @@ def batch_cutoff(spark, sf_dir: str, name: str = "documents", column: str = "doc
     definition for the three incremental/drift operators — the
     previously copy-pasted derivation had four places to miss on a
     fraction change (review finding)."""
-    from pyspark.sql import functions as F
-
     mx = table_column_max(sf_dir, name, column)
     if mx is None:
         mx = load_table(spark, sf_dir, name).agg(F.max(column)).collect()[0][0]

@@ -82,7 +82,12 @@ def resolve_serving_path(path: str) -> str | None:
     if os.path.exists(ptr):
         with open(ptr) as fh:
             gen = fh.read().strip()
-        return os.path.join(os.path.dirname(path) or ".", gen)
+        # No './' prefix for bare relative paths: the resolved dir is
+        # compared against glob('{path}__b*') results and the writer's
+        # own generation names, and a spurious './' fails both — the
+        # sweep would then delete the LIVE generation (review finding).
+        d = os.path.dirname(path)
+        return os.path.join(d, gen) if d else gen
     return path if os.path.exists(path) else None
 
 
@@ -186,6 +191,18 @@ def start_upsert_sink(
 
     def upsert_rename(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        # Refuse to run rename-commit against a pointer-committed
+        # table: the data lives in a {path}__b* generation the sweep
+        # below would DELETE (while readers still resolve the stale
+        # .ptr to it) — silent total data loss (review finding).
+        # Protocol choice is configuration; fail loudly, don't migrate.
+        if os.path.exists(path + SERVING_POINTER_SUFFIX):
+            raise RuntimeError(
+                f"serving table {path!r} is pointer-committed "
+                f"({path + SERVING_POINTER_SUFFIX} exists); restart the sink "
+                "with commit='pointer' (or remove the pointer and its "
+                "generations deliberately) instead of rename-committing over it"
+            )
         batch = batch.dropDuplicates(list(key_cols))
         tmp = f"{path}__b{batch_id}"
         old = f"{path}__old"

@@ -19,6 +19,7 @@ def kafka_stream(
     topic: str,
     starting_offsets: str = "earliest",
     max_offsets_per_trigger: int | None = None,
+    fail_on_data_loss: bool = True,
 ) -> DataFrame:
     """Kafka source, as the reference configures it — with two fixes.
 
@@ -32,6 +33,13 @@ def kafka_stream(
     restart cannot produce an executor-OOM-sized first batch — the
     knob that matters at 100 TB/day ingest.
 
+    ``fail_on_data_loss`` defaults TRUE — loud failure when
+    checkpointed offsets have aged out of retention, consistent with
+    this builder's no-silent-data-loss contract (a hardcoded false
+    here silently skipped the gap, the exact failure mode the
+    docstring claims to fix; review finding). Pass False only for
+    deliberately lossy consumers (dashboards over a compacted topic).
+
     Requires the spark-sql-kafka connector on the classpath; not
     exercised in local tests (no broker in the container).
     """
@@ -40,7 +48,7 @@ def kafka_stream(
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("subscribe", topic)
         .option("startingOffsets", starting_offsets)
-        .option("failOnDataLoss", "false")
+        .option("failOnDataLoss", str(fail_on_data_loss).lower())
     )
     if max_offsets_per_trigger is not None:
         reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))

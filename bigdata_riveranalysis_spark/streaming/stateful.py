@@ -58,6 +58,12 @@ def ewma_with_spikes(
     ``ewma ← alpha·value + (1-alpha)·ewma``. Deterministic given a
     deterministic batch sequence — the streaming tests replay
     one file per micro-batch.
+
+    NULL/NaN readings are emitted (ewma unchanged, is_spike False)
+    but NOT folded into state: the wire schema declares value
+    nullable, and one NaN folded in would make the sensor's ewma NaN
+    forever — every later comparison not-true, real spikes never
+    flagged again (review finding).
     """
 
     def fn(
@@ -70,6 +76,10 @@ def ewma_with_spikes(
             out_ewma, out_spike = [], []
             for v in pdf["value"]:
                 v = float(v)
+                if v != v:  # NULL/NaN reading: pass through, don't poison state
+                    out_ewma.append(ewma if n > 0 else float("nan"))
+                    out_spike.append(False)
+                    continue
                 spike = n > 0 and v > spike_ratio * ewma
                 ewma = v if n == 0 else alpha * v + (1.0 - alpha) * ewma
                 n += 1
