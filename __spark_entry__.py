@@ -91,7 +91,14 @@ _ROTATE_FIRST = [
 
 
 def _rotated(catalog: dict) -> dict:
-    head = {k: catalog[k] for k in _ROTATE_FIRST if k in catalog}
+    # A rotate-first name missing from the registry (renamed/removed
+    # query) must fail LOUDLY: silently skipping it shifts the
+    # driver's 50-entry verification window so the intended query
+    # never earns its driver-green row (review finding).
+    missing = [k for k in _ROTATE_FIRST if k not in catalog]
+    if missing:
+        raise KeyError(f"_ROTATE_FIRST names not in the query registry: {missing}")
+    head = {k: catalog[k] for k in _ROTATE_FIRST}
     head.update({k: v for k, v in catalog.items() if k not in head})
     return head
 

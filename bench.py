@@ -88,19 +88,38 @@ def main() -> None:
     # min (the plan's cost) and the last run (a single honest sample)
     # are recorded so regression calls can see the noise band instead
     # of chasing it (VERDICT r4 item 7).
+    # Per-query guard: one transient failure (executor OOM, flaky
+    # stream) must NOT abort the whole run after minutes of completed
+    # timing passes — the driver would then receive NO JSON at all,
+    # violating this module's own contract (review finding). Errored
+    # queries are reported in an "errors" key and excluded from totals.
     runs: dict[str, list[float]] = {name: [] for name in qs}
+    errors: dict[str, str] = {}
     for _ in range(3):
         for name, fn in qs.items():
+            if name in errors:
+                continue
             spark.catalog.clearCache()
             t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            try:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            except Exception as e:  # noqa: BLE001
+                errors[name] = str(e)[:200]
+                runs.pop(name, None)
+                continue
             runs[name].append(time.perf_counter() - t0)
-    timings = {name: round(min(ts), 3) for name, ts in runs.items()}
-    last = {name: round(ts[-1], 3) for name, ts in runs.items()}
+    timings = {name: round(min(ts), 3) for name, ts in runs.items() if ts}
+    last = {name: round(ts[-1], 3) for name, ts in runs.items() if ts}
 
     total = round(sum(timings.values()), 3)
     total_last = round(sum(last.values()), 3)
-    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    try:
+        # '1.2.3'.replace('.','').isdigit() is True but float() raises —
+        # and a crash HERE would discard the whole 3-pass record
+        # (review finding), so parse defensively.
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
 
     # Full record → BENCH.json (all queries).
     with open(os.path.join(_REPO, "BENCH.json"), "w") as fh:
@@ -114,6 +133,7 @@ def main() -> None:
                     "queries": timings,
                     "queries_last": last,
                     "total_last": total_last,
+                    "errors": errors,
                     "sf": sf_val,
                 }
             )

@@ -97,9 +97,7 @@ def minhash_base(shingles: Column) -> Column:
     leaves it materialized — the md5 pass runs once per row, not once
     per component).
     """
-    return F.transform(
-        shingles, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
-    )
+    return F.transform(shingles, hash32)
 
 
 def minhash_base_sql(shingles_expr: str) -> str:

@@ -7,6 +7,16 @@ i.e. JVM-side and codegen-friendly — no Python in the row path.
 
 Products are accumulated in DOUBLE in strict left-to-right order so
 the DuckDB oracle (same fold order) produces bit-identical results.
+
+Bit-identity assumes SAME-LENGTH NON-EMPTY arrays: on an empty array
+DuckDB's list_sum returns NULL where Spark's aggregate returns its
+0.0 init, and on mismatched lengths DuckDB skips the NULL products
+(partial sum) while Spark's zip_with NULL-pads and poisons the whole
+fold (review finding). That corpus property — every embedding
+non-empty and a single fixed dimension — is pinned per fixture SF by
+tests/test_sinks_and_plans.py::test_embeddings_corpus_assumption_holds
+so a generator change fails there with a clear message, not as an
+opaque oracle divergence.
 """
 
 from __future__ import annotations

@@ -262,3 +262,23 @@ def test_ppm_decode_is_real(spark):
     assert img.mean_g == pytest.approx((20 + 50 + 80 + 110) / 4)
     assert img.mean_b == pytest.approx((30 + 60 + 90 + 120) / 4)
     assert rows[2].decoded is None and rows[2].width is None
+
+
+def test_embeddings_corpus_assumption_holds(spark):
+    """The vector oracles' bit-identity claim (functions/vectors.py)
+    holds only for same-length non-empty embedding arrays: DuckDB
+    list_sum NULLs on empty and partial-sums on length mismatch where
+    Spark's fold returns 0.0 / NULL-poisons. Pin the corpus property
+    (single fixed dimension, no empties) at every fixture SF."""
+    from pyspark.sql import functions as F
+
+    from bigdata_riveranalysis_spark.sources.tables import load_table
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        emb = load_table(spark, sf_dir, "embeddings")
+        dims = emb.select(F.size("embedding").alias("d")).distinct().collect()
+        assert len(dims) == 1 and dims[0].d > 0, (
+            f"{sf_dir}: embeddings have dims {[r.d for r in dims]}; the "
+            "vector oracles' empty/mismatch divergence (see functions/"
+            "vectors.py) is now reachable — align the SQL twins first"
+        )

@@ -11,10 +11,17 @@ their string form). Usage:
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+# Anchor imports to the repo root so the tool runs from any cwd
+# (previously only worked from the root; review finding). PYTHONPATH
+# too — Python workers don't inherit driver sys.path, and Arrow-UDF
+# queries need the package importable worker-side.
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 import duckdb
 
@@ -50,6 +57,14 @@ def main() -> int:
     import __spark_entry__ as entry_mod
 
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    # A typo'd query name (or a slash-less sf_dir landing in `only`)
+    # previously filtered out EVERY query and the gate exited 0 with
+    # '0 failures' — a false green for a run that verified nothing
+    # (review finding). Unknown names are a usage error: fail loudly.
+    unknown = [n for n in only if n not in qs]
+    if unknown:
+        print(f"FAIL: unknown query name(s) {unknown}; registry has {len(qs)} queries")
+        return 2
     spark = get_spark("diffcheck")
     con = duckdb.connect()
     for t in TABLES:
