@@ -70,7 +70,10 @@ def sliding_quality(
 ) -> DataFrame:
     """Sliding-window rolling average — each event lands in
     window/slide overlapping windows (the streaming analogue of the
-    batch ``sensor_rolling_avg`` trend smoother)."""
+    batch ``sensor_rolling_avg`` trend smoother). Carries BOTH window
+    bounds like its tumbling/session siblings — consumers of
+    overlapping windows especially need the end in-band (review
+    finding: the schema was inconsistently start-only here)."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(
@@ -83,6 +86,7 @@ def sliding_quality(
         )
         .select(
             F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.date_format("win.end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
             "sensor_id",
             "n_readings",
             "avg_value",

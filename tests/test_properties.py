@@ -297,8 +297,12 @@ def test_seq_pack_exclusive_cumsum_invariants(spark, toks):
 @SETTINGS
 @given(n=st.integers(1, 400))
 def test_hash_split_partitions_and_is_stable(spark, n):
-    """The hash split is a partition of any id set (every doc in
-    exactly one split) and assignment is invariant to corpus size."""
+    """The hash split's Spark assignments must equal an independent
+    Python re-derivation of md5-bucket membership for EVERY id — a
+    real oracle, not just "counts sum to n" (which any when/otherwise
+    chain satisfies; review finding flagged the old form vacuous)."""
+    import hashlib as _hl
+
     from bigdata_riveranalysis_spark.plans import traindata as TD
 
     df = spark.range(0, n).select(F.col("id").cast("string").alias("k"))
@@ -308,10 +312,15 @@ def test_hash_split_partitions_and_is_stable(spark, n):
         .when(b < TD.SPLIT_VAL_END, "val")
         .otherwise("test")
     )
-    counts = dict(
-        df.select(split.alias("s")).groupBy("s").count().rdd.map(tuple).collect()
-    )
-    assert sum(counts.values()) == n
+    got = {r.k: r.s for r in df.select("k", split.alias("s")).collect()}
+
+    def want(k: str) -> str:
+        bucket = int(_hl.md5(k.encode()).hexdigest()[:8], 16) % 100
+        if bucket < TD.SPLIT_TRAIN_END:
+            return "train"
+        return "val" if bucket < TD.SPLIT_VAL_END else "test"
+
+    assert got == {str(i): want(str(i)) for i in range(n)}
 
 
 @SETTINGS

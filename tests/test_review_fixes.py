@@ -88,7 +88,7 @@ def test_upsert_rename_refuses_pointer_committed_table(spark, tmp_path):
         trigger_available_now=True,
         commit="pointer",
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query timed out (partial sink)"
     assert os.path.exists(path + SERVING_POINTER_SUFFIX)
     assert read_serving_table(spark, path).count() == 1
 
@@ -101,11 +101,12 @@ def test_upsert_rename_refuses_pointer_committed_table(spark, tmp_path):
         trigger_available_now=True,
         commit="rename",
     )
-    with pytest.raises(Exception) as exc:
+    # awaitTermination raises StreamingQueryException itself when the
+    # batch fails (the exception() re-raise variant is unreachable);
+    # match pins the guard's message, and a silent timeout surfaces as
+    # DID-NOT-RAISE instead of masquerading as the guarded failure.
+    with pytest.raises(Exception, match="pointer-committed"):
         q2.awaitTermination(120)
-        if q2.exception() is not None:
-            raise q2.exception()
-    assert "pointer-committed" in str(exc.value)
     # the live generation must still be readable
     assert read_serving_table(spark, path).count() == 1
 
@@ -148,7 +149,7 @@ def test_ewma_null_reading_does_not_poison_state(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query timed out (partial sink)"
     rows = {r.event_id: r for r in spark.table("ewma_nan_q").collect()}
     assert rows[1].ewma == 10.0 and not rows[1].is_spike
     assert rows[2].ewma == 10.0 and not rows[2].is_spike  # passthrough, state intact

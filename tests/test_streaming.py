@@ -60,7 +60,7 @@ def _run_to_memory(stream_df, spark, name):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query timed out (partial sink)"
     return spark.table(name)
 
 
@@ -184,7 +184,7 @@ def test_alert_sink_dispatches_foreach_batch(spark, tmp_path):
         output_mode="append",
         trigger_available_now=True,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query timed out (partial sink)"
     assert sorted(seen) == [(2, 200.0, "critical"), (3, 151.0, "critical")]
 
 
@@ -196,7 +196,7 @@ def test_parquet_sink_writes_checkpointed_output(spark, tmp_path):
     stream = file_json_stream(spark, path)
     out_dir, ckpt = str(tmp_path / "out_parquet"), str(tmp_path / "ckpt_parquet")
     q = start_parquet_sink(stream, out_dir, ckpt, trigger_available_now=True)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query timed out (partial sink)"
     assert spark.read.parquet(out_dir).count() == 5
     assert os.path.isdir(ckpt)
 
@@ -225,7 +225,7 @@ def test_ewma_state_survives_micro_batches(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query timed out (partial sink)"
     rows = {r.event_id: r for r in spark.table("ewma_q").collect()}
     assert rows[1].ewma == 10.0 and not rows[1].is_spike  # first reading seeds state
     assert rows[2].ewma == 10.0 and not rows[2].is_spike
@@ -248,7 +248,7 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
 
     q = start_parquet_sink(file_json_stream(spark, src), out_dir, ckpt,
                            trigger_available_now=True)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query timed out (partial sink)"
     assert spark.read.parquet(out_dir).count() == 4
 
     # new data lands while the query is down
@@ -258,7 +258,7 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
 
     q2 = start_parquet_sink(file_json_stream(spark, src), out_dir, ckpt,
                             trigger_available_now=True)
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(120), "streaming query timed out (partial sink)"
 
     got = spark.read.parquet(out_dir)
     assert got.count() == 7  # 4 old + 3 new, no re-emission
@@ -296,7 +296,7 @@ def test_upsert_sink_keeps_latest_per_key(spark, tmp_path):
     )
     out, ckpt = str(tmp_path / "serve"), str(tmp_path / "ckpt_upsert")
     q = start_upsert_sink(agg, out, ckpt, ("user_id",), trigger_available_now=True)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query timed out (partial sink)"
     rows = {r.user_id: r for r in spark.read.parquet(out).collect()}
     assert set(rows) == {1, 2}
     assert rows[1].n == 2 and rows[1].total == 40.0  # both batches folded
@@ -315,7 +315,7 @@ def test_upsert_sink_survives_read_failure(spark, tmp_path):
     stream = file_json_stream(spark, src1, max_files_per_trigger=1)
     agg = stream.groupBy("user_id").agg(F.sum("value").alias("total"))
     q = start_upsert_sink(agg, out, ckpt1, ("user_id",), trigger_available_now=True)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query timed out (partial sink)"
     assert spark.read.parquet(out).count() == 1
 
     # Corrupt the serving table so the next merge's read fails.
@@ -332,8 +332,10 @@ def test_upsert_sink_survives_read_failure(spark, tmp_path):
     agg2 = stream2.groupBy("user_id").agg(F.sum("value").alias("total"))
     q2 = start_upsert_sink(agg2, out, str(tmp_path / "ckpt_u2"), ("user_id",),
                            trigger_available_now=True)
-    with pytest.raises(Exception):
-        q2.awaitTermination(120)
+    # match pins the INTENDED failure (merge-read of the corrupt
+    # parquet), not any incidental setup error (review finding).
+    with pytest.raises(Exception, match="(?i)parquet|footer|magic"):
+        assert q2.awaitTermination(120), "streaming query timed out (partial sink)"
     # The (corrupt) table was left in place — never replaced by batch 2.
     assert os.path.exists(os.path.join(out, "part-00000.parquet"))
     with open(os.path.join(out, "part-00000.parquet")) as fh:
@@ -351,7 +353,7 @@ def test_upsert_sink_heals_renamed_aside_table(spark, tmp_path):
     stream = file_json_stream(spark, src1, max_files_per_trigger=1)
     agg = stream.groupBy("user_id").agg(F.sum("value").alias("total"))
     q = start_upsert_sink(agg, out, ckpt1, ("user_id",), trigger_available_now=True)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query timed out (partial sink)"
 
     os.rename(out, out + "__old")  # simulate the crash window
 
@@ -363,7 +365,7 @@ def test_upsert_sink_heals_renamed_aside_table(spark, tmp_path):
     agg2 = stream2.groupBy("user_id").agg(F.sum("value").alias("total"))
     q2 = start_upsert_sink(agg2, out, str(tmp_path / "ckpt_h2"), ("user_id",),
                            trigger_available_now=True)
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(120), "streaming query timed out (partial sink)"
     rows = {r.user_id: r.total for r in spark.read.parquet(out).collect()}
     assert rows == {1: 10.0, 2: 20.0}
     assert not os.path.exists(out + "__old")
@@ -387,7 +389,7 @@ def test_upsert_sink_sweeps_orphan_shadow_dirs(spark, tmp_path):
     agg = stream.groupBy("user_id").agg(F.sum("value").alias("total"))
     q = start_upsert_sink(agg, out, str(tmp_path / "ckpt_sweep"), ("user_id",),
                           trigger_available_now=True)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query timed out (partial sink)"
     assert not os.path.exists(orphan)
     assert spark.read.parquet(out).count() == 1
 
@@ -414,7 +416,7 @@ def test_upsert_sink_pointer_commit_keeps_latest_per_key(spark, tmp_path):
     out, ckpt = str(tmp_path / "serve"), str(tmp_path / "ckpt_ptr")
     q = start_upsert_sink(agg, out, ckpt, ("user_id",),
                           trigger_available_now=True, commit="pointer")
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query timed out (partial sink)"
     assert os.path.exists(out + ".ptr")
     assert not os.path.exists(out)  # no rename-mode dir in pointer mode
     live = resolve_serving_path(out)
@@ -441,7 +443,7 @@ def test_upsert_sink_pointer_commit_survives_read_failure(spark, tmp_path):
     agg = stream.groupBy("user_id").agg(F.sum("value").alias("total"))
     q = start_upsert_sink(agg, out, str(tmp_path / "ckpt_p1"), ("user_id",),
                           trigger_available_now=True, commit="pointer")
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query timed out (partial sink)"
     live = resolve_serving_path(out)
 
     # Corrupt the live generation so the next merge's read fails.
@@ -458,8 +460,10 @@ def test_upsert_sink_pointer_commit_survives_read_failure(spark, tmp_path):
     agg2 = stream2.groupBy("user_id").agg(F.sum("value").alias("total"))
     q2 = start_upsert_sink(agg2, out, str(tmp_path / "ckpt_p2"), ("user_id",),
                            trigger_available_now=True, commit="pointer")
-    with pytest.raises(Exception):
-        q2.awaitTermination(120)
+    # match pins the INTENDED failure (merge-read of the corrupt
+    # parquet), not any incidental setup error (review finding).
+    with pytest.raises(Exception, match="(?i)parquet|footer|magic"):
+        assert q2.awaitTermination(120), "streaming query timed out (partial sink)"
     # Pointer still names the (corrupt) generation — not flipped.
     assert resolve_serving_path(out) == live
     assert os.path.exists(os.path.join(live, "part-00000.parquet"))
@@ -493,7 +497,7 @@ def test_upsert_sink_pointer_crash_before_flip_keeps_old_live(spark, tmp_path):
     agg = stream.groupBy("user_id").agg(F.sum("value").alias("total"))
     q = start_upsert_sink(agg, out, str(tmp_path / "ckpt_cf"), ("user_id",),
                           trigger_available_now=True, commit="pointer")
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query timed out (partial sink)"
     rows = {r.user_id: r.total for r in read_serving_table(spark, out).collect()}
     assert rows == {1: 10.0, 2: 20.0}  # merged from __b7, not the orphan
     assert not os.path.exists(out + "__b9")  # orphan swept
@@ -527,7 +531,7 @@ def test_upsert_sink_pointer_retry_pingpong_never_overwrites_live(spark, tmp_pat
     agg = stream.groupBy("user_id").agg(F.sum("value").alias("total"))
     q = start_upsert_sink(agg, out, str(tmp_path / "ckpt_pp"), ("user_id",),
                           trigger_available_now=True, commit="pointer")
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query timed out (partial sink)"
     assert os.path.basename(resolve_serving_path(out)) == \
         os.path.basename(out) + "__b0x"
     rows = {r.user_id: r.total for r in read_serving_table(spark, out).collect()}
@@ -553,7 +557,7 @@ def test_upsert_sink_pointer_migrates_legacy_rename_table(spark, tmp_path):
     agg2 = stream2.groupBy("user_id").agg(F.sum("value").alias("total"))
     q2 = start_upsert_sink(agg2, out, str(tmp_path / "ckpt_mig"), ("user_id",),
                            trigger_available_now=True, commit="pointer")
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(120), "streaming query timed out (partial sink)"
     rows = {r.user_id: r.total for r in read_serving_table(spark, out).collect()}
     assert rows == {1: 10.0, 2: 20.0}
     assert not os.path.exists(out)  # legacy dir retired
@@ -580,3 +584,54 @@ def test_observe_metrics_on_batch_query(spark):
     got = obs.get
     assert got["rows_scanned"] == li.count()  # all rows observed pre-filter
     assert got["null_qty"] == 0
+
+
+def test_sliding_quality_overlapping_windows(spark, tmp_path):
+    """Sliding windows: an event lands in window/slide overlapping
+    windows, each carrying BOTH bounds (previously untested public
+    API with a start-only schema; review finding)."""
+    from bigdata_riveranalysis_spark.streaming import sliding_quality
+
+    rows = [_ev(1, "2024-01-01 00:20:00", user_id=1, value=10.0)]
+    path = _write_files(tmp_path, [rows, [_ev(99, SENTINEL_TS, user_id=99)]])
+    stream = file_json_stream(spark, path, max_files_per_trigger=1)
+    out = _run_to_memory(
+        sliding_quality(stream, window="1 hour", slide="30 minutes"), spark, "slide_q"
+    )
+    got = sorted(
+        (r.window_start, r.window_end, r.n_readings, r.avg_value)
+        for r in out.collect()
+        if r.sensor_id == 1
+    )
+    # 00:20 falls in [23:30,00:30) and [00:00,01:00) — 2 windows (hour/slide = 2).
+    assert got == [
+        ("2023-12-31 23:30:00", "2024-01-01 00:30:00", 1, 10.0),
+        ("2024-01-01 00:00:00", "2024-01-01 01:00:00", 1, 10.0),
+    ]
+
+
+def test_dedup_state_expires_past_watermark_horizon(spark, tmp_path):
+    """The dedup state is BOUNDED by the watermark horizon — pinned
+    from both sides (review finding: only the in-horizon case was
+    tested). A redelivery carrying its ORIGINAL (now-late) timestamp
+    is dropped by the watermark itself, so eviction never leaks an
+    old-ts duplicate; a redelivery with a FRESH timestamp after the
+    key's state was evicted passes through as a new event — the
+    documented memory-for-exactness trade."""
+    b1 = [_ev(1, "2024-01-01 00:10:00")]
+    # Advance the watermark far past 00:10 + 2h horizon; key 1's state
+    # (expires 02:10) is evicted at the END of the first batch that
+    # RUNS with watermark 10:00 — the spacer — so the redeliveries
+    # must arrive one batch later still (same staging discipline as
+    # test_late_event_dropped_after_watermark).
+    b2 = [_ev(2, "2024-01-01 12:00:00")]
+    spacer = [_ev(3, "2024-01-01 12:30:00")]
+    b4 = [
+        _ev(1, "2024-01-01 00:10:00"),  # old ts: dropped as LATE, not re-emitted
+        _ev(1, "2024-01-01 11:59:00"),  # fresh ts, state evicted: leaks through
+    ]
+    path = _write_files(tmp_path, [b1, b2, spacer, b4])
+    stream = file_json_stream(spark, path, max_files_per_trigger=1)
+    out = _run_to_memory(dedup_within_watermark(stream), spark, "dedup_exp_q")
+    ids = sorted(r.event_id for r in out.collect())
+    assert ids == [1, 1, 2, 3]  # exactly one extra 1: the fresh-ts redelivery
