@@ -97,6 +97,30 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _band_rows(df: "DataFrame") -> "DataFrame":
+    """Explode a (doc_id, sig-array) frame into LSH band-key rows —
+    the ONE definition of the banding layout (4 bands × 2 rows),
+    shared by the full-corpus and incremental LSH queries and kept in
+    lockstep with _band_rows_sql (the two copies previously had to be
+    edited in sync; review finding)."""
+    return df.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.col("sig")[2 * b].alias("h1"),
+                        F.col("sig")[2 * b + 1].alias("h2"),
+                    )
+                    for b in range(NUM_MINHASHES // 2)
+                ]
+            )
+        ).alias("bk"),
+    )
+
+
 def _minhash_signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id + mh0..mh{N-1} MinHash signature over distinct word-trigram
     shingles. Docs with < 3 tokens have no shingles and are excluded.
@@ -229,22 +253,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = _minhash_signature_df(spark, sf_dir).cache()
     sig.count()
     sig_arr = sig.select("doc_id", F.array(*[F.col(f"mh{i}") for i in range(NUM_MINHASHES)]).alias("sig"))
-    bands = sig_arr.select(
-        "doc_id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.col("sig")[2 * b].alias("h1"),
-                        F.col("sig")[2 * b + 1].alias("h2"),
-                    )
-                    for b in range(NUM_MINHASHES // 2)
-                ]
-            )
-        ).alias("bk"),
-    )
+    bands = _band_rows(sig_arr)
     a, b = bands.alias("a"), bands.alias("b")
     # Score on the joined row (both signatures are already there),
     # THEN dedup the surviving (doc_a, doc_b) pairs with a scalar-only
@@ -346,27 +355,9 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.array(*[F.col(f"mh{i}") for i in range(NUM_MINHASHES)]).alias("sig")
     )
 
-    def bands(df: DataFrame) -> DataFrame:
-        return df.select(
-            "doc_id",
-            "sig",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.col("sig")[2 * b].alias("h1"),
-                            F.col("sig")[2 * b + 1].alias("h2"),
-                        )
-                        for b in range(NUM_MINHASHES // 2)
-                    ]
-                )
-            ).alias("bk"),
-        )
-
     bsig = sig_arr.filter(F.col("doc_id") >= cutoff)
     csig = sig_arr.filter(F.col("doc_id") < cutoff)
-    a, c = bands(bsig).alias("a"), bands(csig).alias("c")
+    a, c = _band_rows(bsig).alias("a"), _band_rows(csig).alias("c")
     n_agree = F.size(
         F.filter(F.zip_with(F.col("a.sig"), F.col("c.sig"), lambda x, y: x == y), lambda v: v)
     )
@@ -1007,6 +998,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     if n_docs <= SIMHASH_LOCAL_MAX_DOCS:
         return _simhash_pairs_local(spark, sig)
     sig = sig.cache()
+    # Materialize BEFORE the self-join: both join sides otherwise race
+    # to fill the same cached partitions and serialize on block locks
+    # (same pathology + fix as dedup_minhash_lsh's sig.count(),
+    # measured there at ~4× blocked-vs-CPU time; review finding).
+    sig.count()
     seg_keys = F.array(
         *[
             F.struct(
@@ -1557,6 +1553,22 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _label_dim_means(emb: DataFrame) -> DataFrame:
+    """Per-(label, dim) centroid components — THE centroid definition,
+    shared by embedding_centroids and the IVF quantizer so the two
+    cannot drift (they were previously duplicated; review finding).
+    posexplode → partial-agged avg: the shuffle key is (label, dim).
+
+    Determinism note: avg() over doubles is order-dependent at the
+    ulp level (partial-sum order differs between engines), so
+    centroid-derived outputs are compared under rounding, and an
+    argmax over centroid cosines could in principle flip on a
+    sub-ulp tie — measure-zero for real embedding data, same honesty
+    stance as dedup_embedding_cosine's BLAS note."""
+    ex = emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+    return ex.groupBy("label", "dim").agg(F.avg(F.col("v").cast("double")).alias("mu"))
+
+
 @query(
     "embedding_centroids",
     oracle="""
@@ -1594,8 +1606,7 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure extra Exchange of raw vectors ahead of the partial agg.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    ex = emb.select("label", F.posexplode("embedding").alias("dim", "v"))
-    dims = ex.groupBy("label", "dim").agg(F.avg(F.col("v").cast("double")).alias("mu"))
+    dims = _label_dim_means(emb)
     return dims.groupBy("label").agg(
         F.count("*").alias("n_dims"),
         F.round(F.sum(F.col("mu") * F.col("mu")), 6).alias("centroid_sq_norm"),
@@ -1867,8 +1878,7 @@ def _ivf_cent_arr(spark: SparkSession, sf_dir: str) -> DataFrame:
     spread the reduce side.
     """
     base = load_table(spark, sf_dir, "embeddings")
-    ex = base.select("label", F.posexplode("embedding").alias("dim", "v"))
-    dims = ex.groupBy("label", "dim").agg(F.avg(F.col("v").cast("double")).alias("mu"))
+    dims = _label_dim_means(base)
     cents = (
         dims.groupBy("label")
         .agg(
@@ -1977,7 +1987,11 @@ def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector — including the queries — is assigned to its
     nearest-by-cosine centroid, NOT its label, so the cell structure
     is genuinely data-derived and deterministic (ties break on cell
-    id), which is what lets the SQL oracle reproduce it bit-for-bit.
+    id), which is what lets the SQL oracle reproduce the assignment.
+    (Honesty caveat: the centroid means are order-dependent doubles —
+    see _label_dim_means — so a vector whose two nearest cosines tie
+    within an ulp could in principle assign differently per engine;
+    measure-zero for real embeddings, same stance as the BLAS note.)
 
     Scale: the centroid table is k rows, carried as ONE row holding
     an array<struct<cell,c>> and broadcast; assignment is a per-row

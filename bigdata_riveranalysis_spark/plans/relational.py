@@ -65,9 +65,18 @@ _REV_INT_SQL = f"{EX.cents_sql('l_extendedprice')} * (100 - {EX.cents_sql('l_dis
 def flagship_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: market-segment revenue over a 3-year order window.
 
-    scan → pushed filter → broadcast dim join → fact-fact shuffle
-    join → hash agg → sort. The one query that exercises the whole
+    scan → pushed filter → customer join → fact-fact shuffle join →
+    hash agg → sort. The one query that exercises the whole
     relational core (SURVEY.md §7 phase 0 minimum slice).
+
+    The customer join carries NO broadcast hint: customer scales with
+    SF (it is deliberately absent from tables.DIM_TABLES), so a
+    forced F.broadcast OOMs at the scale these notes claim to survive
+    (review finding). AQE broadcasts it at bench SFs on its own
+    runtime size estimate and degrades to a shuffle join when it
+    outgrows the threshold — the decision belongs to the optimizer,
+    which actually sees the size. Same policy at the other two
+    customer joins (q3's segment filter side, topk's unfiltered dim).
     """
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
@@ -77,7 +86,7 @@ def flagship_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             EX.sum_round4(_REV_INT(), 4).alias("revenue"),
@@ -265,7 +274,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(EX.sum_round4(_REV_INT(), 4).alias("revenue"))
         .select(
@@ -548,7 +557,7 @@ def topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     w = W.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .select("c_mktsegment", "o_orderkey", "o_totalprice")
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
@@ -865,7 +874,7 @@ def agg_ordered_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "range_join_order_quarters",
-    oracle="""
+    oracle=f"""
     WITH quarters AS (
         SELECT q.q_start, q.q_start + INTERVAL 3 MONTH AS q_end
         FROM (SELECT unnest(generate_series(DATE '2023-01-01', DATE '2024-10-01',
@@ -873,7 +882,7 @@ def agg_ordered_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT strftime(q_start, '%Y-%m-%d') AS quarter_start,
            count(o_orderkey)             AS n_orders,
-           round(sum(o_totalprice), 4)   AS total_price
+           {EX.sum_round4_sql(EX.cents_sql('o_totalprice'), 2)} AS total_price
     FROM quarters LEFT JOIN orders
       ON o_orderdate >= q_start AND o_orderdate < q_end
     GROUP BY q_start
@@ -912,7 +921,11 @@ def range_join_order_quarters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("q_start", "yyyy-MM-dd").alias("quarter_start")
     ).agg(
         F.count("o_orderkey").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        # Exact fixed-point money sum (functions/exact policy) — the
+        # raw-double sum here was the one unordered money aggregate
+        # left in this file and drifts past the round-4 boundary on
+        # large quarter groups (review finding).
+        EX.sum_round4(EX.cents("o_totalprice"), 2).alias("total_price"),
     )
 
 
@@ -964,23 +977,33 @@ def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Subqueries (Catalyst decorrelation) and percentile aggregates
 # --------------------------------------------------------------------------
 
-_SUBQ_BRAND_AVG_SQL = """
+_SUBQ_BRAND_AVG_SQL = f"""
     SELECT p_brand, p_partkey, round(p_retailprice, 4) AS retailprice
     FROM part p
-    WHERE p_retailprice > 1.05 * (
-        SELECT avg(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
-    )
+    WHERE 100 * (SELECT count(*) FROM part p2 WHERE p2.p_brand = p.p_brand)
+              * {EX.cents_sql('p.p_retailprice')}
+        > 105 * (SELECT sum({EX.cents_sql('p2.p_retailprice')})
+                 FROM part p2 WHERE p2.p_brand = p.p_brand)
 """
 
 
 @query("subq_parts_above_brand_avg", oracle=_SUBQ_BRAND_AVG_SQL)
 def subq_parts_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated scalar subquery: parts priced >5% above their
-    brand's average (5%: the synthetic price spread is tight). Catalyst decorrelates this into one aggregate
-    per brand + an equi-join (RewriteCorrelatedScalarSubquery) — no
-    per-row subquery execution, so the plan is two scans + a
-    broadcast join at any scale. The engine runs the exact SQL the
-    oracle runs: the point is the optimizer surface, not the syntax.
+    """Correlated scalar subqueries: parts priced >5% above their
+    brand's average (5%: the synthetic price spread is tight).
+    Catalyst decorrelates these into per-brand aggregates + an
+    equi-join (RewriteCorrelatedScalarSubquery, the two subqueries
+    over the same group merged by MergeScalarSubqueries) — no per-row
+    subquery execution, so the plan is two scans + a broadcast join
+    at any scale. The engine runs the exact SQL the oracle runs: the
+    point is the optimizer surface, not the syntax.
+
+    The threshold is integer cross-multiplication over exact cents
+    (100·n·price > 105·Σprices ⟺ price > 1.05·avg) rather than a
+    float `1.05 * avg(...)` compare: the avg is an order-dependent
+    double, so a borderline part's MEMBERSHIP could differ between
+    engines — a whole-row divergence no rounding absorbs (review
+    finding; same class as the zscore query's integer-moment fix).
     """
     load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
     return spark.sql(_SUBQ_BRAND_AVG_SQL)
