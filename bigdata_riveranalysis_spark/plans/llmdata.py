@@ -2332,13 +2332,16 @@ def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs FROM d
     )
     SELECT vec_id,
-           list_transform(range(1, len(embedding) + 1),
-               i -> CASE WHEN s.mxs[i] = s.mns[i] THEN 0
-                         ELSE least(255, CAST(floor(
-                             (CAST(embedding[i] AS DOUBLE) - s.mns[i])
-                             / (s.mxs[i] - s.mns[i]) * 256) AS BIGINT))
-                    END) AS codes
-    FROM embeddings, s
+           CAST(u.dim - 1 AS INTEGER) AS dim,
+           CASE WHEN s.mxs[u.dim] = s.mns[u.dim] THEN 0
+                ELSE least(255, CAST(floor(
+                    (CAST(u.v AS DOUBLE) - s.mns[u.dim])
+                    / (s.mxs[u.dim] - s.mns[u.dim]) * 256) AS BIGINT))
+           END AS code
+    FROM embeddings,
+         s,
+         LATERAL (SELECT unnest(embedding) AS v,
+                         generate_subscripts(embedding, 1) AS dim) u
     """,
 )
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2354,6 +2357,14 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     and floor() of that identical double cannot diverge — so codes
     are integer-exact across engines with no rounding tolerance
     needed. Degenerate constant dimensions (max = min) encode 0.
+
+    Output shape is EXPLODED (vec_id, dim, code) rows — scalar
+    columns only — because the driver's pandas-based canonicalizer
+    cannot hash array cells (the r5 `array<long>` shape died with
+    `unhashable type: 'list'` before comparison; VERDICT r5 #1).
+    Row count is n_vectors × n_dims, still trivially aggregate-sized
+    relative to the corpus, and the codes-as-rows layout is also the
+    columnar layout an SQ8 index shard actually stores.
 
     Scale: calibration is posexplode → (dim) partial-agged min/max —
     a 64-row result from any corpus size; the code pass is one
@@ -2383,7 +2394,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         emb.crossJoin(F.broadcast(stats))
-        .select("vec_id", F.transform("embedding", code).alias("codes"))
+        .select("vec_id", F.posexplode(F.transform("embedding", code)).alias("dim", "code"))
     )
 
 

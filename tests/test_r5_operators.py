@@ -220,11 +220,15 @@ def test_quantizer_constant_dimension_and_range(spark, tmp_path):
         }
     )
     pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
-    out = {
-        r.vec_id: list(r.codes)
-        for r in REGISTRY["embedding_quantize_int8"].fn(spark, str(tmp_path)).collect()
+    out: dict[int, dict[int, int]] = {}
+    rows = REGISTRY["embedding_quantize_int8"].fn(spark, str(tmp_path)).collect()
+    for r in rows:
+        out.setdefault(r.vec_id, {})[r.dim] = r.code
+    assert out == {
+        1: {0: 0, 1: 0},
+        2: {0: 128, 1: 0},
+        3: {0: 255, 1: 0},
     }
-    assert out == {1: [0, 0], 2: [128, 0], 3: [255, 0]}
 
 
 def test_drift_report_fires_on_planted_shift(spark, tmp_path):
