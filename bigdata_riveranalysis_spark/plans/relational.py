@@ -20,6 +20,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from bigdata_riveranalysis_spark.functions import exact as EX
+from bigdata_riveranalysis_spark.plans import scale as SC
 from bigdata_riveranalysis_spark.plans.registry import query
 from bigdata_riveranalysis_spark.sources.tables import load_table
 
@@ -1350,15 +1351,19 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     monetary value per customer, each quintile-scored 1-5 with 5 =
     best — the marketing-analytics workhorse for churn/VIP targeting.
 
-    ntile is order-dependent, so every score window carries the customer
-    key as the deterministic tie-break (the same rule as
+    ntile is order-dependent, so every score ordering carries the
+    customer key as the deterministic tie-break (the same rule as
     topk_orders_per_segment); recency sorts DESC so the most recent
-    customers land in tile 5. Scale: three ntile windows over the
-    per-customer aggregate — unpartitioned by design (quintiles are
-    global); at 100 TB swap ntile for a percentile-threshold join
-    (approx_percentile on the aggregate, then a range comparison),
-    which scores identically at the 5-bucket grain without a global
-    sort.
+    customers land in tile 5. Scale (rewritten per VERDICT r5 #3): no
+    unpartitioned window anywhere — each score is a scale.two_level_prefix
+    global rank (range-banded, per-band windows, P-row offset table)
+    turned into a quintile by scale.ntile_from_rank's integer
+    arithmetic, which reproduces window-ntile's bucket boundaries
+    bit-for-bit (the oracle still runs the literal ntile). At
+    billions of customers each ordering is two bounded shuffles of
+    the per-customer aggregate instead of a single-reducer sort; the
+    three score branches re-scan orders here (cheap at bench SF) —
+    a production pipeline would persist `base` once first.
     """
     orders = load_table(spark, sf_dir, "orders")
     ref = orders.agg(F.max("o_orderdate").alias("r"))
@@ -1377,14 +1382,30 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_c",
         )
     )
-    return base.select(
-        "c_custkey",
-        "recency_days",
-        "frequency",
-        F.round(F.col("monetary_c") / 100.0, 4).alias("monetary"),
-        F.ntile(5).over(W.orderBy(F.desc("recency_days"), "c_custkey")).alias("r_score"),
-        F.ntile(5).over(W.orderBy(F.asc("frequency"), "c_custkey")).alias("f_score"),
-        F.ntile(5).over(W.orderBy(F.asc("monetary_c"), "c_custkey")).alias("m_score"),
+    n = base.agg(F.count("*").cast("long").alias("_N"))
+
+    def score(order: list, alias: str) -> DataFrame:
+        ranked = SC.two_level_prefix(base, order)
+        return ranked.crossJoin(F.broadcast(n)).select(
+            "c_custkey",
+            SC.ntile_from_rank(F.col("_rk"), F.col("_N"), 5)
+            .cast("int")
+            .alias(alias),
+        )
+
+    return (
+        base.join(score([F.desc("recency_days"), F.asc("c_custkey")], "r_score"), "c_custkey")
+        .join(score([F.asc("frequency"), F.asc("c_custkey")], "f_score"), "c_custkey")
+        .join(score([F.asc("monetary_c"), F.asc("c_custkey")], "m_score"), "c_custkey")
+        .select(
+            "c_custkey",
+            "recency_days",
+            "frequency",
+            F.round(F.col("monetary_c") / 100.0, 4).alias("monetary"),
+            "r_score",
+            "f_score",
+            "m_score",
+        )
     )
 
 
