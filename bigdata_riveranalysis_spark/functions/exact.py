@@ -46,13 +46,41 @@ def cents_sql(expr: str) -> str:
     return f"CAST(round(({expr}) * 100) AS BIGINT)"
 
 
+def wide_sum(int_col: Column) -> Column:
+    """Σe on DECIMAL(38,0) — the long-sum's 100 TB headroom fix.
+
+    A per-row term of 1e7 (price cents) overflows a LONG sum around
+    1e12 rows and the scale-6 charge term (~1e11/row) already at
+    ~9e7 rows/group ≈ sf30 — where Spark's ANSI sum raises while
+    DuckDB silently promotes BIGINT→HUGEINT and keeps going (engine
+    divergence; ADVICE r5 latent). Decimal128 matches HUGEINT's
+    ~1.7e38 headroom, the sum stays exact, and every downstream
+    rounding identity is unchanged because the final division still
+    sees bit-identical operands after the explicit double cast.
+
+    Measured cost (sf0.1, local[32], warm): q1_pricing_summary — the
+    most sum-dense query — 0.66 s → 1.05 s. Accepted: the long path's
+    ANSI overflow is a correctness cliff, and at real scale these
+    scans are IO-bound, so the Decimal128 ALU cost amortizes away.
+    """
+    return F.sum(int_col.cast("decimal(38,0)"))
+
+
 def sum_round4(int_col: Column, scale: int) -> Column:
     """round(sum(e)/10^scale, 4) for an exact integer column e."""
-    s = F.sum(int_col)
+    s = wide_sum(int_col)
     if scale <= 4:
-        return (s * F.lit(10 ** (4 - scale))) / F.lit(10000.0)
+        # exact decimal product, converted to double only AT the
+        # division — the same point DuckDB converts its HUGEINT
+        # product, so both engines divide the identical double.
+        return (s * F.lit(10 ** (4 - scale))).cast("double") / F.lit(10000.0)
     d = 10 ** (scale - 4)
-    return F.floor((F.lit(2) * s + F.lit(d)) / F.lit(2 * d)) / F.lit(10000.0)
+    # ditto: 2·S + d is exact in decimal; the cast makes the divide a
+    # DOUBLE divide (decimal/int would be DECIMAL division with its
+    # own scale-derived rounding — a different op tree than DuckDB's).
+    return F.floor(
+        (F.lit(2) * s + F.lit(d)).cast("double") / F.lit(2 * d)
+    ) / F.lit(10000.0)
 
 
 def sum_round4_sql(int_expr: str, scale: int) -> str:
@@ -65,9 +93,14 @@ def sum_round4_sql(int_expr: str, scale: int) -> str:
 def ratio_round4(s: Column, n: Column, scale: int) -> Column:
     """round_half_up(S / (n·10^scale), 4) for exact integer S and n —
     the building block for averages, including two-phase (salted)
-    decompositions where S and n arrive as partial sums."""
+    decompositions where S and n arrive as partial sums. S is widened
+    to DECIMAL(38,0) before the ×2m step (no-op if already decimal),
+    so the numerator stays exact at any corpus size; the explicit
+    double cast then mirrors DuckDB's HUGEINT→DOUBLE conversion at
+    the division."""
     m, d = 10 ** max(0, 4 - scale), 10 ** max(0, scale - 4)
-    return F.floor((F.lit(2 * m) * s + n * F.lit(d)) / (F.lit(2 * d) * n)) / F.lit(10000.0)
+    num = F.lit(2 * m) * s.cast("decimal(38,0)") + n * F.lit(d)
+    return F.floor(num.cast("double") / (F.lit(2 * d) * n)) / F.lit(10000.0)
 
 
 def avg_round4(int_col: Column, scale: int) -> Column:
@@ -78,7 +111,7 @@ def avg_round4(int_col: Column, scale: int) -> Column:
     malformed props) doesn't silently dilute the average the way a
     count(*) denominator would.
     """
-    return ratio_round4(F.sum(int_col), F.count(int_col), scale)
+    return ratio_round4(wide_sum(int_col), F.count(int_col), scale)
 
 
 def avg_round4_sql(int_expr: str, scale: int) -> str:

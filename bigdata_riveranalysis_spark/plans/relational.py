@@ -127,12 +127,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     the parquet scan.
 
     Integer headroom: the scale-6 charge term is ~1e11 per row, so a
-    per-group long sum holds through ~9e7 rows/group ≈ sf30 (TPC-H
-    lineitem ≈ 6M rows/SF over 6 groups). Beyond that Spark's ANSI
-    sum raises while DuckDB silently promotes BIGINT→HUGEINT — an
-    engine divergence; at larger SF run the scale-6 sums on
-    DECIMAL(38,0) (same floor/round identities hold, at decimal
-    cost). Same policy as sensor_zscore_anomalies' Σc² bound.
+    per-group LONG sum would overflow around ~9e7 rows/group ≈ sf30 —
+    Spark's ANSI sum raising where DuckDB silently promotes
+    BIGINT→HUGEINT. Closed in r6: functions.exact sums on
+    DECIMAL(38,0) (HUGEINT-equivalent headroom, same floor/round
+    identities, measured cost in exact.wide_sum's docstring; overflow
+    pinned by tests/test_r6_operators.py::test_wide_sum_survives_long_overflow).
     """
     li = load_table(spark, sf_dir, "lineitem")
     # Fixed-point: revenue terms as exact integer products (cents ×

@@ -180,12 +180,19 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     salt = TX.hash32(F.col("l_orderkey").cast("string")) % SALT_BUCKETS
+    # The avg denominator is carried as the NON-null value count (cp),
+    # separate from the count(*) row count — ANSI avg() divides by
+    # count(expr), and a count(*) denominator would silently dilute
+    # the average on a NULL-bearing corpus in BOTH the salted plan and
+    # (identically) its oracle, so the differential gate could never
+    # catch it (ADVICE r5 latent; pinned in tests/test_r6_operators.py).
     partial = (
         li.groupBy("l_returnflag", salt.alias("salt"))
         .agg(
             F.count("*").alias("c"),
-            F.sum(EX.cents("l_quantity")).alias("sq"),
-            F.sum(EX.cents("l_extendedprice")).alias("sp"),
+            F.count("l_extendedprice").alias("cp"),
+            EX.wide_sum(EX.cents("l_quantity")).alias("sq"),
+            EX.wide_sum(EX.cents("l_extendedprice")).alias("sp"),
             F.max("l_discount").alias("md"),
         )
     )
@@ -193,8 +200,8 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         partial.groupBy("l_returnflag")
         .agg(
             F.sum("c").alias("n_rows"),
-            ((F.sum("sq") * F.lit(100)) / F.lit(10000.0)).alias("sum_qty"),
-            EX.ratio_round4(F.sum("sp"), F.sum("c"), 2).alias("avg_price"),
+            ((F.sum("sq") * F.lit(100)).cast("double") / F.lit(10000.0)).alias("sum_qty"),
+            EX.ratio_round4(F.sum("sp"), F.sum("cp"), 2).alias("avg_price"),
             F.round(F.max("md"), 4).alias("max_disc"),
         )
     )

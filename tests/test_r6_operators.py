@@ -114,6 +114,70 @@ def test_rfm_and_pareto_have_no_unbounded_global_window(spark):
             )
 
 
+def test_salted_avg_divides_by_nonnull_count(spark, tmp_path):
+    """ANSI avg() divides by count(expr); the salted two-phase
+    decomposition must carry the NON-null value count through phase 1
+    or a NULL-bearing corpus silently dilutes the average — and since
+    the oracle twin uses count(expr) too, only a planted-NULL fixture
+    can catch the drift (ADVICE r5 latent)."""
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {
+            "l_orderkey": [1, 2, 3],
+            "l_returnflag": ["A", "A", "A"],
+            "l_quantity": [1.0, 2.0, 3.0],
+            "l_extendedprice": [10.0, 20.0, None],
+            "l_discount": [0.0, 0.0, 0.0],
+        }
+    )
+    df.to_parquet(tmp_path / "lineitem.parquet", index=False)
+    row = REGISTRY["agg_salted_skew"].fn(spark, str(tmp_path)).collect()[0]
+    assert row.n_rows == 3  # count(*) still counts the NULL row
+    assert row.avg_price == 15.0  # (10+20)/2, not (10+20)/3
+
+
+def test_wide_sum_survives_long_overflow(spark):
+    """sum_round4 on values whose LONG sum exceeds 2^63 must return
+    the exact decimal-summed answer instead of raising (Spark ANSI)
+    or wrapping — the q1 scale-6 charge term does exactly this around
+    sf30 (ADVICE r5 latent; functions.exact.wide_sum)."""
+    from bigdata_riveranalysis_spark.functions import exact as EX
+
+    v = 5_000_000_000_000_000_000  # 4 × 5e18 = 2e19 > 2^63-1 ≈ 9.22e18
+    df = spark.createDataFrame([(v,)] * 4, "x long")
+    got = df.agg(EX.sum_round4(F.col("x"), 6).alias("s")).collect()[0].s
+    exact = (2 * 4 * v + 100) // 200 / 10000.0  # round_half_up(Σ/1e6, 4)
+    assert got == exact
+
+
+def test_ts_unit_sniff_cache_invalidated_on_rewrite(tmp_path):
+    """Rewriting events.parquet IN PLACE with a different physical ts
+    unit must flip the sniff — a bare-path cache would keep serving
+    the stale unit decision after an in-process fixture regeneration
+    (ADVICE r4/r5 latent; cache is keyed on the (file, mtime_ns,
+    size) signature)."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bigdata_riveranalysis_spark.sources.tables import events_ts_is_nanos
+
+    p = str(tmp_path / "events.parquet")
+    ts = pd.to_datetime(["2024-01-01 00:00:00", "2024-01-02 00:00:00"])
+    micros = pa.table({"ts": pa.array(ts, type=pa.timestamp("us"))})
+    pq.write_table(micros, p)
+    assert events_ts_is_nanos(p) is False
+    nanos = pa.table({"ts": pa.array(ts, type=pa.timestamp("ns"))})
+    pq.write_table(nanos, p)
+    # force a distinct mtime even on coarse-clock filesystems
+    st = os.stat(p)
+    os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    assert events_ts_is_nanos(p) is True
+
+
 def test_rfm_scores_identical_to_literal_ntile(spark):
     """End-to-end guard on the arithmetic rewrite: scores from the
     banded plan equal literal ntile(5) windows run on the same
