@@ -635,3 +635,27 @@ def test_dedup_state_expires_past_watermark_horizon(spark, tmp_path):
     out = _run_to_memory(dedup_within_watermark(stream), spark, "dedup_exp_q")
     ids = sorted(r.event_id for r in out.collect())
     assert ids == [1, 1, 2, 3]  # exactly one extra 1: the fresh-ts redelivery
+
+
+def test_rocksdb_state_store_parity(spark, monkeypatch):
+    """The SPARK_GRAFT_STATE_STORE=rocksdb hook runs a stateful stream
+    query on the RocksDB provider and produces the identical result to
+    the default HDFS-backed store (VERDICT r5 #6 config hook; the
+    measured trade lives in _run_stream's sizing note)."""
+    from bigdata_riveranalysis_spark.plans.registry import REGISTRY
+
+    from .conftest import SF_SMOKE
+
+    q = REGISTRY["stream_windowed_quality"].fn
+    base = sorted(map(tuple, q(spark, SF_SMOKE).collect()))
+    monkeypatch.setenv("SPARK_GRAFT_STATE_STORE", "rocksdb")
+    rocks = sorted(map(tuple, q(spark, SF_SMOKE).collect()))
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass").endswith(
+            "RocksDBStateStoreProvider"
+        )
+    )
+    assert rocks == base
+    monkeypatch.setenv("SPARK_GRAFT_STATE_STORE", "not-a-provider")
+    with pytest.raises(ValueError, match="SPARK_GRAFT_STATE_STORE"):
+        q(spark, SF_SMOKE)
