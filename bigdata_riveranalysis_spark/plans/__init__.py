@@ -9,5 +9,6 @@ from bigdata_riveranalysis_spark.plans import river  # noqa: E402,F401
 from bigdata_riveranalysis_spark.plans import llmdata  # noqa: E402,F401
 from bigdata_riveranalysis_spark.plans import traindata  # noqa: E402,F401
 from bigdata_riveranalysis_spark.plans import scale  # noqa: E402,F401
+from bigdata_riveranalysis_spark.plans import mining  # noqa: E402,F401
 from bigdata_riveranalysis_spark.plans import sqlapi  # noqa: E402,F401
 from bigdata_riveranalysis_spark.plans import streaming_queries  # noqa: E402,F401

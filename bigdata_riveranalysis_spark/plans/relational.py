@@ -1409,6 +1409,70 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: q18 threshold: orders whose total line quantity exceeds this
+#: (cents scale — 300 units). ≈ the 99.5th percentile at any SF
+#: (TPC-H order size is SF-invariant), so the result is a stable,
+#: small "largest orders" set.
+Q18_QTY_CENTS = 300 * 100
+
+
+@query(
+    "q18_large_volume_customers",
+    oracle=f"""
+    WITH big AS (
+        SELECT l_orderkey,
+               sum({EX.cents_sql('l_quantity')}) AS qty_c
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum({EX.cents_sql('l_quantity')}) > {Q18_QTY_CENTS}
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           round(o.o_totalprice, 4)      AS total_price,
+           round(big.qty_c / 100.0, 4)   AS total_qty
+    FROM big
+    JOIN orders o   ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style large-volume-customer report: orders whose
+    total line quantity exceeds a threshold (a HAVING over the fact
+    aggregate), joined back to orders and customer for the who/when.
+
+    Quantities aggregate as exact cents (functions.exact — wide
+    decimal sums, so the HAVING predicate is integer-exact on both
+    engines); the output divisions are single ops on identical
+    operands. Scale: the lineitem aggregate shuffles once on
+    l_orderkey with map-side partials; HAVING prunes to a tiny
+    "big orders" set BEFORE any join, so both join-backs broadcast
+    the filtered side into the orders/customer scans — the
+    aggregate-then-filter-then-join shape that makes Q18 tractable
+    at any SF (the naive join-first plan moves the whole fact table
+    twice).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(EX.cents("l_quantity").cast("decimal(38,0)")).alias("qty_c"))
+        .filter(F.col("qty_c") > Q18_QTY_CENTS)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 4).alias("total_price"),
+            F.round(F.col("qty_c") / 100.0, 4).alias("total_qty"),
+        )
+    )
+
+
 @query(
     "fuzzy_part_name_pairs",
     oracle="""

@@ -93,7 +93,10 @@ def test_rfm_and_pareto_have_no_unbounded_global_window(spark):
     optimized plans must sit above an Aggregate keyed by _pid (the
     band-totals table — at most `shuffle partitions` rows), and at
     least one _pid-PARTITIONED window must exist (the fact path).
-    Reverting to the global-ntile/cumsum formulation fails this."""
+    Reverting to the global-ntile/cumsum formulation fails this.
+    Classification shares tools.planaudit's line grammar."""
+    from tools.planaudit import is_global_window_line
+
     for name in ("customer_rfm_segments", "events_pareto_users"):
         df = REGISTRY[name].fn(spark, SF_ORACLE)
         plan = df._jdf.queryExecution().optimizedPlan().toString()
@@ -103,7 +106,7 @@ def test_rfm_and_pareto_have_no_unbounded_global_window(spark):
         banded = [ln for _, ln in wins if ln.count("], [") == 2 and "_pid" in ln]
         assert banded, f"{name}: no band-partitioned window in plan"
         for i, ln in wins:
-            if ln.count("], [") >= 2:
+            if not is_global_window_line(ln):
                 continue  # partitioned — fine at any cardinality
             # global window: the nearest Aggregate BELOW it must be the
             # per-band totals (keyed by _pid), i.e. bounded input.
@@ -176,6 +179,113 @@ def test_ts_unit_sniff_cache_invalidated_on_rewrite(tmp_path):
     st = os.stat(p)
     os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
     assert events_ts_is_nanos(p) is True
+
+
+# --- pattern mining / sequence analytics (r6 coverage growth) -----------
+
+
+def test_basket_pairs_exact_counts_confidence_lift(spark, tmp_path):
+    """Planted baskets → exact co-occurrence counts, confidence and
+    lift. Baskets: {1,2}×3, {1,3}×1, {2}×1 over 5 orders; with
+    min-support 3 only the (1,2) pair survives: conf = 3/4, lift =
+    (3·5)/(4·4)."""
+    import pandas as pd
+
+    rows = []
+    baskets = [[1, 2], [1, 2], [1, 2], [1, 3], [2]]
+    for ok, parts in enumerate(baskets):
+        for p in parts:
+            rows.append((ok, p))
+    df = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"])
+    df["l_quantity"] = 1.0
+    df.to_parquet(tmp_path / "lineitem.parquet", index=False)
+    out = REGISTRY["basket_part_pairs"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.part_a, r.part_b, r.n_ab, r.n_a, r.n_b) == (1, 2, 3, 4, 4)
+    assert r.confidence == 0.75
+    assert r.lift == round(15 / 16, 4)
+
+
+def test_transition_matrix_tiebreak_and_shares(spark, tmp_path):
+    """Same-timestamp events order by event_id (the pinned tie-break),
+    and shares row-normalize per from_type."""
+    import pandas as pd
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:00"] * 2 + ["2024-01-01 00:01:00", "2024-01-01 00:02:00"]
+    )
+    df = pd.DataFrame(
+        {
+            "event_id": [2, 1, 3, 4],  # id 1 precedes id 2 at the tied ts
+            "ts": ts,
+            "user_id": [7, 7, 7, 7],
+            "event_type": ["click", "view", "view", "purchase"],
+            "value": [0.0] * 4,
+            "props": ["{}"] * 4,
+        }
+    )
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+    out = {
+        (r.from_type, r.to_type): (r.n_transitions, r.share)
+        for r in REGISTRY["events_transition_matrix"].fn(spark, str(tmp_path)).collect()
+    }
+    # sequence: view(id1) → click(id2) → view(id3) → purchase(id4)
+    assert out == {
+        ("view", "click"): (1, 0.5),
+        ("click", "view"): (1, 1.0),
+        ("view", "purchase"): (1, 0.5),
+    }
+
+
+def test_interarrival_exact_on_subsecond_gaps(spark, tmp_path):
+    """Gaps are measured in exact integer microseconds — a 1.5 s and a
+    0.25 s gap average to 0.875 s, which second-resolution arithmetic
+    would destroy."""
+    import pandas as pd
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    df = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": [base, base + pd.Timedelta("1.5s"), base + pd.Timedelta("1.75s")],
+            "user_id": [9, 9, 9],
+            "event_type": ["view"] * 3,
+            "value": [0.0] * 3,
+            "props": ["{}"] * 3,
+        }
+    )
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+    r = REGISTRY["events_interarrival_user"].fn(spark, str(tmp_path)).collect()[0]
+    assert (r.user_id, r.n_gaps) == (9, 2)
+    assert r.avg_gap_s == 0.875
+    assert (r.min_gap_s, r.max_gap_s) == (0.25, 1.5)
+
+
+def test_keywords_tf_rank_tiebreak(spark, tmp_path):
+    """tf ties break by term ascending (total order), df counts docs
+    not occurrences, and only the top KEYWORDS_PER_DOC survive."""
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["b b a a c d", "a x"],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+        }
+    )
+    df["n_chars"] = df["text"].str.len().astype("int64")
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+    out = {
+        (r.doc_id, r.rnk): (r.term, r.tf, r.df)
+        for r in REGISTRY["docs_keyword_tf"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out[(1, 1)] == ("a", 2, 2)  # tf tie with b → 'a' first
+    assert out[(1, 2)] == ("b", 2, 1)
+    assert out[(1, 3)] == ("c", 1, 1)
+    assert (1, 4) not in out  # 'd' cut by top-3
+    assert out[(2, 1)] == ("a", 1, 2)
 
 
 # --- PNG codec (VERDICT r5 #5) ------------------------------------------
