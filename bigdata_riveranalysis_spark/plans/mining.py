@@ -72,25 +72,51 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     2^53) are identical on both engines, so round4 cannot diverge.
     Pair orientation part_a < part_b is total, no tie ambiguity.
 
-    Scale: the pair generator is an equi-join on l_orderkey — each
-    basket expands to k·(k−1)/2 pairs where k is ITS OWN item count
-    (≈4-7 here), so the blow-up is Σk², linear in baskets for bounded
-    baskets; a degenerate mega-basket is the skew case and gets the
-    salted-join treatment (plans/scale.py) before this operator. The
-    pair aggregate shuffles on (part_a, part_b); per-item counts and
+    Scale: pairs are generated PER BASKET from its sorted distinct
+    item array (collect_set → array_sort → a higher-order-function
+    pair expansion, all JVM-side) — k·(k−1)/2 pairs where k is the
+    basket's OWN item count (≈4-7 here), so the blow-up is Σk²,
+    linear in baskets for bounded baskets; a degenerate mega-basket
+    is the skew case and gets capped/salted upstream. This shape is
+    one shuffle (basket groupBy) + one pair aggregate — the
+    self-join-on-basket-key formulation costs two extra exchanges for
+    the same output (measured 2.4 s → see BENCH). Per-item counts and
     the 1-row basket total are dictionary-sized → broadcast joins;
     min-support prunes before the join-back. Never an all-pairs
     catalog product.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    nb = items.agg(F.count_distinct("l_orderkey").alias("n_baskets"))
-    cnt = items.groupBy("l_partkey").agg(F.count("*").alias("c"))
-    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    # One materialization feeds all three consumers (pair expansion,
+    # item counts, basket total) — without it each aggregate re-runs
+    # the fact scan + basket shuffle (same localCheckpoint discipline
+    # as dedup_cluster_components; the basket table is one row per
+    # order, far smaller than the fact input).
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .localCheckpoint()
+    )
+    nb = baskets.agg(F.count("*").alias("n_baskets"))
+    cnt = baskets.select(F.explode("parts").alias("l_partkey")).groupBy(
+        "l_partkey"
+    ).agg(F.count("*").alias("c"))
+    # pair expansion: for item i, pair it with every later item j>i of
+    # the sorted array — orientation part_a < part_b falls out of the
+    # sort, no post-filter needed.
+    pair_expr = F.explode(
+        F.flatten(
+            F.transform(
+                "parts",
+                lambda x, i: F.transform(
+                    F.slice("parts", i + 2, F.size("parts")),
+                    lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+                ),
+            )
+        )
+    )
     pairs = (
-        a.join(b, ["l_orderkey"])
-        .filter(F.col("part_a") < F.col("part_b"))
+        baskets.select(pair_expr.alias("p"))
+        .select("p.part_a", "p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("n_ab"))
         .filter(F.col("n_ab") >= BASKET_MIN_SUPPORT)

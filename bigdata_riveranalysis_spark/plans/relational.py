@@ -1362,8 +1362,11 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit (the oracle still runs the literal ntile). At
     billions of customers each ordering is two bounded shuffles of
     the per-customer aggregate instead of a single-reducer sort; the
-    three score branches re-scan orders here (cheap at bench SF) —
-    a production pipeline would persist `base` once first.
+    three score branches re-derive the per-customer base from the
+    (cheap, pruned) orders scan — measured faster at bench SF than an
+    eager localCheckpoint, whose serial materialization cost exceeds
+    the rescans here; at 100 TB persist the base once (the
+    multi-consumer discipline basket_part_pairs demonstrates).
     """
     orders = load_table(spark, sf_dir, "orders")
     ref = orders.agg(F.max("o_orderdate").alias("r"))
