@@ -30,15 +30,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # r5 #1-2): slot 1 is embedding_quantize_int8 — the single red r05
 # row, now emitting driver-hashable exploded scalar rows — followed
 # by the two queries whose plans were REWRITTEN this round (banded
-# two-level prefix sums replacing their global windows), then the 50
-# queries whose latest driver-green is r04, and the five NEW r6
-# queries (mining/sequence/q18) take their first driver checks. That
-# is 58 candidates for 50 slots; the eight left on their r04 rows —
-# the three set-ops plus five pure filter/semi/anti/scalar/rank
-# queries — were untouched this round (no exact-helper dependence,
-# verified by grep) and r04 is exactly two rounds old, so the brief's
-# "none older than two rounds" still holds for every registry entry
-# while everything CHANGED or NEW in r6 gets a fresh check.
+# two-level prefix sums replacing their global windows), the eight
+# NEW r6 queries (mining/sequence/sketch/graph/sampling/q18) taking
+# their first driver checks, then the queries whose latest
+# driver-green is r04. That is 61 candidates for 50 slots; the eleven
+# left on their r04 rows — the set-ops, semi/anti joins,
+# filter_project, the window rank/lag/topk suite, and the
+# array/string/date scalars — were untouched this round (no
+# exact-helper dependence, verified by grep) and r04 is exactly two
+# rounds old, so the brief's "none older than two rounds" still holds
+# for every registry entry while everything CHANGED or NEW in r6 gets
+# a fresh check.
 _ROTATE_FIRST = [
     "embedding_quantize_int8",  # r05 red (harness shape) — fixed r6
     "customer_rfm_segments",  # rewritten r6: banded ntile arithmetic
@@ -48,9 +50,11 @@ _ROTATE_FIRST = [
     "events_interarrival_user",  # new in r6 — first driver check
     "docs_keyword_tf",  # new in r6 — first driver check
     "q18_large_volume_customers",  # new in r6 — first driver check
-    # --- the r04-green queries, minus the eight stable untouched
-    # ones named in the note above (set-ops, semi/anti joins,
-    # filter_project, rank suite, array scalars) ---
+    "cms_heavy_hitters",  # new in r6 — first driver check
+    "graph_triangle_count",  # new in r6 — first driver check
+    "sample_weighted_systematic",  # new in r6 — first driver check
+    # --- the r04-green queries, minus the eleven stable untouched
+    # ones named in the note above ---
     "knn_bruteforce_cosine",
     "ann_lsh_bucketed",
     "text_quality_scores",
@@ -88,9 +92,6 @@ _ROTATE_FIRST = [
     "q3_shipping_priority",
     "q5_region_volume",
     "join_dims_customer_geo",
-    "window_running_total",
-    "topk_orders_per_segment",
-    "window_lag_price_delta",
     "scalar_functions_part",
     "scalar_date_functions",  # fills the window
 ]

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from bigdata_riveranalysis_spark.functions import exact as EX
 from bigdata_riveranalysis_spark.functions import text as TX
+from bigdata_riveranalysis_spark.plans import scale as SC
 from bigdata_riveranalysis_spark.plans.registry import query
 from bigdata_riveranalysis_spark.sources.tables import load_table
 
@@ -35,6 +36,73 @@ BASKET_MIN_SUPPORT = 3
 
 #: Keywords reported per document.
 KEYWORDS_PER_DOC = 3
+
+#: Count-Min sketch geometry: depth (independent hash rows) × width
+#: (buckets per row). ε = e/width bounds the overcount to ε·N with
+#: probability 1 − e^−depth per key.
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+
+#: Heavy hitters audited against the sketch.
+CMS_TOP_K = 20
+
+#: Edge support threshold for the co-purchase graph (≥2 keeps the
+#: graph dense enough to close triangles at small SF).
+TRIANGLE_MIN_SUPPORT = 2
+
+#: Weighted systematic sample size.
+WSAMPLE_N = 100
+
+
+def _baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(l_orderkey, sorted distinct part array) — materialized ONCE
+    (localCheckpoint) because every consumer (pair expansion, item
+    counts, basket total) would otherwise re-run the fact scan +
+    basket shuffle; one row per order, far smaller than the input."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .localCheckpoint()
+    )
+
+
+def _basket_pair_counts(baskets: DataFrame) -> DataFrame:
+    """(part_a < part_b, n_ab) co-occurrence counts via per-basket
+    pair expansion: for item i of the sorted array, pair it with every
+    later item j>i (higher-order functions, all JVM-side) — the
+    orientation falls out of the sort, no post-filter needed."""
+    pair_expr = F.explode(
+        F.flatten(
+            F.transform(
+                "parts",
+                lambda x, i: F.transform(
+                    F.slice("parts", i + 2, F.size("parts")),
+                    lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+                ),
+            )
+        )
+    )
+    return (
+        baskets.select(pair_expr.alias("p"))
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_ab"))
+    )
+
+
+#: Shared oracle CTE text for the per-basket pair counts (kept in
+#: lockstep with _basket_pair_counts).
+_PAIRS_ORACLE = """
+    items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pair_counts AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_ab
+        FROM items a
+        JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    )
+"""
 
 
 @query(
@@ -85,41 +153,13 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-support prunes before the join-back. Never an all-pairs
     catalog product.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    # One materialization feeds all three consumers (pair expansion,
-    # item counts, basket total) — without it each aggregate re-runs
-    # the fact scan + basket shuffle (same localCheckpoint discipline
-    # as dedup_cluster_components; the basket table is one row per
-    # order, far smaller than the fact input).
-    baskets = (
-        li.groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
-        .localCheckpoint()
-    )
+    baskets = _baskets(spark, sf_dir)
     nb = baskets.agg(F.count("*").alias("n_baskets"))
     cnt = baskets.select(F.explode("parts").alias("l_partkey")).groupBy(
         "l_partkey"
     ).agg(F.count("*").alias("c"))
-    # pair expansion: for item i, pair it with every later item j>i of
-    # the sorted array — orientation part_a < part_b falls out of the
-    # sort, no post-filter needed.
-    pair_expr = F.explode(
-        F.flatten(
-            F.transform(
-                "parts",
-                lambda x, i: F.transform(
-                    F.slice("parts", i + 2, F.size("parts")),
-                    lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
-                ),
-            )
-        )
-    )
-    pairs = (
-        baskets.select(pair_expr.alias("p"))
-        .select("p.part_a", "p.part_b")
-        .groupBy("part_a", "part_b")
-        .agg(F.count("*").alias("n_ab"))
-        .filter(F.col("n_ab") >= BASKET_MIN_SUPPORT)
+    pairs = _basket_pair_counts(baskets).filter(
+        F.col("n_ab") >= BASKET_MIN_SUPPORT
     )
     ca = cnt.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("n_a"))
     cb = cnt.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("n_b"))
@@ -298,4 +338,228 @@ def docs_keyword_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= KEYWORDS_PER_DOC)
         .select("doc_id", "term", "tf", "df", "rnk")
+    )
+
+
+@query(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH keyed AS (SELECT CAST(l_partkey AS VARCHAR) AS k, l_partkey FROM lineitem),
+    tot AS (SELECT count(*) AS n FROM keyed),
+    seeds AS (SELECT d FROM range({CMS_DEPTH}) t(d)),
+    sketch AS (
+        SELECT d,
+               {TX.hash32_sql("concat(CAST(d AS VARCHAR), ':', k)")} % {CMS_WIDTH} AS b,
+               count(*) AS cnt
+        FROM keyed CROSS JOIN seeds
+        GROUP BY 1, 2
+    ),
+    topk AS (
+        SELECT l_partkey AS part, CAST(l_partkey AS VARCHAR) AS k, count(*) AS exact_n
+        FROM keyed GROUP BY 1, 2
+        ORDER BY exact_n DESC, part
+        LIMIT {CMS_TOP_K}
+    ),
+    est AS (
+        SELECT t.part, t.exact_n, min(s.cnt) AS est_n
+        FROM topk t
+        CROSS JOIN seeds
+        JOIN sketch s
+          ON s.d = seeds.d
+         AND s.b = {TX.hash32_sql("concat(CAST(seeds.d AS VARCHAR), ':', t.k)")} % {CMS_WIDTH}
+        GROUP BY 1, 2
+    )
+    SELECT part, exact_n, est_n,
+           est_n - exact_n AS overcount,
+           ((est_n - exact_n) * {CMS_WIDTH} <= 3 * tot.n) AS within_eps
+    FROM est CROSS JOIN tot
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch frequency estimation, audited: build a
+    {CMS_DEPTH}×{CMS_WIDTH} CMS over lineitem part keys, then compare
+    the sketch's estimate against the exact count for the top-K parts
+    — the same measured-accuracy discipline as the HLL/percentile
+    witnesses (state the estimator's error, don't imply it). The
+    sketch is fully deterministic (md5-derived row hashes), so both
+    engines materialize the IDENTICAL {CMS_DEPTH * CMS_WIDTH}-cell
+    sketch and every output — estimates, overcounts, and the
+    ε-witness booleans ((est−exact)·width ≤ 3·N, the e/width·N bound
+    in integer cross-multiplication) — is integer-exact.
+
+    Scale: this is the point of a CMS at 100 TB — a frequency table
+    over billions of keys reduced to a constant-size (depth×width)
+    aggregate with map-side partials; the ×depth row expansion is the
+    only cost and never shuffles more than depth·width partial rows
+    per task. The exact top-K pass (TakeOrderedAndProject, no global
+    sort) exists here to AUDIT the sketch; production reads the
+    sketch alone. Candidate keys join the 256-cell sketch by
+    broadcast.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        F.col("l_partkey").alias("part"),
+        F.col("l_partkey").cast("string").alias("k"),
+    )
+    tot = keyed.agg(F.count("*").alias("n"))
+    seeds = F.array([F.lit(d) for d in range(CMS_DEPTH)])
+
+    def bucket(d: F.Column, k: F.Column) -> F.Column:
+        return (
+            TX.hash32(F.concat(d.cast("string"), F.lit(":"), k)) % CMS_WIDTH
+        )
+
+    sketch = (
+        keyed.select("k", F.explode(seeds).alias("d"))
+        .select("d", bucket(F.col("d"), F.col("k")).alias("b"))
+        .groupBy("d", "b")
+        .agg(F.count("*").alias("cnt"))
+    )
+    topk = (
+        keyed.groupBy("part", "k")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("part"))
+        .limit(CMS_TOP_K)
+    )
+    est = (
+        topk.select("part", "exact_n", "k", F.explode(seeds).alias("d"))
+        .select("part", "exact_n", "d", bucket(F.col("d"), F.col("k")).alias("b"))
+        .join(F.broadcast(sketch), ["d", "b"])
+        .groupBy("part", "exact_n")
+        .agg(F.min("cnt").alias("est_n"))
+    )
+    return est.crossJoin(F.broadcast(tot)).select(
+        "part",
+        "exact_n",
+        "est_n",
+        (F.col("est_n") - F.col("exact_n")).alias("overcount"),
+        ((F.col("est_n") - F.col("exact_n")) * CMS_WIDTH <= 3 * F.col("n")).alias(
+            "within_eps"
+        ),
+    )
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH {_PAIRS_ORACLE},
+    e AS (
+        SELECT part_a, part_b FROM pair_counts
+        WHERE n_ab >= {TRIANGLE_MIN_SUPPORT}
+    ),
+    tri AS (
+        SELECT e1.part_a AS a, e1.part_b AS b, e2.part_b AS c
+        FROM e e1
+        JOIN e e2 ON e2.part_a = e1.part_b
+        JOIN e e3 ON e3.part_a = e1.part_a AND e3.part_b = e2.part_b
+    ),
+    nodes AS (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT node, count(*) AS n_triangles FROM nodes GROUP BY node
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting on the co-purchase graph (part
+    pairs co-ordered ≥ {TRIANGLE_MIN_SUPPORT} times): per-node
+    triangle participation — the local clustering signal behind
+    community detection and link-spam filtering.
+
+    The node-iterator algorithm on id-oriented edges (a<b<c): wedges
+    from e(a,b)⋈e(b,c), closed against e(a,c). Each triangle is
+    emitted exactly once (the orientation is a total order), so the
+    counts are integer-exact. Scale: both joins are equi-joins keyed
+    on a vertex (shuffle by key); wedge volume is Σ out-deg² — at
+    100 TB orient edges low-degree→high-degree instead of by id
+    (same output, arboricity-bounded wedges, hub nodes stop being
+    wedge centers) and salt residual hot vertices; the id orientation
+    here keeps the oracle a plain SQL self-join.
+    """
+    pairs = _basket_pair_counts(_baskets(spark, sf_dir))
+    e = pairs.filter(F.col("n_ab") >= TRIANGLE_MIN_SUPPORT).select(
+        "part_a", "part_b"
+    )
+    e1 = e.select(F.col("part_a").alias("a"), F.col("part_b").alias("b"))
+    e2 = e.select(F.col("part_a").alias("b"), F.col("part_b").alias("c"))
+    e3 = e.select(F.col("part_a").alias("a"), F.col("part_b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    nodes = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return nodes
+
+
+@query(
+    "sample_weighted_systematic",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_custkey AS c_custkey,
+               sum({EX.cents_sql('o_totalprice')}) AS w,
+               {TX.hash32_sql("CAST(o_custkey AS VARCHAR)")} AS h
+        FROM orders GROUP BY o_custkey
+    ),
+    pre AS (
+        SELECT c_custkey, w,
+               sum(w) OVER (ORDER BY h, c_custkey
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(w) OVER () AS tot
+        FROM base
+    )
+    SELECT c_custkey,
+           round(w / 100.0, 4) AS weight,
+           CAST((cum * {WSAMPLE_N}) // tot AS BIGINT) AS pick_no
+    FROM pre
+    WHERE (cum * {WSAMPLE_N}) // tot > ((cum - w) * {WSAMPLE_N}) // tot
+    """,
+)
+def sample_weighted_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional systematic sampling of customers by spend:
+    lay every customer's exact cent weight end-to-end along an
+    integer line in hash-permuted order (md5 of the key — a
+    deterministic pseudo-random shuffle, reproducible across runs and
+    engines), then take one pick per 1/{WSAMPLE_N} of total weight. A
+    customer is selected iff its weight interval crosses a selection
+    threshold — floor((cum·n)/tot) > floor(((cum−w)·n)/tot) — so
+    inclusion probability is proportional to spend, heavy customers
+    cannot be missed, and everything is INTEGER arithmetic (no float
+    RNG, no libm): both engines select the identical sample.
+
+    Scale: the cumulative weight comes from scale.two_level_prefix
+    (range-banded prefix sums — no single-reducer window); the
+    threshold products run on DECIMAL(38,0) (cum·n overflows a long
+    once total cents × n passes 2^63 — real at 100 TB revenue sums;
+    DuckDB's HUGEINT does the same implicitly) with the
+    subtract-modulo floor-division identity, which is exact where
+    decimal `/` would round at its derived scale.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.sum(EX.cents("o_totalprice")).alias("w")
+    ).withColumn("h", TX.hash32(F.col("c_custkey").cast("string")))
+    pre = SC.two_level_prefix(
+        base, [F.asc("h"), F.asc("c_custkey")], sum_cols=("w",)
+    )
+
+    def floordiv(a: F.Column, b: F.Column) -> F.Column:
+        # exact floor(a/b) for non-negative DECIMAL a, positive b:
+        # (a − a % b) is an exact multiple, so the decimal division
+        # cannot round.
+        return ((a - a % b) / b).cast("long")
+
+    n = F.lit(WSAMPLE_N)
+    cum = F.col("_cum_w").cast("decimal(38,0)")
+    prev = (F.col("_cum_w") - F.col("w")).cast("decimal(38,0)")
+    tot = F.col("_tot_w")
+    return (
+        pre.withColumn("pick_no", floordiv(cum * n, tot))
+        .filter(F.col("pick_no") > floordiv(prev * n, tot))
+        .select(
+            "c_custkey",
+            F.round(F.col("w") / 100.0, 4).alias("weight"),
+            "pick_no",
+        )
     )
