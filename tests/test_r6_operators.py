@@ -288,6 +288,79 @@ def test_keywords_tf_rank_tiebreak(spark, tmp_path):
     assert out[(2, 1)] == ("a", 1, 2)
 
 
+@SETTINGS
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 59), st.sampled_from("abc")),
+        min_size=2,
+        max_size=40,
+        unique_by=lambda e: (e[0], e[1]),
+    )
+)
+def test_transition_conservation_law(spark, events, tmp_path_factory):
+    """Σ n_transitions == Σ_user (events_u − 1), and per-from_type
+    shares sum to 1 — algebraic invariants of the transition matrix
+    on arbitrary event logs."""
+    import pandas as pd
+
+    tmp = tmp_path_factory.mktemp("trans")
+    df = pd.DataFrame(
+        {
+            "event_id": range(len(events)),
+            "ts": [pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=m) for _, m, _ in events],
+            "user_id": [u for u, _, _ in events],
+            "event_type": [t for _, _, t in events],
+            "value": [0.0] * len(events),
+            "props": ["{}"] * len(events),
+        }
+    )
+    df.to_parquet(tmp / "events.parquet", index=False)
+    rows = REGISTRY["events_transition_matrix"].fn(spark, str(tmp)).collect()
+    from collections import Counter
+
+    per_user = Counter(u for u, _, _ in events)
+    expected_total = sum(n - 1 for n in per_user.values())
+    assert sum(r.n_transitions for r in rows) == expected_total
+    by_from: dict = {}
+    for r in rows:
+        by_from.setdefault(r.from_type, []).append(r.share)
+    for shares in by_from.values():
+        assert abs(sum(shares) - 1.0) < 1e-6
+
+
+@SETTINGS
+@given(
+    baskets=st.lists(
+        st.lists(st.integers(1, 6), min_size=1, max_size=5),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_basket_pair_conservation(spark, baskets, tmp_path_factory):
+    """Σ_pairs n_ab == Σ_baskets k·(k−1)/2 over DISTINCT basket items
+    (min-support disabled by summing the raw pair counts helper)."""
+    import pandas as pd
+
+    from bigdata_riveranalysis_spark.plans.mining import (
+        _baskets,
+        _basket_pair_counts,
+    )
+
+    tmp = tmp_path_factory.mktemp("basket")
+    rows = [(ok, p) for ok, parts in enumerate(baskets) for p in parts]
+    df = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"])
+    df["l_quantity"] = 1.0
+    df.to_parquet(tmp / "lineitem.parquet", index=False)
+    got = sum(
+        r.n_ab
+        for r in _basket_pair_counts(_baskets(spark, str(tmp))).collect()
+    )
+    expected = sum(
+        len(set(parts)) * (len(set(parts)) - 1) // 2 for parts in baskets
+    )
+    assert got == expected
+
+
 def test_cms_never_underestimates(spark):
     """The Count-Min invariant: the sketch estimate is ≥ the exact
     count for EVERY audited key (min over rows of bucket counts that
