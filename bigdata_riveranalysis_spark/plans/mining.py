@@ -43,6 +43,16 @@ KEYWORDS_PER_DOC = 3
 CMS_DEPTH = 4
 CMS_WIDTH = 64
 
+#: Carter-Wegman row hashes h_d(k) = ((A_d·k + B_d) mod P) mod width,
+#: P = 2^61 − 1 (Mersenne prime). Pure 64-bit integer arithmetic —
+#: identical on both engines and ~100× cheaper per row than a digest
+#: (the md5+conv formulation was the bench's slowest query at 3.4 s).
+#: A_d < 2^30 keeps A·k < 2^63 for keys below 2^33; wider key domains
+#: need a two-step reduction (documented, not needed for these ids).
+CMS_P = (1 << 61) - 1
+CMS_A = (536870923, 715827883, 805306457, 897581057)
+CMS_B = (12582917, 25165843, 50331653, 100663319)
+
 #: Heavy hitters audited against the sketch.
 CMS_TOP_K = 20
 
@@ -344,19 +354,20 @@ def docs_keyword_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "cms_heavy_hitters",
     oracle=f"""
-    WITH keyed AS (SELECT CAST(l_partkey AS VARCHAR) AS k, l_partkey FROM lineitem),
-    tot AS (SELECT count(*) AS n FROM keyed),
-    seeds AS (SELECT d FROM range({CMS_DEPTH}) t(d)),
+    WITH tot AS (SELECT count(*) AS n FROM lineitem),
+    seeds(d, a, bb) AS (
+        VALUES {", ".join(f"({d}, {CMS_A[d]}, {CMS_B[d]})" for d in range(CMS_DEPTH))}
+    ),
     sketch AS (
         SELECT d,
-               {TX.hash32_sql("concat(CAST(d AS VARCHAR), ':', k)")} % {CMS_WIDTH} AS b,
+               ((a * l_partkey + bb) % {CMS_P}) % {CMS_WIDTH} AS b,
                count(*) AS cnt
-        FROM keyed CROSS JOIN seeds
+        FROM lineitem CROSS JOIN seeds
         GROUP BY 1, 2
     ),
     topk AS (
-        SELECT l_partkey AS part, CAST(l_partkey AS VARCHAR) AS k, count(*) AS exact_n
-        FROM keyed GROUP BY 1, 2
+        SELECT l_partkey AS part, count(*) AS exact_n
+        FROM lineitem GROUP BY 1
         ORDER BY exact_n DESC, part
         LIMIT {CMS_TOP_K}
     ),
@@ -366,7 +377,7 @@ def docs_keyword_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
         CROSS JOIN seeds
         JOIN sketch s
           ON s.d = seeds.d
-         AND s.b = {TX.hash32_sql("concat(CAST(seeds.d AS VARCHAR), ':', t.k)")} % {CMS_WIDTH}
+         AND s.b = ((seeds.a * t.part + seeds.bb) % {CMS_P}) % {CMS_WIDTH}
         GROUP BY 1, 2
     )
     SELECT part, exact_n, est_n,
@@ -381,49 +392,53 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sketch's estimate against the exact count for the top-K parts
     — the same measured-accuracy discipline as the HLL/percentile
     witnesses (state the estimator's error, don't imply it). The
-    sketch is fully deterministic (md5-derived row hashes), so both
-    engines materialize the IDENTICAL {CMS_DEPTH * CMS_WIDTH}-cell
-    sketch and every output — estimates, overcounts, and the
-    ε-witness booleans ((est−exact)·width ≤ 3·N, the e/width·N bound
-    in integer cross-multiplication) — is integer-exact.
+    {CMS_DEPTH} hash rows are a Carter-Wegman universal family on the
+    integer key (CMS_A/CMS_B/CMS_P above) — pure 64-bit arithmetic,
+    no digest: the first-cut md5-per-seed formulation was the bench's
+    slowest query at 3.4 s, and the digest bought nothing a 2-wise
+    independent family doesn't already guarantee for CMS bounds.
+    Fully deterministic, so both engines materialize the IDENTICAL
+    {CMS_DEPTH * CMS_WIDTH}-cell sketch and every output — estimates,
+    overcounts, and the ε-witness booleans ((est−exact)·width ≤ 3·N,
+    the e/width·N bound in integer cross-multiplication) — is
+    integer-exact.
 
     Scale: this is the point of a CMS at 100 TB — a frequency table
     over billions of keys reduced to a constant-size (depth×width)
-    aggregate with map-side partials; the ×depth row expansion is the
-    only cost and never shuffles more than depth·width partial rows
-    per task. The exact top-K pass (TakeOrderedAndProject, no global
-    sort) exists here to AUDIT the sketch; production reads the
-    sketch alone. Candidate keys join the 256-cell sketch by
-    broadcast.
+    aggregate with map-side partials; depth mul-mods per row is the
+    only cost and the shuffle never carries more than depth·width
+    partial rows per task. The exact top-K pass
+    (TakeOrderedAndProject, no global sort) exists here to AUDIT the
+    sketch; production reads the sketch alone. Candidate keys join
+    the 256-cell sketch by broadcast.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    keyed = li.select(
-        F.col("l_partkey").alias("part"),
-        F.col("l_partkey").cast("string").alias("k"),
-    )
+    keyed = li.select(F.col("l_partkey").alias("part"))
     tot = keyed.agg(F.count("*").alias("n"))
     seeds = F.array([F.lit(d) for d in range(CMS_DEPTH)])
+    a_arr = F.array([F.lit(a) for a in CMS_A])
+    b_arr = F.array([F.lit(b) for b in CMS_B])
 
     def bucket(d: F.Column, k: F.Column) -> F.Column:
-        return (
-            TX.hash32(F.concat(d.cast("string"), F.lit(":"), k)) % CMS_WIDTH
-        )
+        a = F.element_at(a_arr, d.cast("int") + 1)
+        b = F.element_at(b_arr, d.cast("int") + 1)
+        return ((a * k + b) % CMS_P) % CMS_WIDTH
 
     sketch = (
-        keyed.select("k", F.explode(seeds).alias("d"))
-        .select("d", bucket(F.col("d"), F.col("k")).alias("b"))
+        keyed.select("part", F.explode(seeds).alias("d"))
+        .select("d", bucket(F.col("d"), F.col("part")).alias("b"))
         .groupBy("d", "b")
         .agg(F.count("*").alias("cnt"))
     )
     topk = (
-        keyed.groupBy("part", "k")
+        keyed.groupBy("part")
         .agg(F.count("*").alias("exact_n"))
         .orderBy(F.desc("exact_n"), F.asc("part"))
         .limit(CMS_TOP_K)
     )
     est = (
-        topk.select("part", "exact_n", "k", F.explode(seeds).alias("d"))
-        .select("part", "exact_n", "d", bucket(F.col("d"), F.col("k")).alias("b"))
+        topk.select("part", "exact_n", F.explode(seeds).alias("d"))
+        .select("part", "exact_n", "d", bucket(F.col("d"), F.col("part")).alias("b"))
         .join(F.broadcast(sketch), ["d", "b"])
         .groupBy("part", "exact_n")
         .agg(F.min("cnt").alias("est_n"))
