@@ -325,7 +325,9 @@ def test_transition_conservation_law(spark, events, tmp_path_factory):
     for r in rows:
         by_from.setdefault(r.from_type, []).append(r.share)
     for shares in by_from.values():
-        assert abs(sum(shares) - 1.0) < 1e-6
+        # each share is round4'd, so the sum can drift by 5e-5/term
+        # (e.g. three 1/3 shares print 0.3333 and sum to 0.9999)
+        assert abs(sum(shares) - 1.0) <= 5e-5 * len(shares) + 1e-9
 
 
 @SETTINGS
