@@ -53,6 +53,18 @@ CMS_P = (1 << 61) - 1
 CMS_A = (536870923, 715827883, 805306457, 897581057)
 CMS_B = (12582917, 25165843, 50331653, 100663319)
 
+#: Oracle-side seed table (shared with the streaming CMS query).
+CMS_SEEDS_SQL = "seeds(d, a, bb) AS (VALUES {})".format(
+    ", ".join(f"({d}, {CMS_A[d]}, {CMS_B[d]})" for d in range(CMS_DEPTH))
+)
+
+
+def cms_bucket(d: F.Column, k: F.Column) -> F.Column:
+    """Carter-Wegman CMS row hash h_d(k) → bucket (see CMS_A/B/P)."""
+    a = F.element_at(F.array([F.lit(a) for a in CMS_A]), d.cast("int") + 1)
+    b = F.element_at(F.array([F.lit(b) for b in CMS_B]), d.cast("int") + 1)
+    return ((a * k + b) % CMS_P) % CMS_WIDTH
+
 #: Heavy hitters audited against the sketch.
 CMS_TOP_K = 20
 
@@ -355,9 +367,7 @@ def docs_keyword_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cms_heavy_hitters",
     oracle=f"""
     WITH tot AS (SELECT count(*) AS n FROM lineitem),
-    seeds(d, a, bb) AS (
-        VALUES {", ".join(f"({d}, {CMS_A[d]}, {CMS_B[d]})" for d in range(CMS_DEPTH))}
-    ),
+    {CMS_SEEDS_SQL},
     sketch AS (
         SELECT d,
                ((a * l_partkey + bb) % {CMS_P}) % {CMS_WIDTH} AS b,
@@ -416,13 +426,7 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = li.select(F.col("l_partkey").alias("part"))
     tot = keyed.agg(F.count("*").alias("n"))
     seeds = F.array([F.lit(d) for d in range(CMS_DEPTH)])
-    a_arr = F.array([F.lit(a) for a in CMS_A])
-    b_arr = F.array([F.lit(b) for b in CMS_B])
-
-    def bucket(d: F.Column, k: F.Column) -> F.Column:
-        a = F.element_at(a_arr, d.cast("int") + 1)
-        b = F.element_at(b_arr, d.cast("int") + 1)
-        return ((a * k + b) % CMS_P) % CMS_WIDTH
+    bucket = cms_bucket
 
     sketch = (
         keyed.select("part", F.explode(seeds).alias("d"))

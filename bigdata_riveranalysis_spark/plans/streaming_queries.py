@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from bigdata_riveranalysis_spark.functions import exact as EX
+from bigdata_riveranalysis_spark.plans import mining as MN
 from bigdata_riveranalysis_spark.plans.registry import query
 from bigdata_riveranalysis_spark.streaming.pipeline import threshold_alerts
 
@@ -396,3 +397,49 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p_value", 4).alias("purchase_value"),
     )
     return _run_stream(joined, spark, "append", "stream_join")
+
+
+@query(
+    "stream_windowed_cms",
+    oracle=f"""
+    WITH {MN.CMS_SEEDS_SQL}
+    SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS window_start,
+           d,
+           ((a * user_id + bb) % {MN.CMS_P}) % {MN.CMS_WIDTH} AS b,
+           count(*) AS cnt
+    FROM events CROSS JOIN seeds
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_windowed_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sketch maintenance: a per-day Count-Min sketch of
+    user activity, built by a real Structured Streaming job — the
+    shape a 100 TB ingest uses to keep approximate per-window
+    frequency tables (heavy-hitter alerting, cardinality throttling)
+    without ever holding per-key state: the stream's state is
+    depth×width cells PER WINDOW, constant in user count.
+
+    The Carter-Wegman row hashes are the same deterministic family as
+    the batch cms_heavy_hitters (mining.CMS_A/B/P), so the streamed
+    sketch is bit-identical to the batch/SQL formulation — which is
+    exactly the property that lets a lambda-architecture deployment
+    hand off between the two. Complete mode + availableNow drains the
+    fixture; production runs append with the 1-hour watermark closing
+    windows.
+    """
+    seeds = F.array([F.lit(d) for d in range(MN.CMS_DEPTH)])
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .select(F.window("ts", "1 day").alias("win"), F.explode(seeds).alias("d"), "user_id")
+        .select("win", "d", MN.cms_bucket(F.col("d"), F.col("user_id")).alias("b"))
+        .groupBy("win", "d", "b")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd").alias("window_start"),
+            "d",
+            "b",
+            "cnt",
+        )
+    )
+    return _run_stream(agg, spark, "complete", "windowed_cms")

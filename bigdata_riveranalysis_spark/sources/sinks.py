@@ -130,3 +130,73 @@ def publish_kafka(
         .option("topic", topic)
         .save()
     )
+
+
+#: Bits per dimension in the Morton (Z-order) key. 21 bits × 2 dims
+#: fits a long with headroom; callers bucket wider domains first.
+ZORDER_BITS = 21
+
+
+def _spread_bits(col: F.Column) -> F.Column:
+    """Interleave-ready bit spread: the low ZORDER_BITS bits of the
+    input distributed to even bit positions (classic mask-shift
+    cascade, 5 steps for 21 bits — pure JVM long arithmetic, no UDF).
+    """
+    x = col.cast("long").bitwiseAND(F.lit((1 << ZORDER_BITS) - 1))
+    for shift, mask in (
+        (16, 0x0000FFFF0000FFFF),
+        (8, 0x00FF00FF00FF00FF),
+        (4, 0x0F0F0F0F0F0F0F0F),
+        (2, 0x3333333333333333),
+        (1, 0x5555555555555555),
+    ):
+        x = (x.bitwiseOR(F.shiftleft(x, shift))).bitwiseAND(F.lit(mask))
+    return x
+
+
+def zorder_key(c1: F.Column, c2: F.Column) -> F.Column:
+    """Morton key of two non-negative integer columns: bits of c1 on
+    even positions, c2 on odd — points close in BOTH dimensions get
+    close keys, so sorting by it clusters a 2-D space onto a 1-D
+    file layout."""
+    return _spread_bits(c1).bitwiseOR(F.shiftleft(_spread_bits(c2), 1))
+
+
+def write_zorder_table(
+    df: DataFrame,
+    path: str,
+    *,
+    zorder_by: tuple[str, str],
+    n_files: int,
+    mode: str = "error",
+) -> None:
+    """Z-order-clustered parquet — the multi-dimensional pruning
+    layout (the technique behind Delta/Iceberg OPTIMIZE ZORDER,
+    reimplemented on open Spark primitives).
+
+    A plain sort by one column makes that column's per-file min/max
+    ranges tight but leaves every OTHER filter column spread across
+    all files — a reader filtering on the second dimension prunes
+    nothing. Sorting by the Morton interleave instead gives every
+    file a small bounding BOX in (c1, c2) space, so parquet
+    row-group/file skipping works for range predicates on EITHER or
+    BOTH dimensions — at 100 TB this is the difference between
+    scanning ~√F of F files and scanning all of them for a 2-D
+    selective query. Verified empirically by
+    tests/test_r6_operators.py::test_zorder_layout_prunes_both_dimensions
+    against footer statistics.
+
+    Mechanics: range-partition on the key (so files tile the curve
+    contiguously), sort within partitions, drop the key before
+    writing — the parquet files carry only data columns, with their
+    footer min/max statistics doing the pruning.
+    """
+    c1, c2 = zorder_by
+    keyed = df.withColumn("_zkey", zorder_key(F.col(c1), F.col(c2)))
+    (
+        keyed.repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )

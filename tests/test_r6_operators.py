@@ -425,6 +425,70 @@ def test_weighted_sample_hits_every_whale(spark, tmp_path):
     assert whale.weight == 10000.0
 
 
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """The Z-order sink must give every file a small bounding box in
+    (x, y) space: for a 2-D box predicate, footer min/max statistics
+    prune strictly more files than a linear sort by x — and a
+    y-only predicate (which a linear-by-x layout cannot prune at all)
+    skips most z-ordered files."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from bigdata_riveranalysis_spark.sources.sinks import (
+        write_zorder_table,
+    )
+
+    n, domain, files = 40_000, 1024, 16
+    df = spark.range(n).selectExpr(
+        "id",
+        f"(id * 48271) % {domain} AS x",
+        f"(id * 69621) % {domain} AS y",
+    )
+    zdir, ldir = str(tmp_path / "z"), str(tmp_path / "l")
+    write_zorder_table(df, zdir, zorder_by=("x", "y"), n_files=files)
+    (
+        df.repartitionByRange(files, "x")
+        .sortWithinPartitions("x")
+        .write.parquet(ldir)
+    )
+
+    def ranges(d):
+        out = []
+        for f in glob.glob(d + "/*.parquet"):
+            md = pq.read_metadata(f)
+            lo = {c: None for c in ("x", "y")}
+            hi = {c: None for c in ("x", "y")}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    name = col.path_in_schema
+                    if name in lo and col.statistics is not None:
+                        s = col.statistics
+                        lo[name] = s.min if lo[name] is None else min(lo[name], s.min)
+                        hi[name] = s.max if hi[name] is None else max(hi[name], s.max)
+            out.append((lo, hi))
+        return out
+
+    def overlapping(rngs, box):
+        hits = 0
+        for lo, hi in rngs:
+            if all(hi[c] >= b0 and lo[c] <= b1 for c, (b0, b1) in box.items()):
+                hits += 1
+        return hits
+
+    rz, rl = ranges(zdir), ranges(ldir)
+    assert len(rz) == files and len(rl) == files
+    box2d = {"x": (100, 163), "y": (600, 663)}
+    z2, l2 = overlapping(rz, box2d), overlapping(rl, box2d)
+    assert z2 < l2, (z2, l2)
+    boxy = {"y": (600, 663)}
+    zy = overlapping(rz, boxy)
+    assert zy <= files // 2, zy  # linear-by-x cannot prune y at all
+    assert overlapping(rl, boxy) == files
+
+
 # --- PNG codec (VERDICT r5 #5) ------------------------------------------
 
 import struct
