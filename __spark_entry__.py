@@ -30,10 +30,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # r5 #1-2): slot 1 is embedding_quantize_int8 — the single red r05
 # row, now emitting driver-hashable exploded scalar rows — followed
 # by the two queries whose plans were REWRITTEN this round (banded
-# two-level prefix sums replacing their global windows), the eight
-# NEW r6 queries (mining/sequence/sketch/graph/sampling/q18) taking
+# two-level prefix sums replacing their global windows), the nine
+# NEW r6 queries (mining/sequence/sketch/graph/sampling/streaming-CMS/
+# q18) taking
 # their first driver checks, then the queries whose latest
-# driver-green is r04. That is 61 candidates for 50 slots; the eleven
+# driver-green is r04. That is 62 candidates for 50 slots; the twelve
 # left on their r04 rows — the set-ops, semi/anti joins,
 # filter_project, the window rank/lag/topk suite, and the
 # array/string/date scalars — were untouched this round (no
@@ -53,7 +54,8 @@ _ROTATE_FIRST = [
     "cms_heavy_hitters",  # new in r6 — first driver check
     "graph_triangle_count",  # new in r6 — first driver check
     "sample_weighted_systematic",  # new in r6 — first driver check
-    # --- the r04-green queries, minus the eleven stable untouched
+    "stream_windowed_cms",  # new in r6 — first driver check
+    # --- the r04-green queries, minus the twelve stable untouched
     # ones named in the note above ---
     "knn_bruteforce_cosine",
     "ann_lsh_bucketed",
@@ -92,8 +94,7 @@ _ROTATE_FIRST = [
     "q3_shipping_priority",
     "q5_region_volume",
     "join_dims_customer_geo",
-    "scalar_functions_part",
-    "scalar_date_functions",  # fills the window
+    "scalar_functions_part",  # fills the window
 ]
 
 

@@ -178,8 +178,14 @@ def main() -> None:
         "sql_q10_returned_revenue",
         "stream_windowed_quality",
         "stream_stream_join",
+        "stream_windowed_cms",
         "events_funnel_conversion",
         "sensor_rollup_time_grains",
+        "basket_part_pairs",
+        "events_transition_matrix",
+        "cms_heavy_hitters",
+        "graph_triangle_count",
+        "sample_weighted_systematic",
     ]
     headline = {n: timings[n] for n in headline_names if n in timings}
     payload = json.dumps(

@@ -425,6 +425,38 @@ def test_weighted_sample_hits_every_whale(spark, tmp_path):
     assert whale.weight == 10000.0
 
 
+@SETTINGS
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, (1 << 21) - 1), st.integers(0, (1 << 21) - 1)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_morton_key_matches_reference_interleave(spark, pts):
+    """zorder_key equals an independent pure-Python bit interleave for
+    arbitrary 21-bit coordinates (the full supported domain)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_riveranalysis_spark.sources.sinks import ZORDER_BITS, zorder_key
+
+    def ref(x, y):
+        z = 0
+        for i in range(ZORDER_BITS):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = [
+        r.z
+        for r in df.select(zorder_key(F.col("x"), F.col("y")).alias("z"))
+        .orderBy("z")
+        .collect()
+    ]
+    assert got == sorted(ref(x, y) for x, y in pts)
+
+
 def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     """The Z-order sink must give every file a small bounding box in
     (x, y) space: for a 2-D box predicate, footer min/max statistics
