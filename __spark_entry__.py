@@ -30,11 +30,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # r5 #1-2): slot 1 is embedding_quantize_int8 — the single red r05
 # row, now emitting driver-hashable exploded scalar rows — followed
 # by the two queries whose plans were REWRITTEN this round (banded
-# two-level prefix sums replacing their global windows), the nine
+# two-level prefix sums replacing their global windows), the eleven
 # NEW r6 queries (mining/sequence/sketch/graph/sampling/streaming-CMS/
-# q18) taking
+# bloom/SCD2/q18) taking
 # their first driver checks, then the queries whose latest
-# driver-green is r04. That is 62 candidates for 50 slots; the twelve
+# driver-green is r04. That is 64 candidates for 50 slots; the fourteen
 # left on their r04 rows — the set-ops, semi/anti joins,
 # filter_project, the window rank/lag/topk suite, and the
 # array/string/date scalars — were untouched this round (no
@@ -55,13 +55,14 @@ _ROTATE_FIRST = [
     "graph_triangle_count",  # new in r6 — first driver check
     "sample_weighted_systematic",  # new in r6 — first driver check
     "stream_windowed_cms",  # new in r6 — first driver check
-    # --- the r04-green queries, minus the twelve stable untouched
+    "bloom_prefilter_audit",  # new in r6 — first driver check
+    "events_user_state_history",  # new in r6 — first driver check
+    # --- the r04-green queries, minus the fourteen stable untouched
     # ones named in the note above ---
     "knn_bruteforce_cosine",
     "ann_lsh_bucketed",
     "text_quality_scores",
     "text_lang_stats",
-    "token_count_regex",
     "doc_fingerprints",
     "multimodal_features",  # decode path extended r6 (PNG) — re-verify
     "embedding_centroids",
@@ -93,8 +94,7 @@ _ROTATE_FIRST = [
     "cube_status_priority",
     "q3_shipping_priority",
     "q5_region_volume",
-    "join_dims_customer_geo",
-    "scalar_functions_part",  # fills the window
+    "join_dims_customer_geo",  # fills the window
 ]
 
 

@@ -405,3 +405,65 @@ def events_pareto_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("_cum_v") / (F.lit(1.0) * F.col("_tot_v")), 4).alias("cum_share"),
         ((F.col("_cum_v") - F.col("v")) * 5 < F.col("_tot_v") * 4).alias("in_top80"),
     )
+
+
+@query(
+    "events_user_state_history",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, event_type AS state, ts, event_id,
+               lag(event_type) OVER w AS prev_state
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    chg AS (
+        SELECT user_id, state, ts AS valid_from, event_id
+        FROM s WHERE prev_state IS NULL OR state <> prev_state
+    )
+    SELECT user_id, state,
+           strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(lead(valid_from) OVER w2, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           (lead(valid_from) OVER w2 IS NULL) AS is_current
+    FROM chg
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+    """,
+)
+def events_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build from an event log: per user, collapse
+    consecutive equal states into validity intervals [valid_from,
+    valid_to) with an is_current flag on the open interval — the
+    slowly-changing-dimension table every warehouse derives from a
+    change stream, and the temporal-join input for "state as of t"
+    lookups (events_asof_purchase_click's sibling).
+
+    Change detection (lag ≠ current) and interval closing (lead of
+    the next change's start) are two windows over the SAME
+    (user_id, (ts, event_id)) partitioning — one shuffle, Spark
+    reuses the sort. The (ts, event_id) tie-break rules same-
+    timestamp changes deterministic on both engines; sub-second
+    timestamps format at second grain identically because both
+    engines truncate (strftime/date_format drop fractional seconds,
+    they don't round). Scale: partitioned windows only — millions of
+    users in parallel, no global anything.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_state"),
+    )
+    chg = s.filter(
+        F.col("prev_state").isNull() | (F.col("state") != F.col("prev_state"))
+    ).select("user_id", "state", F.col("ts").alias("valid_from"), "event_id")
+    w2 = W.partitionBy("user_id").orderBy("valid_from", "event_id")
+    nxt = F.lead("valid_from").over(w2)
+    return chg.select(
+        "user_id",
+        "state",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(nxt, "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

@@ -582,3 +582,122 @@ def sample_weighted_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pick_no",
         )
     )
+
+
+#: Bloom filter geometry: bit-space size (M) and hash count (reuses
+#: the first BLOOM_K Carter-Wegman rows). Sized so the urgent-orders
+#: key set (~n/4 of orders) probes at ~0.2% theoretical fp.
+BLOOM_M = 65536
+BLOOM_K = 4
+
+
+@query(
+    "bloom_prefilter_audit",
+    oracle=f"""
+    WITH {CMS_SEEDS_SQL},
+    members AS (
+        SELECT DISTINCT o_orderkey AS k FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+    ),
+    bloom AS (
+        SELECT DISTINCT d, ((a * k + bb) % {CMS_P}) % {BLOOM_M} AS pos
+        FROM members CROSS JOIN seeds
+    ),
+    probe AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+    hits AS (
+        SELECT p.k, count(*) AS nhit
+        FROM probe p
+        CROSS JOIN seeds
+        JOIN bloom b
+          ON b.d = seeds.d
+         AND b.pos = ((seeds.a * p.k + seeds.bb) % {CMS_P}) % {BLOOM_M}
+        GROUP BY p.k
+    ),
+    flags AS (
+        SELECT p.k,
+               coalesce(h.nhit, 0) = {BLOOM_K} AS bloom_pass,
+               m.k IS NOT NULL AS is_member
+        FROM probe p
+        LEFT JOIN hits h ON h.k = p.k
+        LEFT JOIN members m ON m.k = p.k
+    )
+    SELECT count(*) AS n_probed,
+           count(*) FILTER (is_member) AS n_members,
+           count(*) FILTER (bloom_pass) AS n_pass,
+           count(*) FILTER (bloom_pass AND NOT is_member) AS n_false_pos,
+           count(*) FILTER (is_member AND NOT bloom_pass) AS n_false_neg,
+           round(count(*) FILTER (bloom_pass AND NOT is_member)
+                 / (1.0 * count(*) FILTER (NOT is_member)), 4) AS fp_rate,
+           (count(*) FILTER (bloom_pass AND NOT is_member)) * 20
+               <= count(*) FILTER (NOT is_member) AS fp_below_5pct
+    FROM flags
+    """,
+)
+def bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership prefiltering, audited end-to-end: build
+    a {BLOOM_M}-bit / {BLOOM_K}-hash Bloom filter over the urgent
+    orders' keys, probe every lineitem order key through it, and
+    report the measured false-positive rate against ground truth —
+    with the hard guarantees checked: ZERO false negatives (a Bloom
+    filter never drops a member; n_false_neg is asserted by test) and
+    an fp-rate witness in integer cross-multiplication (fp·20 ≤
+    non-members ⇔ rate ≤ 5%; theoretical ≈0.2% at this load factor).
+
+    The filter is the deterministic Carter-Wegman family again, so
+    both engines build the IDENTICAL bit set and every count matches
+    exactly. At 100 TB this is THE shuffle-avoidance tool: the bit
+    set (8 KiB here, a few MiB in production) broadcasts to every
+    scan task and discards non-joining fact rows BEFORE the join
+    exchange — the manual, inspectable version of what AQE's runtime
+    bloom filter does, usable where AQE can't see the semi-join.
+    Here the set-bit table stands in for the bitmap (positions, not a
+    packed long array) so the whole audit stays relational and
+    oracle-checkable; the packed-bitmap variant is a broadcast of
+    BLOOM_M/64 longs with the same hashes.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    seeds = F.array([F.lit(d) for d in range(BLOOM_K)])
+
+    def pos(d: F.Column, k: F.Column) -> F.Column:
+        a = F.element_at(F.array([F.lit(x) for x in CMS_A]), d.cast("int") + 1)
+        b = F.element_at(F.array([F.lit(x) for x in CMS_B]), d.cast("int") + 1)
+        return ((a * k + b) % CMS_P) % BLOOM_M
+
+    members = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    bloom = (
+        members.select(F.explode(seeds).alias("d"), "k")
+        .select("d", pos(F.col("d"), F.col("k")).alias("pos"))
+        .distinct()
+    )
+    probe = li.select(F.col("l_orderkey").alias("k")).distinct()
+    hits = (
+        probe.select("k", F.explode(seeds).alias("d"))
+        .select("k", "d", pos(F.col("d"), F.col("k")).alias("pos"))
+        .join(F.broadcast(bloom), ["d", "pos"])
+        .groupBy("k")
+        .agg(F.count("*").alias("nhit"))
+    )
+    flags = (
+        probe.join(hits, "k", "left")
+        .join(members.withColumn("m", F.lit(True)), "k", "left")
+        .select(
+            (F.coalesce(F.col("nhit"), F.lit(0)) == BLOOM_K).alias("bloom_pass"),
+            F.coalesce(F.col("m"), F.lit(False)).alias("is_member"),
+        )
+    )
+    fp = F.count_if(F.col("bloom_pass") & ~F.col("is_member"))
+    nonm = F.count_if(~F.col("is_member"))
+    return flags.agg(
+        F.count("*").alias("n_probed"),
+        F.count_if("is_member").alias("n_members"),
+        F.count_if("bloom_pass").alias("n_pass"),
+        fp.alias("n_false_pos"),
+        F.count_if(F.col("is_member") & ~F.col("bloom_pass")).alias("n_false_neg"),
+        F.round(fp / (F.lit(1.0) * nonm), 4).alias("fp_rate"),
+        (fp * 20 <= nonm).alias("fp_below_5pct"),
+    )

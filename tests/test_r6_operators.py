@@ -425,6 +425,57 @@ def test_weighted_sample_hits_every_whale(spark, tmp_path):
     assert whale.weight == 10000.0
 
 
+def test_bloom_audit_invariants(spark):
+    """A Bloom filter NEVER yields a false negative (every member
+    passes), every member is part of the pass count, and the measured
+    false-positive rate obeys the witnessed 5% bound at this sizing."""
+    r = REGISTRY["bloom_prefilter_audit"].fn(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r.n_false_neg == 0
+    assert r.n_pass >= r.n_members
+    assert r.n_false_pos == r.n_pass - r.n_members
+    assert r.fp_below_5pct is True
+
+
+def test_scd2_collapses_runs_and_closes_intervals(spark, tmp_path):
+    """States A,A,B,A for one user → three intervals: A[t0,t2),
+    B[t2,t3), A[t3,∞) with only the last current; a same-timestamp
+    state change resolves by event_id."""
+    import pandas as pd
+
+    ts = pd.to_datetime(
+        [
+            "2024-01-01 00:00:00",
+            "2024-01-01 00:10:00",
+            "2024-01-01 00:20:00",
+            "2024-01-01 00:30:00",
+            "2024-01-01 00:30:00",  # tie: resolved by event_id
+        ]
+    )
+    df = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5],
+            "ts": ts,
+            "user_id": [7] * 5,
+            "event_type": ["view", "view", "click", "view", "purchase"],
+            "value": [0.0] * 5,
+            "props": ["{}"] * 5,
+        }
+    )
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+    rows = sorted(
+        REGISTRY["events_user_state_history"].fn(spark, str(tmp_path)).collect(),
+        # at a tied valid_from the closed (empty) interval precedes
+        # the open one — the event_id order that produced them
+        key=lambda r: (r.valid_from, r.valid_to is None),
+    )
+    assert [(r.state, r.valid_from, r.valid_to, r.is_current) for r in rows] == [
+        ("view", "2024-01-01 00:00:00", "2024-01-01 00:20:00", False),
+        ("click", "2024-01-01 00:20:00", "2024-01-01 00:30:00", False),
+        ("view", "2024-01-01 00:30:00", "2024-01-01 00:30:00", False),
+        ("purchase", "2024-01-01 00:30:00", None, True),
+    ]
+
+
 @SETTINGS
 @given(
     pts=st.lists(
@@ -512,13 +563,20 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
 
     rz, rl = ranges(zdir), ranges(ldir)
     assert len(rz) == files and len(rl) == files
-    box2d = {"x": (100, 163), "y": (600, 663)}
-    z2, l2 = overlapping(rz, box2d), overlapping(rl, box2d)
-    assert z2 < l2, (z2, l2)
-    boxy = {"y": (600, 663)}
-    zy = overlapping(rz, boxy)
-    assert zy <= files // 2, zy  # linear-by-x cannot prune y at all
-    assert overlapping(rl, boxy) == files
+    # The z-order guarantee: EITHER single dimension prunes. A linear
+    # sort by x also prunes x-boxes (often to fewer files — that's
+    # its entire budget), but pays the full file count for any y
+    # predicate; z-order splits the budget across both dimensions.
+    # (Don't assert on 2-D boxes vs linear: x-pruning alone can tie
+    # there, and range boundaries are sample-based so exact counts
+    # wobble run to run — the review found that flake.)
+    boxx, boxy = {"x": (100, 163)}, {"y": (600, 663)}
+    zx, zy = overlapping(rz, boxx), overlapping(rz, boxy)
+    assert zx <= files // 2 and zy <= files // 2, (zx, zy)
+    assert overlapping(rl, boxy) == files  # linear-by-x cannot prune y
+    # and across a workload touching both dimensions, z-order scans
+    # fewer files than the linear layout in aggregate
+    assert zx + zy < overlapping(rl, boxx) + files
 
 
 # --- PNG codec (VERDICT r5 #5) ------------------------------------------
