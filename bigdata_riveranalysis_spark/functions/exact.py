@@ -90,6 +90,30 @@ def sum_round4_sql(int_expr: str, scale: int) -> str:
     return f"floor((2 * sum({int_expr}) + {d}) / {2 * d}) / 10000.0"
 
 
+def val_round4(c: Column, scale: int) -> Column:
+    """round_half_up(e/10^scale, 4) for a SINGLE exact integer value
+    (min/max/element picks) — the scalar sibling of sum_round4, same
+    floor((2e+d)/(2d)) identity. Needed because round(e/10^s, 4) on
+    doubles diverges between engines at half-boundaries when s > 4:
+    Spark rounds the shortest decimal rendering of the double
+    (BigDecimal HALF_UP), DuckDB the raw binary value — observed on
+    sf0.1 min inter-event gaps ending in 5 at the 5th decimal
+    (1653.21745 → 1653.2174 vs 1653.2173; r6 cross-SF sweep)."""
+    if scale <= 4:
+        return (c * F.lit(10 ** (4 - scale))).cast("double") / F.lit(10000.0)
+    d = 10 ** (scale - 4)
+    return F.floor(
+        (F.lit(2) * c + F.lit(d)).cast("double") / F.lit(2 * d)
+    ) / F.lit(10000.0)
+
+
+def val_round4_sql(int_expr: str, scale: int) -> str:
+    if scale <= 4:
+        return f"(({int_expr}) * {10 ** (4 - scale)}) / 10000.0"
+    d = 10 ** (scale - 4)
+    return f"floor((2 * ({int_expr}) + {d}) / {2 * d}) / 10000.0"
+
+
 def ratio_round4(s: Column, n: Column, scale: int) -> Column:
     """round_half_up(S / (n·10^scale), 4) for exact integer S and n —
     the building block for averages, including two-phase (salted)

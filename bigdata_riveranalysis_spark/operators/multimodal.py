@@ -389,7 +389,10 @@ def _resize_payload(payload: bytes, target: int) -> bytes:
     if len(payload) <= target:
         return payload
     r = _raster(payload)
-    if r is not None:
+    # target ≤ the ~15-byte P6 header can't fit any raster — skip
+    # straight to the stride stub (a negative sqrt base here returned
+    # a COMPLEX scale factor and crashed int(); review finding).
+    if r is not None and target > 15:
         _, w, h, rgb = r
         # largest uniform scale with header + 3·w'·h' ≤ target
         f = ((target - 15) / (3.0 * w * h)) ** 0.5

@@ -59,11 +59,16 @@ CMS_SEEDS_SQL = "seeds(d, a, bb) AS (VALUES {})".format(
 )
 
 
-def cms_bucket(d: F.Column, k: F.Column) -> F.Column:
-    """Carter-Wegman CMS row hash h_d(k) → bucket (see CMS_A/B/P)."""
+def cms_bucket(d: F.Column, k: F.Column, width: int = CMS_WIDTH) -> F.Column:
+    """Carter-Wegman row hash h_d(k) → bucket in [0, width) (see
+    CMS_A/B/P). One definition for every consumer — CMS sketches,
+    the streaming CMS, and the Bloom filter (width=BLOOM_M) — so a
+    future change (e.g. the two-step reduction for >2^33 key domains)
+    reaches them all (review finding: the Bloom copy had diverged
+    into a verbatim duplicate)."""
     a = F.element_at(F.array([F.lit(a) for a in CMS_A]), d.cast("int") + 1)
     b = F.element_at(F.array([F.lit(b) for b in CMS_B]), d.cast("int") + 1)
-    return ((a * k + b) % CMS_P) % CMS_WIDTH
+    return ((a * k + b) % CMS_P) % width
 
 #: Heavy hitters audited against the sketch.
 CMS_TOP_K = 20
@@ -273,8 +278,8 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            count(gap_us)       AS n_gaps,
            {EX.avg_round4_sql("gap_us", 6)} AS avg_gap_s,
-           round(min(gap_us) / 1000000.0, 4) AS min_gap_s,
-           round(max(gap_us) / 1000000.0, 4) AS max_gap_s
+           {EX.val_round4_sql("min(gap_us)", 6)} AS min_gap_s,
+           {EX.val_round4_sql("max(gap_us)", 6)} AS max_gap_s
     FROM gaps
     WHERE gap_us IS NOT NULL
     GROUP BY user_id
@@ -288,8 +293,10 @@ def events_interarrival_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     Gaps are computed on EXACT integer microseconds (unix_micros /
     epoch_us — the fixtures carry sub-second components, so
     second-resolution arithmetic would alias), the mean via the
-    integer-exact avg_round4 identity at scale 6, and min/max are
-    element picks divided once — identical operands both engines.
+    integer-exact avg_round4 identity at scale 6, and min/max
+    through val_round4's floor identity — round(x/1e6, 4) on raw
+    doubles flipped a half-boundary 5th decimal between engines at
+    sf0.1 (caught by the r6 cross-SF sweep).
 
     Scale: one per-user window (partitioned, no global anything) and
     one per-user aggregate that reuses the same hash partitioning —
@@ -305,8 +312,8 @@ def events_interarrival_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gaps.groupBy("user_id").agg(
         F.count("gap_us").alias("n_gaps"),
         EX.avg_round4(F.col("gap_us"), 6).alias("avg_gap_s"),
-        F.round(F.min("gap_us") / F.lit(1000000.0), 4).alias("min_gap_s"),
-        F.round(F.max("gap_us") / F.lit(1000000.0), 4).alias("max_gap_s"),
+        EX.val_round4(F.min("gap_us"), 6).alias("min_gap_s"),
+        EX.val_round4(F.max("gap_us"), 6).alias("max_gap_s"),
     )
 
 
@@ -321,7 +328,7 @@ def events_interarrival_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, term, count(*) AS tf
         FROM tok WHERE term <> '' GROUP BY doc_id, term
     ),
-    df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM tf) GROUP BY term),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
     ranked AS (
         SELECT tf.doc_id, tf.term, tf.tf, df.df,
                row_number() OVER (PARTITION BY tf.doc_id
@@ -351,9 +358,10 @@ def docs_keyword_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(TX.tokens("text")).alias("term")
     ).filter(F.col("term") != "")
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = tf.select("doc_id", "term").distinct().groupBy("term").agg(
-        F.count("*").alias("df")
-    )
+    # tf is already one row per (doc_id, term) — counting rows per
+    # term IS the document frequency, no distinct needed (review
+    # finding: the distinct added a full extra aggregate pass).
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
     w = W.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("term"))
     return (
         tf.join(F.broadcast(df), "term")
@@ -660,9 +668,7 @@ def bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = F.array([F.lit(d) for d in range(BLOOM_K)])
 
     def pos(d: F.Column, k: F.Column) -> F.Column:
-        a = F.element_at(F.array([F.lit(x) for x in CMS_A]), d.cast("int") + 1)
-        b = F.element_at(F.array([F.lit(x) for x in CMS_B]), d.cast("int") + 1)
-        return ((a * k + b) % CMS_P) % BLOOM_M
+        return cms_bucket(d, k, width=BLOOM_M)
 
     members = (
         orders.filter(F.col("o_orderpriority") == "1-URGENT")

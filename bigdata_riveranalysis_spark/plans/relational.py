@@ -1459,7 +1459,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(EX.cents("l_quantity").cast("decimal(38,0)")).alias("qty_c"))
+        .agg(EX.wide_sum(EX.cents("l_quantity")).alias("qty_c"))
         .filter(F.col("qty_c") > Q18_QTY_CENTS)
     )
     return (

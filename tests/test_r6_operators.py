@@ -740,6 +740,11 @@ def test_resize_resamples_real_rasters():
     blob = bytes(range(200))
     sout = _resize_payload(blob, 100)
     assert sout == blob[::2]
+    # image with a budget below any raster header: falls through to
+    # the stride stub instead of crashing on a complex sqrt (review
+    # finding: negative sqrt base → TypeError in int())
+    tiny = _resize_payload(ppm, 10)
+    assert len(tiny) <= 10 and isinstance(tiny, bytes)
 
 
 def test_rfm_scores_identical_to_literal_ntile(spark):
