@@ -127,6 +127,22 @@ def ratio_round4(s: Column, n: Column, scale: int) -> Column:
     return F.floor(num.cast("double") / (F.lit(2 * d) * n)) / F.lit(10000.0)
 
 
+def ratio_round4_sql(s_expr: str, n_expr: str, scale: int) -> str:
+    """DuckDB twin of ratio_round4 for arbitrary integer numerator /
+    denominator expressions (nonnegative S — the floor identity IS
+    half-up only then). Prefer this over ``round(s/(1.0*n), 4)``:
+    rounding the double quotient diverges between engines when the
+    exact rational's shortest decimal rendering ties at the 5th
+    digit (Spark re-rounds that rendering, DuckDB the raw binary —
+    the r6 interarrival finding, which applies to every int/int
+    ratio whose denominator has only 2/5 factors)."""
+    m, d = 10 ** max(0, 4 - scale), 10 ** max(0, scale - 4)
+    return (
+        f"floor(({2 * m} * ({s_expr}) + ({n_expr}) * {d})"
+        f" / ({2 * d} * ({n_expr}))) / 10000.0"
+    )
+
+
 def avg_round4(int_col: Column, scale: int) -> Column:
     """round_half_up(avg(e)/10^scale, 4) for an exact integer column e.
 

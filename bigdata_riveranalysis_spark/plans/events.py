@@ -358,7 +358,7 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_pareto_users",
-    oracle="""
+    oracle=f"""
     WITH t AS (
         SELECT user_id, sum(CAST(round(value * 100) AS BIGINT)) AS v
         FROM events GROUP BY user_id
@@ -373,7 +373,7 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, rnk,
            round(v / 100.0, 4)   AS total_value,
-           round(cum / (1.0 * tot), 4) AS cum_share,
+           {EX.ratio_round4_sql("cum", "tot", 0)} AS cum_share,
            ((cum - v) * 5 < tot * 4) AS in_top80
     FROM o
     """,
@@ -402,7 +402,7 @@ def events_pareto_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("_rk").cast("int").alias("rnk"),
         F.round(F.col("v") / 100.0, 4).alias("total_value"),
-        F.round(F.col("_cum_v") / (F.lit(1.0) * F.col("_tot_v")), 4).alias("cum_share"),
+        EX.ratio_round4(F.col("_cum_v"), F.col("_tot_v"), 0).alias("cum_share"),
         ((F.col("_cum_v") - F.col("v")) * 5 < F.col("_tot_v") * 4).alias("in_top80"),
     )
 

@@ -148,8 +148,8 @@ _PAIRS_ORACLE = """
     )
     SELECT p.part_a, p.part_b, p.n_ab,
            ca.c AS n_a, cb.c AS n_b,
-           round(p.n_ab / (1.0 * ca.c), 4) AS confidence,
-           round((p.n_ab * nb.n_baskets) / (1.0 * ca.c * cb.c), 4) AS lift
+           {EX.ratio_round4_sql("p.n_ab", "ca.c", 0)} AS confidence,
+           {EX.ratio_round4_sql("p.n_ab * nb.n_baskets", "ca.c * cb.c", 0)} AS lift
     FROM p
     CROSS JOIN nb
     JOIN cnt ca ON ca.l_partkey = p.part_a
@@ -200,11 +200,11 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_ab",
             "n_a",
             "n_b",
-            F.round(F.col("n_ab") / (F.lit(1.0) * F.col("n_a")), 4).alias("confidence"),
-            F.round(
-                (F.col("n_ab") * F.col("n_baskets"))
-                / (F.lit(1.0) * F.col("n_a") * F.col("n_b")),
-                4,
+            EX.ratio_round4(F.col("n_ab"), F.col("n_a"), 0).alias("confidence"),
+            EX.ratio_round4(
+                F.col("n_ab") * F.col("n_baskets"),
+                F.col("n_a") * F.col("n_b"),
+                0,
             ).alias("lift"),
         )
     )
@@ -212,7 +212,7 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_transition_matrix",
-    oracle="""
+    oracle=f"""
     WITH seq AS (
         SELECT event_type,
                lead(event_type) OVER (PARTITION BY user_id
@@ -226,9 +226,7 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
     )
     SELECT from_type, to_type, n_transitions,
-           round(n_transitions
-                 / (1.0 * sum(n_transitions) OVER (PARTITION BY from_type)),
-                 4) AS share
+           {EX.ratio_round4_sql("n_transitions", "sum(n_transitions) OVER (PARTITION BY from_type)", 0)} AS share
     FROM t
     """,
 )
@@ -260,8 +258,8 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "from_type",
         "to_type",
         "n_transitions",
-        F.round(
-            F.col("n_transitions") / (F.lit(1.0) * F.sum("n_transitions").over(wrow)), 4
+        EX.ratio_round4(
+            F.col("n_transitions"), F.sum("n_transitions").over(wrow), 0
         ).alias("share"),
     )
 
@@ -634,8 +632,7 @@ BLOOM_K = 4
            count(*) FILTER (bloom_pass) AS n_pass,
            count(*) FILTER (bloom_pass AND NOT is_member) AS n_false_pos,
            count(*) FILTER (is_member AND NOT bloom_pass) AS n_false_neg,
-           round(count(*) FILTER (bloom_pass AND NOT is_member)
-                 / (1.0 * count(*) FILTER (NOT is_member)), 4) AS fp_rate,
+           {EX.ratio_round4_sql("count(*) FILTER (bloom_pass AND NOT is_member)", "count(*) FILTER (NOT is_member)", 0)} AS fp_rate,
            (count(*) FILTER (bloom_pass AND NOT is_member)) * 20
                <= count(*) FILTER (NOT is_member) AS fp_below_5pct
     FROM flags
@@ -704,6 +701,6 @@ def bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if("bloom_pass").alias("n_pass"),
         fp.alias("n_false_pos"),
         F.count_if(F.col("is_member") & ~F.col("bloom_pass")).alias("n_false_neg"),
-        F.round(fp / (F.lit(1.0) * nonm), 4).alias("fp_rate"),
+        EX.ratio_round4(fp, nonm, 0).alias("fp_rate"),
         (fp * 20 <= nonm).alias("fp_below_5pct"),
     )
