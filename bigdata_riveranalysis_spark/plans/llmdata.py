@@ -683,7 +683,7 @@ def _jaccard_local(spark: SparkSession, sh: DataFrame, df_cap: int) -> DataFrame
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id)
     SELECT doc_a, doc_b,
-           round(n_common * 1.0 / (sa.n + sb.n - n_common), 4) AS jaccard
+           {EX.ratio_round4_sql("n_common", "sa.n + sb.n - n_common", 0)} AS jaccard
     FROM common
     JOIN sizes sa ON doc_a = sa.doc_id
     JOIN sizes sb ON doc_b = sb.doc_id
@@ -777,10 +777,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("b.n").alias("nb"),
         )
     )
-    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    uni = F.col("na") + F.col("nb") - F.col("n_common")
+    jac = F.col("n_common") / uni
+    # threshold compares the identical double on both engines (safe);
+    # the EMITTED value goes through the exact ratio identity — raw
+    # round() of an int/int quotient flips at 5th-decimal ties when
+    # the union size has factor-5 denominators (r6 policy).
     return (
         common.filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .select(
+            "doc_a",
+            "doc_b",
+            EX.ratio_round4(F.col("n_common"), uni, 0).alias("jaccard"),
+        )
     )
 
 
@@ -1303,9 +1312,9 @@ _STOP_SQL = ", ".join(f"'{s}'" for s in TX.STOPWORDS)
         FROM toks
     )
     SELECT doc_id, n_tokens, n_distinct_tokens,
-           round(token_chars * 1.0 / n_tokens, 4)       AS avg_token_len,
-           round(n_stopwords * 1.0 / n_tokens, 4)       AS stopword_ratio,
-           round(n_distinct_tokens * 1.0 / n_tokens, 4) AS distinct_ratio,
+           {EX.ratio_round4_sql("token_chars", "n_tokens", 0)}       AS avg_token_len,
+           {EX.ratio_round4_sql("n_stopwords", "n_tokens", 0)}       AS stopword_ratio,
+           {EX.ratio_round4_sql("n_distinct_tokens", "n_tokens", 0)} AS distinct_ratio,
            CASE WHEN n_tokens >= 30 AND n_distinct_tokens * 1.0 / n_tokens >= 0.3 THEN 'good'
                 WHEN n_tokens >= 10 THEN 'fair'
                 ELSE 'poor' END AS quality_band
@@ -1330,9 +1339,9 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_tokens",
         "n_distinct_tokens",
-        F.round(F.col("token_chars") / F.col("n_tokens"), 4).alias("avg_token_len"),
-        F.round(F.col("n_stopwords") / F.col("n_tokens"), 4).alias("stopword_ratio"),
-        F.round(distinct_ratio, 4).alias("distinct_ratio"),
+        EX.ratio_round4(F.col("token_chars"), F.col("n_tokens"), 0).alias("avg_token_len"),
+        EX.ratio_round4(F.col("n_stopwords"), F.col("n_tokens"), 0).alias("stopword_ratio"),
+        EX.ratio_round4(F.col("n_distinct_tokens"), F.col("n_tokens"), 0).alias("distinct_ratio"),
         F.when((F.col("n_tokens") >= 30) & (distinct_ratio >= 0.3), "good")
         .when(F.col("n_tokens") >= 10, "fair")
         .otherwise("poor")
@@ -2411,8 +2420,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM toks2 WHERE len(t) >= {MINHASH_SHINGLE_N}
     )
     SELECT p.doc_a, p.doc_b, p.est_jaccard,
-           round(len(list_intersect(a.s, b.s))
-                 / (1.0 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))), 4)
+           {EX.ratio_round4_sql("len(list_intersect(a.s, b.s))", "len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))", 0)}
                AS exact_jaccard,
            (abs(CAST(p.est_jaccard * {NUM_MINHASHES} AS BIGINT)
                     * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
@@ -2468,7 +2476,7 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a",
             "doc_b",
             "est_jaccard",
-            F.round(inter / (F.lit(1.0) * uni), 4).alias("exact_jaccard"),
+            EX.ratio_round4(inter, uni, 0).alias("exact_jaccard"),
             (F.abs(k * uni - NUM_MINHASHES * inter) <= 2 * uni).alias("within_quarter"),
         )
     )

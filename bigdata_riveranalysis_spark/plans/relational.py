@@ -1280,7 +1280,7 @@ def division_supplier_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "orders_monthly_momentum",
-    oracle="""
+    oracle=f"""
     WITH m AS (
         SELECT date_trunc('month', o_orderdate) AS month,
                count(*) AS n_orders,
@@ -1291,7 +1291,7 @@ def division_supplier_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
            n_orders,
            round(total_c / 100.0, 4) AS total_price,
            round((total_c - lag(total_c) OVER w) / 100.0, 4) AS mom_delta,
-           round(total_c / (1.0 * lag(total_c, 12) OVER w), 4) AS yoy_ratio
+           {EX.ratio_round4_sql("total_c", "lag(total_c, 12) OVER w", 0)} AS yoy_ratio
     FROM m WINDOW w AS (ORDER BY month)
     """,
 )
@@ -1320,7 +1320,7 @@ def orders_monthly_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.round(F.col("total_c") / 100.0, 4).alias("total_price"),
         F.round((F.col("total_c") - F.lag("total_c").over(w)) / 100.0, 4).alias("mom_delta"),
-        F.round(F.col("total_c") / (F.lit(1.0) * F.lag("total_c", 12).over(w)), 4).alias(
+        EX.ratio_round4(F.col("total_c"), F.lag("total_c", 12).over(w), 0).alias(
             "yoy_ratio"
         ),
     )

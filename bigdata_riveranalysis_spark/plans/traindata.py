@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from bigdata_riveranalysis_spark.functions import exact as EX
 from bigdata_riveranalysis_spark.functions import text as TX
 from bigdata_riveranalysis_spark.functions.arrays import explode_nonempty
 from bigdata_riveranalysis_spark.plans.registry import query
@@ -149,7 +150,7 @@ def split_train_val_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents d LEFT JOIN weights w ON d.source = w.source
     )
     SELECT source, count(*) AS n_total, CAST(sum(kept) AS BIGINT) AS n_kept,
-           round(sum(kept) * 1.0 / count(*), 4) AS realized_rate
+           {EX.ratio_round4_sql("sum(kept)", "count(*)", 0)} AS realized_rate
     FROM decided GROUP BY source
     """,
 )
@@ -185,7 +186,7 @@ def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_total"),
             F.sum("kept").alias("n_kept"),
-            F.round(F.sum("kept") / F.count("*"), 4).alias("realized_rate"),
+            EX.ratio_round4(F.sum("kept"), F.count("*"), 0).alias("realized_rate"),
         )
     )
 
@@ -293,7 +294,7 @@ def scrub_pii(docs: DataFrame) -> DataFrame:
         WHERE source <> '{EVAL_SOURCE}'
     )
     SELECT t.doc_id, count(*) AS n_shared,
-           round(count(*) * 1.0 / any_value(t.n_grams), 4) AS shared_frac
+           {EX.ratio_round4_sql("count(*)", "any_value(t.n_grams)", 0)} AS shared_frac
     FROM train t JOIN eval_grams e ON t.g = e.g
     GROUP BY t.doc_id
     """,
@@ -340,7 +341,7 @@ def contamination_ngram_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_shared"),
-            F.round(F.count("*") / F.any_value("n_grams"), 4).alias("shared_frac"),
+            EX.ratio_round4(F.count("*"), F.any_value("n_grams"), 0).alias("shared_frac"),
         )
     )
 
