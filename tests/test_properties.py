@@ -501,3 +501,69 @@ def test_jaccard_local_matches_set_arithmetic(spark, docs, cap):
                     j_val = len(inter) / len(union)
                     want[(i, j)] = math.floor(j_val * 1e4 + 0.5) / 1e4
     assert got == want
+
+
+@SETTINGS
+@given(
+    v=st.integers(0, 10**14),
+    scale=st.sampled_from([0, 2, 4, 5, 6]),
+)
+def test_val_round4_matches_rational_ground_truth(spark, v, scale):
+    """val_round4 (single-value scalar identity, r6) equals rational
+    round-half-up(v/10^scale, 4) and its SQL twin produces the
+    identical double — including the half-boundary 5th-decimal values
+    where raw round(v/10^s, 4) diverges between engines."""
+    import duckdb as _duck
+    from fractions import Fraction
+
+    from bigdata_riveranalysis_spark.functions import exact as EX
+
+    want = float((Fraction(v, 10**scale) * 10**4 + Fraction(1, 2)).__floor__()) / 10**4
+    df = spark.createDataFrame([(v,)], "x long")
+    got = df.select(EX.val_round4(F.col("x"), scale).alias("r")).collect()[0].r
+    assert got == want, (v, scale)
+    rel = _duck.sql(f"SELECT {EX.val_round4_sql(str(v), scale)} AS r").fetchall()[0][0]
+    assert rel == want, (v, scale)
+
+
+@SETTINGS
+@given(
+    s=st.integers(0, 10**12),
+    n=st.integers(1, 10**9),
+)
+def test_ratio_round4_matches_rational_ground_truth(spark, s, n):
+    """ratio_round4 at scale 0 (the repo-wide integer-ratio policy)
+    equals rational round-half-up(s/n, 4) on both engines — immune to
+    the terminating-decimal tie class (denominators with factor 5)
+    that flips raw double rounding."""
+    import duckdb as _duck
+    from fractions import Fraction
+
+    from bigdata_riveranalysis_spark.functions import exact as EX
+
+    want = float((Fraction(s, n) * 10**4 + Fraction(1, 2)).__floor__()) / 10**4
+    df = spark.createDataFrame([(s, n)], "s long, n long")
+    got = df.select(EX.ratio_round4(F.col("s"), F.col("n"), 0).alias("r")).collect()[0].r
+    assert got == want, (s, n)
+    rel = _duck.sql(
+        f"SELECT {EX.ratio_round4_sql(str(s), str(n), 0)} AS r"
+    ).fetchall()[0][0]
+    assert rel == want, (s, n)
+
+
+def test_ratio_round4_closes_the_tie_class(spark):
+    """The concrete knife-edge family: quotients like 27/160 = 0.16875
+    (terminating, 5th digit 5, NOT binary-representable) where
+    round(double, 4) rounds DOWN on the binary value but true half-up
+    goes UP — the exact class the r6 sf0.1 sweep caught in the wild."""
+    from fractions import Fraction
+
+    from bigdata_riveranalysis_spark.functions import exact as EX
+
+    cases = [(27, 160), (7, 32000), (1653_21745, 100000), (3, 1600)]
+    rows = spark.createDataFrame(cases, "s long, n long").select(
+        "s", "n", EX.ratio_round4(F.col("s"), F.col("n"), 0).alias("r")
+    ).collect()
+    for r in rows:
+        want = float((Fraction(r.s, r.n) * 10**4 + Fraction(1, 2)).__floor__()) / 10**4
+        assert r.r == want, (r.s, r.n, r.r, want)
