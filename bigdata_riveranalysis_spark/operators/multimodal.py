@@ -7,10 +7,11 @@ Arrow-batched ``mapInPandas`` operator — the Spark-side plumbing
 (schema, batch shape, partitioning) is real and tested. Image decode
 is REAL for two formats on pure Python: PPM P6 (netpbm spec) and PNG
 (stdlib zlib inflate + scanline defiltering — :func:`_png_raster`);
-image resize genuinely resamples decoded pixels. Audio/video decode
-remains stubbed (no media libraries in this container) behind the
-same :func:`_raster` dispatch point any real codec extends without
-touching the plans.
+image resize genuinely resamples decoded pixels. Audio decode is
+REAL for PCM WAV (:func:`_wav_pcm` — RIFF chunk walk + per-sample
+stats, stdlib struct). Compressed audio (MP3/AAC) and video decode
+remain stubbed (no media libraries in this container) behind the same
+dispatch points any real codec extends without touching the plans.
 
 Scale: mapInPandas streams Arrow batches — constant memory per task,
 no driver involvement; payload columns stay binary end-to-end (never
@@ -234,6 +235,108 @@ def _decode_image(payload: bytes) -> dict | None:
         "mean_g": sum(rgb[1::3]) / n_px,
         "mean_b": sum(rgb[2::3]) / n_px,
     }
+
+
+def _wav_pcm(payload: bytes) -> dict | None:
+    """Pure-stdlib decode of RIFF/WAVE PCM audio (8- and 16-bit):
+    chunk walk (fmt  → geometry, data → samples), per-channel peak and
+    mean absolute amplitude from genuinely decoded samples. Returns
+    None for non-WAV payloads, compressed codecs (audio_format ≠ 1),
+    or malformed geometry — the decode-or-NULL discipline of
+    _png_raster. Duration is exact integer math (samples·1000 //
+    rate), amplitudes are integers in the sample domain, so every
+    emitted feature is deterministic.
+    """
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, length = payload[pos : pos + 4], struct.unpack(
+            "<I", payload[pos + 4 : pos + 8]
+        )[0]
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) < length:
+            return None
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_format, n_ch, rate, _br, block, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if audio_format != 1 or n_ch < 1 or rate <= 0 or bits not in (8, 16):
+        return None
+    if block != n_ch * bits // 8 or block == 0:
+        return None
+    n_frames = len(data) // block
+    if n_frames == 0:
+        return None
+    peaks = [0] * n_ch
+    totals = [0] * n_ch
+    if bits == 16:
+        samples = struct.unpack(f"<{n_frames * n_ch}h", data[: n_frames * block])
+    else:  # 8-bit WAV is unsigned, centered at 128
+        samples = [b - 128 for b in data[: n_frames * block]]
+    for i, v in enumerate(samples):
+        c = i % n_ch
+        a = -v if v < 0 else v
+        if a > peaks[c]:
+            peaks[c] = a
+        totals[c] += a
+    return {
+        "decoded": "audio/wav",
+        "sample_rate": rate,
+        "n_channels": n_ch,
+        "bits": bits,
+        "n_frames": n_frames,
+        "duration_ms": n_frames * 1000 // rate,
+        "peak_amplitude": max(peaks),
+        "mean_abs_amplitude": sum(totals) / (n_frames * n_ch),
+    }
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("decoded", T.StringType(), True),  # NULL: not audio
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("bits", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("peak_amplitude", T.IntegerType(), True),
+        T.StructField("mean_abs_amplitude", T.DoubleType(), True),
+    ]
+)
+
+
+def decode_audio(df: DataFrame) -> DataFrame:
+    """Arrow-batched REAL audio decode over the payload column (PCM
+    WAV, pure stdlib — see _wav_pcm); the audio sibling of
+    decode_images. Non-audio payloads yield a NULL-decoded row so
+    mixed-modality corpora flow through one operator; compressed
+    codecs (MP3/AAC/Opus) slot into _wav_pcm's dispatch position in
+    production."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            a = pdf["payload"].map(lambda p: _wav_pcm(p) or {})
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "decoded": a.map(lambda x: x.get("decoded")),
+                    "sample_rate": a.map(lambda x: x.get("sample_rate")),
+                    "n_channels": a.map(lambda x: x.get("n_channels")),
+                    "bits": a.map(lambda x: x.get("bits")),
+                    "n_frames": a.map(lambda x: x.get("n_frames")),
+                    "duration_ms": a.map(lambda x: x.get("duration_ms")),
+                    "peak_amplitude": a.map(lambda x: x.get("peak_amplitude")),
+                    "mean_abs_amplitude": a.map(lambda x: x.get("mean_abs_amplitude")),
+                }
+            )
+
+    return df.mapInPandas(run, schema=AUDIO_SCHEMA)
 
 
 def _decode_payload(payload: bytes) -> dict:
