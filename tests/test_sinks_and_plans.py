@@ -282,3 +282,31 @@ def test_embeddings_corpus_assumption_holds(spark):
             "vector oracles' empty/mismatch divergence (see functions/"
             "vectors.py) is now reachable — align the SQL twins first"
         )
+
+
+def test_every_query_output_is_driver_hashable(spark):
+    """Registry-wide gate: no query may emit array/map/struct/binary
+    columns — the external harness's pandas canonicalizer cannot hash
+    them (its sort_values dies with "unhashable type: 'list'"), which
+    was r5's single red row (embedding_quantize_int8's array<long>
+    codes). Streaming queries are excluded (building them executes
+    the stream job; their sinks are checked in test_streaming.py and
+    all project scalars anyway)."""
+    from pyspark.sql import types as T
+
+    from .conftest import SF_SMOKE
+    from bigdata_riveranalysis_spark.plans import REGISTRY
+
+    offenders = {}
+    for name, q in REGISTRY.items():
+        if name.startswith("stream_"):
+            continue
+        schema = q.fn(spark, SF_SMOKE).schema
+        bad = [
+            f"{f.name}: {f.dataType.simpleString()}"
+            for f in schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType, T.BinaryType))
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"driver-unhashable output columns: {offenders}"
