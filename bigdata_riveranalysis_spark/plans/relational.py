@@ -1522,3 +1522,64 @@ def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_distance") <= 2)
     )
+
+
+#: Equi-depth bucket count for orders_price_equidepth.
+EQUIDEPTH_NB = 10
+
+
+@query(
+    "orders_price_equidepth",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT o_totalprice,
+               ntile({EQUIDEPTH_NB}) OVER (
+                   ORDER BY {EX.cents_sql('o_totalprice')}, o_orderkey
+               ) AS bucket
+        FROM orders
+    )
+    SELECT bucket,
+           count(*)                      AS n_orders,
+           round(min(o_totalprice), 4)   AS lo,
+           round(max(o_totalprice), 4)   AS hi,
+           {EX.avg_round4_sql(EX.cents_sql('o_totalprice'), 2)} AS mean_price
+    FROM ranked GROUP BY bucket
+    """,
+)
+def orders_price_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH price histogram: {EQUIDEPTH_NB} buckets holding
+    equal ROW counts (± 1), with each bucket's realized [lo, hi]
+    boundary and exact mean — the quantile-binning primitive behind
+    optimizer statistics, drift baselines, and stratified designs,
+    and the complement of docs_length_histogram's equal-WIDTH bins
+    (skew-robust where fixed-width bins collapse into one hot
+    bucket).
+
+    Bucket assignment is scale.ntile_from_rank over a
+    scale.two_level_prefix global rank — the banded machinery from
+    customer_rfm_segments reused for value bucketing, so there is no
+    single-reducer window even at billions of orders while the oracle
+    runs the literal ntile. (o_orderkey tie-break → total order →
+    bit-equal buckets.) The per-bucket aggregate shuffles
+    {EQUIDEPTH_NB} keys with map-side partials; min/max are exact
+    2-decimal element picks (no 5th-decimal tie class) and the mean
+    uses the exact ratio identity.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_totalprice", EX.cents("o_totalprice").alias("price_c"))
+    ranked = SC.two_level_prefix(base, [F.asc("price_c"), F.asc("o_orderkey")])
+    n = base.agg(F.count("*").cast("long").alias("_N"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .withColumn(
+            "bucket",
+            SC.ntile_from_rank(F.col("_rk"), F.col("_N"), EQUIDEPTH_NB).cast("int"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 4).alias("lo"),
+            F.round(F.max("o_totalprice"), 4).alias("hi"),
+            EX.avg_round4(F.col("price_c"), 2).alias("mean_price"),
+        )
+    )

@@ -76,8 +76,20 @@ def two_level_prefix(
         npartitions
         or df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    ranged = df.repartitionByRange(p, *order).withColumn(
-        "_pid", F.spark_partition_id()
+    # localCheckpoint is CORRECTNESS-critical, not an optimization:
+    # the banded frame feeds two consumers (the per-band window and
+    # the band-totals aggregate), and without materialization each
+    # consumer re-executes repartitionByRange — whose boundaries come
+    # from SAMPLING, so the two executions can band rows differently,
+    # desynchronizing the offsets table from the local ranks (ranks
+    # then collide/skip; surfaced as uneven ntile buckets and a
+    # phantom 11th bucket on the 150k-row equi-depth input at sf0.1 —
+    # tiny inputs sample deterministically and masked it). Pinned by
+    # tests/test_r6_operators.py::test_two_level_prefix_ranks_are_a_permutation.
+    ranged = (
+        df.repartitionByRange(p, *order)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     lw = W.partitionBy("_pid").orderBy(*order)
     run = lw.rowsBetween(W.unboundedPreceding, W.currentRow)

@@ -58,6 +58,27 @@ def test_two_level_prefix_matches_global_window(spark, vals):
         assert got[r.id]._tot_v == tot
 
 
+def test_two_level_prefix_ranks_are_a_permutation(spark):
+    """At a scale where repartitionByRange's boundary SAMPLING is no
+    longer deterministic across executions (~200k rows), the global
+    ranks must still be exactly the permutation 1..N and the running
+    sum must end at the total — the invariant that breaks when the
+    banded frame is recomputed per consumer with different sampled
+    boundaries (the r6 equi-depth 11-bucket bug)."""
+    n = 200_000
+    df = spark.range(n).selectExpr("id", "(id * 48271) % 1000003 AS v")
+    pre = SC.two_level_prefix(df, [F.asc("v"), F.asc("id")], sum_cols=("v",))
+    agg = pre.agg(
+        F.count("*").alias("c"),
+        F.count_distinct("_rk").alias("d"),
+        F.max("_rk").alias("m"),
+        F.max("_cum_v").alias("cum_max"),
+        F.any_value("_tot_v").alias("tot"),
+    ).collect()[0]
+    assert (agg.c, agg.d, agg.m) == (n, n, n), (agg.c, agg.d, agg.m)
+    assert agg.cum_max == agg.tot
+
+
 def test_ntile_from_rank_matches_window_ntile(spark):
     """The arithmetic quintile equals window ntile(5) for every rank at
     every tricky cardinality: n < tiles (each row its own bucket),
