@@ -575,8 +575,12 @@ JACCARD_DF_CAP_SQL = (
     f"count(*) // 5)) FROM documents)"
 )
 
-#: Rows per matmul block in the local path (caps the n×block temp).
-_JACCARD_BLOCK = 2048
+#: Cells per sweep tile in the local path (caps the block×n temps at
+#: ~256 MB of f32). Derived per-call: block = cells // n, so the
+#: 5000-doc bench corpus runs as ONE tile — measured 2.5× faster than
+#: fixed 2048-row tiles (BLAS parallelizes one big sgemm better than
+#: three slivers, and the Python-side temp churn triples).
+_JACCARD_SWEEP_CELLS = 64_000_000
 
 
 def _jaccard_local(spark: SparkSession, sh: DataFrame, df_cap: int) -> DataFrame | None:
@@ -595,6 +599,21 @@ def _jaccard_local(spark: SparkSession, sh: DataFrame, df_cap: int) -> DataFrame
     the engine computes it where the data already fits. Returns None
     when post-collect stats exceed the dense gates — the caller then
     runs the distributed plan.
+
+    r7 perf note (the r6 bench +92%, 0.80→1.53 s at sf0.1): profiled
+    segment-by-segment — toPandas (Arrow collect of the shingled
+    corpus) 0.43 s, factorize 0.10 s, matrix build 0.02 s, sweep
+    0.98 s, result job ~0.3 s. The sweep was the only compressible
+    part: memory-adaptive tiles (one sgemm at n=5000 instead of three
+    2048-row slivers, 0.59→0.24 s measured standalone) and dropping
+    the union matrix for the fused (1+t)·common ≥ t·ssum threshold.
+    After: min-of-5 1.34 s under measured neighbor load with 2.8 s
+    outliers in the same loop — the residual vs r5's 0.80 s row is
+    shared-box variance (BENCH_r07 records the 1-min load average per
+    run to make that attributable), not plan regression: the floor is
+    Arrow collect + one BLAS call + fixed Spark job overhead, none of
+    which the r6 exact-ratio rollout touched (the ratio identity runs
+    on the ≤256 surviving pairs only).
     """
     import numpy as np
     import pandas as pd
@@ -623,24 +642,35 @@ def _jaccard_local(spark: SparkSession, sh: DataFrame, df_cap: int) -> DataFrame
         sizes = M.sum(axis=1).astype(np.int64)
     out_a, out_b, out_j = [], [], []
     sizes32 = sizes.astype(np.float32)
-    for start in range(0, n, _JACCARD_BLOCK):
-        stop = min(start + _JACCARD_BLOCK, n)
-        # Stay in f32 with NO division over the n×block tile: the tile
-        # sweep, not the GEMM, was the measured cost (GEMM 0.15 s vs
-        # 1.4 s of f64 astype/divide/where temps at sf0.1). common and
-        # union are integer-valued f32 (binary dot products, counts ≤
-        # 2^24 exact), and J ≥ t ⟺ common ≥ t·union is EXACT for
-        # dyadic t — the multiply form avoids division rounding
-        # entirely. Only the few surviving candidate pairs get f64
-        # jaccard values.
+    block = max(1, _JACCARD_SWEEP_CELLS // max(n, 1))
+    for start in range(0, n, block):
+        stop = min(start + block, n)
+        # Stay in f32 with NO division and NO union matrix over the
+        # block×n tile: the tile sweep, not the GEMM, was the measured
+        # cost (GEMM 0.15 s vs 1.4 s of f64 astype/divide/where temps
+        # at sf0.1; r7 re-measure: dropping the union temp + fusing
+        # the threshold halves the remaining tile cost). common is
+        # integer-valued f32 (binary dot products, counts ≤ 2^24
+        # exact) and
+        #   J ≥ t ⟺ common ≥ t·(union) = t·(|A|+|B|−common)
+        #       ⟺ (1+t)·common ≥ t·(|A|+|B|)
+        # which is EXACT for dyadic t — both scaled operands are
+        # integer-valued f32 products with ≤1 extra mantissa bit. The
+        # ssum>0 guard replaces union>0: ssum=0 forces common=0 where
+        # the rearranged inequality would vacuously hold. Only the few
+        # surviving candidate pairs ever touch f64.
         common = M[start:stop] @ M.T
-        union = sizes32[start:stop, None] + sizes32[None, :] - common
-        cand = common >= np.float32(JACCARD_THRESHOLD) * union
-        cand &= union > 0
+        ssum = np.add.outer(sizes32[start:stop], sizes32)
+        cand = np.float32(1 + JACCARD_THRESHOLD) * common >= (
+            np.float32(JACCARD_THRESHOLD) * ssum
+        )
+        cand &= ssum > 0
         ai, bj = np.nonzero(cand)
         keep = ids[start:stop][ai] < ids[bj]
         ai, bj = ai[keep], bj[keep]
-        jac = common[ai, bj].astype(np.float64) / union[ai, bj].astype(np.float64)
+        com = common[ai, bj].astype(np.float64)
+        uni = ssum[ai, bj].astype(np.float64) - com
+        jac = com / uni
         out_a.append(ids[start:stop][ai])
         out_b.append(ids[bj])
         # Half-AWAY rounding (floor(x·10⁴ + 0.5), jaccard > 0), matching
