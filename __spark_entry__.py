@@ -53,7 +53,13 @@ _WINDOW = 50
 _CHANGED_THIS_ROUND = [
     "events_interarrival_user",  # val_round4 Spark side widened to decimal
     "graph_triangle_count",  # r7: degree-oriented rewrite (VERDICT #4)
-    "dedup_ngram_jaccard",  # r7: perf chase of the +92% regression
+    "dedup_ngram_jaccard",  # r7: adaptive-tile local sweep (VERDICT #6)
+    "events_pareto_users",  # r7: rnk long + decimal banded sums (ADVICE)
+    "sample_weighted_systematic",  # r7: decimal banded sums (ADVICE)
+    "cms_heavy_hitters",  # r7: two-step Mersenne cms_bucket (ADVICE)
+    "bloom_prefilter_audit",  # r7: same cms_bucket change
+    "stream_windowed_cms",  # r7: same cms_bucket change
+    "multimodal_frame_sample",  # r7: GIF dispatch added to the sampler
 ]
 
 

@@ -98,7 +98,33 @@ def main() -> None:
     # queries are reported in an "errors" key and excluded from totals.
     runs: dict[str, list[float]] = {name: [] for name in qs}
     errors: dict[str, str] = {}
+
+    # Box-noise instrumentation (VERDICT r6 #5): this is a shared box,
+    # and r6's verdict couldn't attribute broad ~15-25% inflation on
+    # untouched plans to neighbors vs regressions. Record, per pass,
+    # the 1-min load average and an IDLE PROBE — a fixed pure-CPU
+    # numpy workload (1024² dgemm) whose wall time is a direct read of
+    # CPU contention, independent of Spark. A probe >> its idle
+    # baseline (~25 ms) marks that pass's timings as noise-inflated.
+    def _idle_probe() -> float:
+        import numpy as _np
+
+        a = _np.ones((1024, 1024))
+        t0 = time.perf_counter()
+        for _ in range(3):
+            a = a @ a
+            a /= a[0, 0]
+        return round(time.perf_counter() - t0, 4)
+
+    noise: list[dict[str, float]] = []
+
+    def _noise_sample() -> None:
+        noise.append(
+            {"loadavg_1m": round(os.getloadavg()[0], 2), "probe_sec": _idle_probe()}
+        )
+
     for _ in range(3):
+        _noise_sample()
         # Re-warm the Python worker pool at the top of EVERY pass, not
         # just once: a catalog pass is minutes of JVM-only stages, long
         # enough for idle Arrow workers to be reaped, so the first
@@ -119,6 +145,7 @@ def main() -> None:
                 runs.pop(name, None)
                 continue
             runs[name].append(time.perf_counter() - t0)
+    _noise_sample()
     timings = {name: round(min(ts), 3) for name, ts in runs.items() if ts}
     last = {name: round(ts[-1], 3) for name, ts in runs.items() if ts}
 
@@ -145,6 +172,8 @@ def main() -> None:
                     "queries_last": last,
                     "total_last": total_last,
                     "errors": errors,
+                    "noise": noise,
+                    "long_sums_ab": os.environ.get("SPARK_GRAFT_LONG_SUMS") == "1",
                     "sf": sf_val,
                 }
             )
@@ -196,6 +225,7 @@ def main() -> None:
             "n_queries": len(timings),
             "queries": headline,
             "total_last": total_last,
+            "noise": noise,
             "sf": sf_val,
         }
     )

@@ -9,9 +9,14 @@ is REAL for two formats on pure Python: PPM P6 (netpbm spec) and PNG
 (stdlib zlib inflate + scanline defiltering — :func:`_png_raster`);
 image resize genuinely resamples decoded pixels. Audio decode is
 REAL for PCM WAV (:func:`_wav_pcm` — RIFF chunk walk + per-sample
-stats, stdlib struct). Compressed audio (MP3/AAC) and video decode
-remain stubbed (no media libraries in this container) behind the same
-dispatch points any real codec extends without touching the plans.
+stats, stdlib struct). Moving-image decode is REAL for animated GIF
+(:func:`_gif_frames` — pure-stdlib LZW + palette + interlace +
+frame compositing per the public GIF89a spec), feeding the frame
+sampler with genuinely decoded frames. Compressed audio (MP3/AAC)
+and true video containers (MP4/MKV) remain stubbed — a permanent
+boundary while the container has no media libraries (SURVEY §2c) —
+behind the same dispatch points any real codec extends without
+touching the plans.
 
 Scale: mapInPandas streams Arrow batches — constant memory per task,
 no driver involvement; payload columns stay binary end-to-end (never
@@ -239,8 +244,12 @@ def _decode_image(payload: bytes) -> dict | None:
 
 def _wav_pcm(payload: bytes) -> dict | None:
     """Pure-stdlib decode of RIFF/WAVE PCM audio (8- and 16-bit):
-    chunk walk (fmt  → geometry, data → samples), per-channel peak and
-    mean absolute amplitude from genuinely decoded samples. Returns
+    chunk walk (fmt  → geometry, data → samples); amplitudes are
+    accumulated per channel and emitted POOLED — ``peak_amplitude``
+    is the max peak across channels and ``mean_abs_amplitude`` the
+    mean absolute amplitude over all channels' samples (one row per
+    asset; a per-channel layout would explode rows). Decoded from
+    genuinely parsed samples. Returns
     None for non-WAV payloads, compressed codecs (audio_format ≠ 1),
     or malformed geometry — the decode-or-NULL discipline of
     _png_raster. Duration is exact integer math (samples·1000 //
@@ -423,15 +432,191 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
-def _sample_frames(payload: bytes) -> list[tuple[int, bytes]]:
-    """STUB frame sampler — deterministic byte-slice "frames".
+def _gif_lzw(data: bytes, min_code: int, npix: int) -> bytes:
+    """GIF-variant LZW decompression (public spec, GIF89a appendix F):
+    LSB-first variable-width codes (min_code+1 … 12 bits), clear/end
+    control codes, table entry appended per decoded code. Returns the
+    first npix palette indices."""
+    clear = 1 << min_code
+    end = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code + 1
+    prev: bytes | None = None
+    out = bytearray()
+    acc = bits = 0
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            bits -= width
+            if code == clear:
+                table = list(base)
+                width = min_code + 1
+                prev = None
+                continue
+            if code == end:
+                return bytes(out[:npix])
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                if len(table) < 4096:
+                    table.append(entry)
+            else:
+                raise ValueError("corrupt LZW stream")
+            out += entry
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+            if len(out) >= npix:
+                return bytes(out[:npix])
+    return bytes(out[:npix])
 
-    A real implementation would seek keyframes with a video demuxer
-    (PyAV, ffmpeg) at a target fps; the container has no media
-    libraries, so frames are fixed-stride byte windows. The Spark
-    contract — binary in, one row per sampled frame out — is the real
-    one.
+
+def _gif_deinterlace(idx: bytes, w: int, h: int) -> bytes:
+    """Reorder GIF 4-pass interlaced rows (0,8.. / 4,12.. / 2,6.. /
+    1,3..) into top-to-bottom scan order."""
+    out = bytearray(len(idx))
+    src = 0
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        for y in range(start, h, step):
+            out[y * w : (y + 1) * w] = idx[src * w : (src + 1) * w]
+            src += 1
+    return bytes(out)
+
+
+def _gif_frames(payload: bytes) -> list[tuple[int, int, bytes]] | None:
+    """REAL animated-GIF decode, pure stdlib (public GIF87a/89a spec):
+    LZW inflate per image descriptor, palette lookup, interlace
+    reorder, and frame compositing onto the logical-screen canvas
+    (draw-over; disposal 2 restores the background color over the
+    frame rect, disposal 3 restores the prior canvas; transparency
+    honored via the Graphic Control Extension). Returns
+    [(width, height, interleaved RGB)] — one FULL canvas per frame,
+    the way a video decoder emits frames — or None for non-GIF
+    payloads. Per-pixel Python is fine here: assets are
+    mapInPandas-batched and real deployments swap a codec into this
+    same dispatch point.
     """
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    try:
+        w = int.from_bytes(payload[6:8], "little")
+        h = int.from_bytes(payload[8:10], "little")
+        packed, bg_idx = payload[10], payload[11]
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 ** ((packed & 7) + 1)
+            gct = payload[pos : pos + 3 * n]
+            pos += 3 * n
+        bg = gct[bg_idx * 3 : bg_idx * 3 + 3] if gct else b"\x00\x00\x00"
+        canvas = bytearray(bg * (w * h))
+        frames: list[tuple[int, int, bytes]] = []
+        transparent: int | None = None
+        disposal = 0
+        while pos < len(payload):
+            block = payload[pos]
+            pos += 1
+            if block == 0x3B:  # trailer
+                break
+            if block == 0x21:  # extension: label + len-prefixed sub-blocks
+                label = payload[pos]
+                pos += 1
+                subs = []
+                while payload[pos]:
+                    sz = payload[pos]
+                    subs.append(payload[pos + 1 : pos + 1 + sz])
+                    pos += 1 + sz
+                pos += 1  # 0 terminator
+                if label == 0xF9 and subs:  # Graphic Control Extension
+                    flags = subs[0][0]
+                    disposal = (flags >> 2) & 7
+                    transparent = subs[0][3] if flags & 1 else None
+            elif block == 0x2C:  # image descriptor
+                left, top, fw, fh = (
+                    int.from_bytes(payload[pos + o : pos + o + 2], "little")
+                    for o in (0, 2, 4, 6)
+                )
+                fpacked = payload[pos + 8]
+                pos += 9
+                lct = None
+                if fpacked & 0x80:
+                    n = 2 ** ((fpacked & 7) + 1)
+                    lct = payload[pos : pos + 3 * n]
+                    pos += 3 * n
+                min_code = payload[pos]
+                pos += 1
+                data = bytearray()
+                while payload[pos]:
+                    sz = payload[pos]
+                    data += payload[pos + 1 : pos + 1 + sz]
+                    pos += 1 + sz
+                pos += 1
+                idx = _gif_lzw(bytes(data), min_code, fw * fh)
+                if len(idx) < fw * fh:
+                    return None
+                if fpacked & 0x40:
+                    idx = _gif_deinterlace(idx, fw, fh)
+                pal = lct or gct
+                if pal is None:
+                    return None
+                saved = bytes(canvas) if disposal == 3 else None
+                for y in range(fh):
+                    row = (top + y) * w
+                    src = y * fw
+                    for x in range(fw):
+                        ci = idx[src + x]
+                        if ci == transparent:
+                            continue
+                        o = (row + left + x) * 3
+                        canvas[o : o + 3] = pal[ci * 3 : ci * 3 + 3]
+                frames.append((w, h, bytes(canvas)))
+                if disposal == 2:  # restore frame rect to background
+                    for y in range(fh):
+                        o = ((top + y) * w + left) * 3
+                        canvas[o : o + 3 * fw] = bg * fw
+                elif disposal == 3 and saved is not None:
+                    canvas = bytearray(saved)
+                transparent, disposal = None, 0
+            else:
+                return None
+        return frames or None
+    except (IndexError, ValueError):
+        return None
+
+
+#: Keep every Nth decoded GIF frame (target-fps reduction — the knob a
+#: real video sampler exposes; deterministic here).
+GIF_FRAME_EVERY = 2
+
+
+def _sample_frames(payload: bytes) -> list[tuple[int, bytes]]:
+    """Frame sampler with a REAL moving-image path.
+
+    GIF payloads (pure-stdlib decoder, _gif_frames) are genuinely
+    decoded and every GIF_FRAME_EVERY-th composited frame is emitted,
+    re-encoded as PPM P6 so each sampled frame feeds straight back
+    into _raster/_decode_image consumers; frame_no is the SOURCE
+    frame index, preserving the sampling geometry downstream models
+    need. Other containers (true video: MP4/MKV) still fall back to
+    deterministic fixed-stride byte windows — a demuxer (PyAV/ffmpeg,
+    absent in this container) slots into the same dispatch.
+    """
+    gif = _gif_frames(payload)
+    if gif is not None:
+        return [
+            (i, _encode_ppm(w, h, rgb))
+            for i, (w, h, rgb) in enumerate(gif)
+            if i % GIF_FRAME_EVERY == 0
+        ]
     return [
         (i, payload[off : off + FRAME_LEN])
         for i, off in enumerate(range(0, len(payload), FRAME_STRIDE))
@@ -492,30 +677,34 @@ def _resize_payload(payload: bytes, target: int) -> bytes:
     if len(payload) <= target:
         return payload
     r = _raster(payload)
-    # target ≤ the ~15-byte P6 header can't fit any raster — skip
-    # straight to the stride stub (a negative sqrt base here returned
-    # a COMPLEX scale factor and crashed int(); review finding).
-    if r is not None and target > 15:
+    if r is not None and target > 0:
         _, w, h, rgb = r
-        # largest uniform scale with header + 3·w'·h' ≤ target
-        f = ((target - 15) / (3.0 * w * h)) ** 0.5
-        nw, nh = max(1, int(w * f)), max(1, int(h * f))
-        while nw > 1 or nh > 1:
-            out = bytearray()
-            for y in range(nh):
-                sy = y * h // nh
-                row = rgb[sy * w * 3 : (sy + 1) * w * 3]
-                for x in range(nw):
-                    sx = x * w // nw
-                    out += row[sx * 3 : sx * 3 + 3]
-            enc = _encode_ppm(nw, nh, bytes(out))
-            if len(enc) <= target:
-                return enc
-            nw, nh = max(1, nw - 1), max(1, nh - 1)
-        enc = _encode_ppm(1, 1, rgb[:3])
-        if len(enc) <= target:
-            return enc
-        # budget below even a 1×1 image: fall through to the stride stub
+        # Largest uniform scale with actual_header(w', h') + 3·w'·h' ≤
+        # target. The header length depends on the DIGIT COUNT of the
+        # candidate dimensions (4+-digit dims → >15 bytes), so size
+        # against the real header for each candidate and, on
+        # overshoot, shrink BOTH dims by one uniform factor — never
+        # decrement each by 1, which drifts the aspect ratio and
+        # degenerates to O(dim) re-encodes (ADVICE r6). Geometric
+        # shrink converges in O(log) steps; the byte check is on the
+        # exact encoding about to be emitted, so the budget is never
+        # violated.
+        f = (max(target - 15, 1) / (3.0 * w * h)) ** 0.5
+        while True:
+            nw, nh = max(1, int(w * f)), max(1, int(h * f))
+            header = len(b"P6\n%d %d\n255\n" % (nw, nh))
+            if header + 3 * nw * nh <= target:
+                out = bytearray()
+                for y in range(nh):
+                    sy = y * h // nh
+                    row = rgb[sy * w * 3 : (sy + 1) * w * 3]
+                    for x in range(nw):
+                        sx = x * w // nw
+                        out += row[sx * 3 : sx * 3 + 3]
+                return _encode_ppm(nw, nh, bytes(out))
+            if nw == 1 and nh == 1:
+                break  # budget below a 1×1 image → stride stub
+            f *= 0.9
     step = -(-len(payload) // target)  # ceil division
     return payload[::step]
 

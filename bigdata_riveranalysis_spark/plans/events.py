@@ -400,7 +400,10 @@ def events_pareto_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = SC.two_level_prefix(t, [F.desc("v"), F.asc("user_id")], sum_cols=("v",))
     return o.select(
         "user_id",
-        F.col("_rk").cast("int").alias("rnk"),
+        # long, NOT int (ADVICE r6): an int rank overflows past 2^31
+        # users — the cardinality the banded rewrite was built for;
+        # the oracle's row_number() is BIGINT, so types align too.
+        F.col("_rk").alias("rnk"),
         F.round(F.col("v") / 100.0, 4).alias("total_value"),
         EX.ratio_round4(F.col("_cum_v"), F.col("_tot_v"), 0).alias("cum_share"),
         ((F.col("_cum_v") - F.col("v")) * 5 < F.col("_tot_v") * 4).alias("in_top80"),

@@ -63,12 +63,33 @@ def cms_bucket(d: F.Column, k: F.Column, width: int = CMS_WIDTH) -> F.Column:
     """Carter-Wegman row hash h_d(k) → bucket in [0, width) (see
     CMS_A/B/P). One definition for every consumer — CMS sketches,
     the streaming CMS, and the Bloom filter (width=BLOOM_M) — so a
-    future change (e.g. the two-step reduction for >2^33 key domains)
-    reaches them all (review finding: the Bloom copy had diverged
-    into a verbatim duplicate)."""
+    change here reaches them all (review finding: the Bloom copy had
+    diverged into a verbatim duplicate).
+
+    Computes (a·k + b) mod P via a TWO-STEP Mersenne reduction
+    (ADVICE r6): the naive ``a*k`` wraps silently in non-ANSI Spark
+    for keys ≥ ~2^33 while DuckDB promotes BIGINT→HUGEINT — a cross-
+    engine divergence over exactly the surrogate-id ranges a 100 TB
+    corpus reaches. Split k = hi·2^31 + lo (hi < 2^30 after k mod P);
+    a·hi < 2^60 reduces mod P, and ·2^31 folds through 2^61 ≡ 1
+    (mod P) as t·2^31 ≡ (t div 2^30) + (t mod 2^30)·2^31 — every
+    intermediate < 2^63, so the result is exact for ANY nonnegative
+    long key and bit-equal to DuckDB's HUGEINT arithmetic (pinned by
+    the wide-key test). A handful of cheap integer ops per row —
+    invisible next to the shuffle these sketches avoid.
+    """
     a = F.element_at(F.array([F.lit(a) for a in CMS_A]), d.cast("int") + 1)
     b = F.element_at(F.array([F.lit(b) for b in CMS_B]), d.cast("int") + 1)
-    return ((a * k + b) % CMS_P) % width
+    k1 = k.cast("long") % CMS_P
+    # exact splits via shifts/masks (double-rounding-free, unlike
+    # float division): k1, t < 2^61 and nonnegative
+    hi = F.shiftrightunsigned(k1, 31)
+    lo = k1.bitwiseAND((1 << 31) - 1)
+    t = (a * hi) % CMS_P
+    folded = F.shiftrightunsigned(t, 30) + t.bitwiseAND((1 << 30) - 1) * F.lit(
+        1 << 31
+    )
+    return ((folded % CMS_P + a * lo + b) % CMS_P) % width
 
 #: Heavy hitters audited against the sketch.
 CMS_TOP_K = 20

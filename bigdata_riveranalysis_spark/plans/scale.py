@@ -94,11 +94,20 @@ def two_level_prefix(
     lw = W.partitionBy("_pid").orderBy(*order)
     run = lw.rowsBetween(W.unboundedPreceding, W.currentRow)
     local = ranged.withColumn("_lrk", F.row_number().over(lw))
+    # DECIMAL(38,0) accumulation (ADVICE r6): callers feed long cent
+    # sums, and a plain long cumulative sum hits Spark's ANSI overflow
+    # (where DuckDB promotes to HUGEINT) at exactly the corpus sizes
+    # this banded machinery exists for — the same cliff exact.wide_sum
+    # closes for plain aggregates. _cum_/_tot_ therefore come back as
+    # decimal(38,0); downstream arithmetic (ratio identities, integer
+    # cross-multiplications, floor-division picks) is decimal-exact
+    # and every REGISTERED output still emits double/long/boolean.
+    wide = {c: F.col(c).cast("decimal(38,0)") for c in sum_cols}
     for c in sum_cols:
-        local = local.withColumn(f"_lcum_{c}", F.sum(c).over(run))
+        local = local.withColumn(f"_lcum_{c}", F.sum(wide[c]).over(run))
     parts = local.groupBy("_pid").agg(
         F.count("*").alias("_n"),
-        *[F.sum(c).alias(f"_s_{c}") for c in sum_cols],
+        *[F.sum(wide[c]).alias(f"_s_{c}") for c in sum_cols],
     )
     ow = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, W.currentRow)
     gw = W.partitionBy()  # global agg over the P-row band table only

@@ -73,3 +73,263 @@ def test_triangle_plan_shows_degree_broadcast_join(spark):
     df = M.graph_triangle_count(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+# ---------------------------------------------------------------------------
+# GIF frame decode (VERDICT r6 #7) — independent encoder, golden frames
+# ---------------------------------------------------------------------------
+
+
+def _lzw_pack(codes_widths):
+    acc = bits = 0
+    out = bytearray()
+    for c, w in codes_widths:
+        acc |= c << bits
+        bits += w
+        while bits >= 8:
+            out.append(acc & 255)
+            acc >>= 8
+            bits -= 8
+    if bits:
+        out.append(acc & 255)
+    return bytes(out)
+
+
+def _gif_lzw_literal(indices, min_code=8):
+    """Literal-only LZW (the classic 'uncompressed GIF' trick): a
+    CLEAR every 250 codes keeps the decoder table under 2^(min+1), so
+    the code width never grows."""
+    clear, end, w = 1 << min_code, (1 << min_code) + 1, min_code + 1
+    cw = [(clear, w)]
+    n = 0
+    for px in indices:
+        if n == 250:
+            cw.append((clear, w))
+            n = 0
+        cw.append((px, w))
+        n += 1
+    cw.append((end, w))
+    return _lzw_pack(cw)
+
+
+def _gif_lzw_real(indices, min_code):
+    """True dictionary LZW with code-width growth — exercises the
+    decoder's table-append and width-bump paths the literal encoder
+    never reaches."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    d = {bytes([i]): i for i in range(clear)}
+    nxt, width = end + 1, min_code + 1
+    cw = [(clear, width)]
+    buf = b""
+    for px in indices:
+        k = buf + bytes([px])
+        if k in d:
+            buf = k
+            continue
+        cw.append((d[buf], width))
+        if nxt < 4096:
+            d[k] = nxt
+            nxt += 1
+            # decoder widens when its table LENGTH hits 2^width; its
+            # table is one entry behind the encoder's dict (it appends
+            # entry n only on the code AFTER the one that assigned n),
+            # so its length when reading the next code is nxt - 1
+            if nxt - 1 == (1 << width) and width < 12:
+                width += 1
+        buf = bytes([px])
+    if buf:
+        cw.append((d[buf], width))
+    cw.append((end, width))
+    return _lzw_pack(cw)
+
+
+def _gif_encode(w, h, frames, palette, min_code=8, encoder=_gif_lzw_literal):
+    """frames: list of (left, top, fw, fh, indices, gce|None,
+    interlaced). gce = (disposal, transparent_idx|None)."""
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | 0x07, 0, 0])  # 256-entry GCT, bg idx 0
+    out += palette
+    for left, top, fw, fh, idx, gce, inter in frames:
+        if gce is not None:
+            disp, tr = gce
+            flags = (disp << 2) | (1 if tr is not None else 0)
+            out += bytes([0x21, 0xF9, 4, flags, 0, 0, tr or 0, 0])
+        out += bytes([0x2C])
+        for v in (left, top, fw, fh):
+            out += v.to_bytes(2, "little")
+        out += bytes([0x40 if inter else 0, min_code])
+        data = encoder(idx, min_code)
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += bytes([0, ])
+    out += bytes([0x3B])
+    return bytes(out)
+
+
+def _pal256():
+    return bytes(
+        b for i in range(256) for b in ((i, (i * 7) % 256, (255 - i)))
+    )
+
+
+def _rgb(pal, indices):
+    return b"".join(pal[i * 3 : i * 3 + 3] for i in indices)
+
+
+def test_gif_full_frame_animation_decodes_golden_frames():
+    from bigdata_riveranalysis_spark.operators import multimodal as MM
+
+    pal = _pal256()
+    w, h = 4, 3
+    planes = [bytes([c] * (w * h)) for c in (10, 77, 200)]
+    gif = _gif_encode(
+        w, h, [(0, 0, w, h, p, None, False) for p in planes], pal
+    )
+    got = MM._gif_frames(gif)
+    assert got is not None and len(got) == 3
+    for (gw, gh, rgb), p in zip(got, planes):
+        assert (gw, gh) == (w, h)
+        assert rgb == _rgb(pal, p)
+
+
+def test_gif_partial_frame_transparency_and_disposal():
+    from bigdata_riveranalysis_spark.operators import multimodal as MM
+
+    pal = _pal256()
+    w, h = 4, 3
+    base = bytes([5] * (w * h))
+    # frame 2: 2x1 patch at (1,1): one opaque pixel (9), one transparent
+    patch = bytes([9, 0])
+    gif = _gif_encode(
+        w,
+        h,
+        [
+            (0, 0, w, h, base, None, False),
+            (1, 1, 2, 1, patch, (1, 0), False),  # draw-over, tr idx 0
+        ],
+        pal,
+    )
+    f1, f2 = MM._gif_frames(gif)
+    assert f1[2] == _rgb(pal, base)
+    expect = bytearray(_rgb(pal, base))
+    expect[(1 * w + 1) * 3 : (1 * w + 1) * 3 + 3] = pal[9 * 3 : 9 * 3 + 3]
+    assert f2[2] == bytes(expect)  # transparent pixel kept the base color
+
+
+def test_gif_interlace_and_real_lzw_roundtrip():
+    from bigdata_riveranalysis_spark.operators import multimodal as MM
+
+    pal = _pal256()
+    w, h = 5, 7
+    # repetitive pattern → real LZW builds dictionary entries + widens
+    idx = bytes((i * 3 + (i // w)) % 7 for i in range(w * h)) * 1
+    rows = [idx[y * w : (y + 1) * w] for y in range(h)]
+    inter_order = [0, 4, 2, 6, 1, 3, 5]  # GIF 4-pass order for h=7
+    inter = b"".join(rows[y] for y in inter_order)
+    gif = _gif_encode(
+        w, h, [(0, 0, w, h, inter, None, True)], pal,
+        min_code=3, encoder=_gif_lzw_real,
+    )
+    got = MM._gif_frames(gif)
+    assert got is not None
+    assert got[0] == (w, h, _rgb(pal, idx))
+
+
+def test_gif_real_lzw_wide_table(spark):
+    """A long high-entropy stream forces many dictionary appends and
+    several width bumps (min_code=8 → widths 9..12)."""
+    from bigdata_riveranalysis_spark.operators import multimodal as MM
+
+    idx = bytes((i * 131 + (i >> 3) * 17) % 251 for i in range(40 * 30))
+    pal = _pal256()
+    gif = _gif_encode(40, 30, [(0, 0, 40, 30, idx, None, False)], pal,
+                      encoder=_gif_lzw_real)
+    got = MM._gif_frames(gif)
+    assert got is not None
+    assert got[0] == (40, 30, _rgb(pal, idx))
+
+
+def test_gif_frames_through_spark_plan(spark):
+    """Golden frames end-to-end through the mapInPandas operator: a
+    5-frame GIF yields frame_no 0/2/4 (GIF_FRAME_EVERY=2), each frame
+    the P6 encoding of the composited canvas — readable back through
+    _raster (the resize/decode consumers)."""
+    from bigdata_riveranalysis_spark.operators import multimodal as MM
+
+    pal = _pal256()
+    w, h = 3, 2
+    planes = [bytes([c] * (w * h)) for c in (1, 2, 3, 4, 5)]
+    gif = _gif_encode(w, h, [(0, 0, w, h, p, None, False) for p in planes], pal)
+    df = spark.createDataFrame(
+        [(1, bytearray(gif))], "doc_id long, payload binary"
+    )
+    rows = {r.frame_no: r for r in MM.sample_frames(df).collect()}
+    assert sorted(rows) == [0, 2, 4]
+    for i in (0, 2, 4):
+        expect = MM._encode_ppm(w, h, _rgb(pal, planes[i]))
+        assert bytes(rows[i].frame) == expect
+        assert rows[i].frame_len == len(expect)
+        # sampled frames feed straight back into the image decoders
+        assert MM._raster(bytes(rows[i].frame)) is not None
+
+    # non-GIF payloads keep the byte-stride contract (oracle-checked
+    # query semantics unchanged)
+    blob = bytes(range(200))
+    df2 = spark.createDataFrame([(2, blob)], "doc_id long, payload binary")
+    got = {r.frame_no: bytes(r.frame) for r in MM.sample_frames(df2).collect()}
+    assert got == {0: blob[:64], 1: blob[128:192]}
+
+
+def test_resize_payload_long_dimension_headers():
+    """ADVICE r6: 4-digit dimensions make the P6 header >15 bytes; the
+    resize must size against the ACTUAL header and shrink uniformly
+    (aspect preserved within integer truncation), never decrement
+    dims independently."""
+    from bigdata_riveranalysis_spark.operators import multimodal as MM
+
+    w, h = 1200, 40  # 30:1 aspect
+    rgb = bytes((i % 3 == 0) * 200 for i in range(3 * w * h))
+    payload = MM._encode_ppm(w, h, rgb)
+    out = MM._resize_payload(payload, 4000)
+    r = MM._raster(out)
+    assert r is not None
+    _, nw, nh, _ = r
+    assert len(out) <= 4000
+    # uniform scale: aspect within truncation error of the original
+    assert nh >= 1 and abs(nw / nh - w / h) / (w / h) < 0.35
+    # and the budget is actually used (not a degenerate 1x1)
+    assert nw * nh * 3 > 4000 * 0.5
+
+
+def test_cms_bucket_wide_key_domain_matches_hugeint(spark):
+    """ADVICE r6: the naive a·k wraps in non-ANSI Spark for keys ≥
+    ~2^33 while DuckDB promotes to HUGEINT. The two-step Mersenne
+    reduction must agree with exact (Python bigint / DuckDB HUGEINT)
+    arithmetic over the full nonnegative long domain."""
+    import duckdb
+
+    from bigdata_riveranalysis_spark.plans import mining as M
+
+    keys = [0, 1, 5, 2**31 - 1, 2**33, 2**40 + 7, 2**52 + 123,
+            2**61 - 2, 2**61 - 1, 2**61, 2**62 + 3, 2**63 - 1]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    from pyspark.sql import functions as F_
+
+    got = {}
+    for d in range(M.CMS_DEPTH):
+        rows = df.select(
+            "k", M.cms_bucket(F_.lit(d), F_.col("k")).alias("b")
+        ).collect()
+        got.update({(d, r.k): r.b for r in rows})
+    for d in range(M.CMS_DEPTH):
+        a, b = M.CMS_A[d], M.CMS_B[d]
+        for k in keys:
+            want = ((a * k + b) % M.CMS_P) % M.CMS_WIDTH
+            assert got[(d, k)] == want, (d, k, got[(d, k)], want)
+            rel = duckdb.sql(
+                f"SELECT ((({a} * CAST({k} AS HUGEINT)) + {b}) % {M.CMS_P})"
+                f" % {M.CMS_WIDTH}"
+            ).fetchall()[0][0]
+            assert rel == want, (d, k)
