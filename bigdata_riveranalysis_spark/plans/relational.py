@@ -1583,3 +1583,436 @@ def orders_price_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             EX.avg_round4(F.col("price_c"), 2).alias("mean_price"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# r7: the remaining TPC-H query shapes expressible on this star schema
+# (no partsupp table in the fixtures, so Q2/Q9/Q16/Q20 are adapted to
+# lineitem-derived supplier facts — the JOIN/SUBQUERY shapes are the
+# point, cited against the classic queries they mirror).
+# --------------------------------------------------------------------------
+
+#: Q7 nation pair (both directions are reported, as in the spec).
+Q7_NATIONS = ("NATION_1", "NATION_2")
+
+#: Q19's disjunctive predicate triples: (brand, size lo-hi, qty lo-hi).
+Q19_ARMS = (
+    ("Brand#4", 1, 15, 1, 30),
+    ("Brand#19", 10, 30, 10, 40),
+    ("Brand#2", 20, 50, 20, 50),
+)
+
+
+@query(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           year(l_shipdate) AS ship_year,
+           {EX.sum_round4_sql(_REV_INT_SQL, 4)} AS revenue
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    WHERE ((sn.n_name = '{Q7_NATIONS[0]}' AND cn.n_name = '{Q7_NATIONS[1]}')
+        OR (sn.n_name = '{Q7_NATIONS[1]}' AND cn.n_name = '{Q7_NATIONS[0]}'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): revenue shipped between a nation
+    pair, split by direction and ship year.
+
+    Scale: supplier/customer/nation are dims — supplier⋈nation and
+    customer⋈nation broadcast into the two fact scans, so the only
+    real shuffle is lineitem⋈orders on the shared orderkey. The
+    nation-pair disjunction is applied to the broadcast dims BEFORE
+    the fact join (each side keeps only the two nations), so the fact
+    tables shrink at the scan, and the date filter pushes into the
+    lineitem parquet scan. Revenue is the exact integer formulation.
+    """
+    a, b = Q7_NATIONS
+    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(a, b))
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+        )
+        .agg(EX.sum_round4(_REV_INT(), 4).alias("revenue"))
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT n_name AS supp_nation,
+           year(o_orderdate) AS order_year,
+           {EX.sum_round4_sql(_REV_INT_SQL, 4)} AS profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY 1, 2
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit) adapted to the fixture schema:
+    profit by supplier nation × order year over parts whose name
+    matches a token (no partsupp table → profit is the discounted
+    revenue term; the Q9 JOIN SHAPE — fact⋈part-filter⋈supplier⋈
+    nation⋈orders — is intact).
+
+    Scale: the LIKE filter prunes part BEFORE broadcast, so the fact
+    scan is gated by a broadcast semi-ish join on partkey; supplier⋈
+    nation broadcasts; lineitem⋈orders shuffles once on orderkey.
+    """
+    pt = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%gear%")
+    ).select("p_partkey")
+    nat = load_table(spark, sf_dir, "nation")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("supp_nation", F.year("o_orderdate").alias("order_year"))
+        .agg(EX.sum_round4(_REV_INT(), 4).alias("profit"))
+    )
+
+
+@query(
+    "q12_ship_delay_priority",
+    oracle="""
+    SELECT (datediff('day', o_orderdate, l_shipdate) > 90) AS late,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    GROUP BY 1
+    """,
+)
+def q12_ship_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes & priority) adapted: the fixture has
+    no ship mode / commit date, so lines are classified by SHIP DELAY
+    (shipped >90 days after order) and counted by order priority —
+    the same conditional-aggregation shape (CASE inside SUM) over the
+    orders⋈lineitem join.
+
+    Scale: one shuffle on orderkey; the CASE terms are integer
+    conditionals folded into the aggregate (map-side partials), no
+    post-join pass. datediff is date-granular in both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            (
+                F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90
+            ).alias("late")
+        )
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle=f"""
+    WITH m AS (
+        SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS ship_month,
+               sum(CASE WHEN p_type LIKE 'PROMO%'
+                        THEN CAST({_REV_INT_SQL} AS HUGEINT) ELSE 0 END) AS promo_c,
+               sum(CAST({_REV_INT_SQL} AS HUGEINT)) AS total_c
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        GROUP BY 1
+    )
+    SELECT ship_month,
+           {EX.ratio_round4_sql("100 * promo_c", "total_c", 0)} AS promo_share_pct
+    FROM m
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): the share of revenue from
+    promo-type parts, per ship month — conditional revenue over total
+    revenue.
+
+    The share is the exact integer ratio identity over two
+    DECIMAL(38,0) cent sums (numerator pre-scaled ×100 for percent),
+    so the reported percentage cannot flip on float rounding. Scale:
+    part broadcasts into the fact scan; one aggregate, both sums in
+    the same pass (no second scan for the denominator).
+    """
+    pt = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_type").like("PROMO%").alias("is_promo")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = _REV_INT()
+    g = (
+        li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            EX.wide_sum(F.when(F.col("is_promo"), rev).otherwise(F.lit(0))).alias(
+                "promo_c"
+            ),
+            EX.wide_sum(rev).alias("total_c"),
+        )
+    )
+    return g.select(
+        "ship_month",
+        EX.ratio_round4(F.col("promo_c") * 100, F.col("total_c"), 0).alias(
+            "promo_share_pct"
+        ),
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT {EX.sum_round4_sql(_REV_INT_SQL, 4)} AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE {" OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi}"
+        f" AND l_quantity BETWEEN {qlo} AND {qhi})"
+        for b, slo, shi, qlo, qhi in Q19_ARMS
+    )}
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): a disjunction of conjunctive
+    arms mixing part attributes (brand, size) with fact attributes
+    (quantity) — the classic OR-of-ANDs predicate that exercises
+    cross-table predicate handling.
+
+    Scale: Catalyst pushes the part-only disjunction (brand ∈ {..} OR
+    …) into the broadcast side and the quantity envelope into the
+    fact scan; the residual mixed predicate evaluates post-join
+    inside codegen. One broadcast join, zero shuffles beyond the
+    final single-row aggregate.
+    """
+    pt = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+    arm = None
+    for b, slo, shi, qlo, qhi in Q19_ARMS:
+        cond = (
+            (F.col("p_brand") == b)
+            & F.col("p_size").between(slo, shi)
+            & F.col("l_quantity").between(qlo, qhi)
+        )
+        arm = cond if arm is None else (arm | cond)
+    return joined.filter(arm).agg(
+        EX.sum_round4(_REV_INT(), 4).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@query(
+    "q2_min_offer_supplier",
+    oracle="""
+    WITH offers AS (
+        SELECT l_partkey, l_suppkey,
+               min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS offer_c
+        FROM lineitem
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT l_partkey, l_suppkey, offer_c,
+               row_number() OVER (PARTITION BY l_partkey
+                                  ORDER BY offer_c, l_suppkey) AS rn
+        FROM offers
+    )
+    SELECT r.l_partkey AS p_partkey, p.p_brand,
+           s.s_suppkey, s.s_name,
+           round(r.offer_c / 100.0, 4) AS best_offer
+    FROM ranked r
+    JOIN part p     ON p.p_partkey = r.l_partkey
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.rn = 1 AND p.p_size >= 40
+    """,
+)
+def q2_min_offer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier) adapted to the fixture schema:
+    for each large part (no partsupp table → "cost" is the cheapest
+    observed sale price per (part, supplier)), the supplier making
+    the cheapest offer — the correlated-min-subquery shape, resolved
+    the scalable way.
+
+    Scale: instead of a correlated per-part subquery (one probe per
+    part — the literal Q2 text), the min-offer is ONE aggregation to
+    (part, supplier) grain and an argmin via min(struct(offer, supp))
+    per part — two map-side-combining shuffles, no window over the
+    fact table, deterministic tie-break on suppkey baked into the
+    struct ordering. part/supplier join back as broadcasts, and the
+    p_size filter prunes parts before the join-back.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    offers = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(EX.cents("l_extendedprice")).alias("offer_c"))
+    )
+    best = (
+        offers.groupBy("l_partkey")
+        .agg(F.min(F.struct("offer_c", "l_suppkey")).alias("b"))
+        .select("l_partkey", F.col("b.offer_c"), F.col("b.l_suppkey"))
+    )
+    pt = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 40)
+    sup = load_table(spark, sf_dir, "supplier")
+    return (
+        best.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("offer_c") / 100.0, 4).alias("best_offer"),
+        )
+    )
+
+
+@query(
+    "q16_supplier_diversity",
+    oracle="""
+    SELECT p_brand, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand IN ('Brand#2', 'Brand#4', 'Brand#19')
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY 1, 2
+    """,
+)
+def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship) adapted: distinct
+    suppliers per (brand, size) over observed sales, EXCLUDING a
+    blacklist from a subquery (negative-balance suppliers standing in
+    for Q16's complaint suppliers) — the NOT IN + COUNT DISTINCT
+    shape.
+
+    Scale: the blacklist is a broadcast LEFT ANTI join (NOT IN with a
+    non-nullable key list is exactly anti-join semantics — no
+    null-poisoning here since s_suppkey is a PK); brand-filtered part
+    broadcasts; the count-distinct shuffles once on (brand, size)
+    with partial distinct aggregation map-side.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    pt = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#2", "Brand#4", "Brand#19")
+    )
+    return (
+        li.join(
+            F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+        )
+        .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q20_promo_part_suppliers",
+    oracle="""
+    WITH promo AS (
+        SELECT l_suppkey,
+               sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_c
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_type LIKE 'PROMO%'
+        GROUP BY 1
+    ),
+    stats AS (
+        SELECT CAST(sum(qty_c) AS HUGEINT) AS tot, count(*) AS n FROM promo
+    )
+    SELECT s.s_suppkey, s.s_name,
+           round(p.qty_c / 100.0, 4) AS promo_qty
+    FROM promo p
+    CROSS JOIN stats
+    JOIN supplier s ON s.s_suppkey = p.l_suppkey
+    WHERE CAST(p.qty_c AS HUGEINT) * stats.n * 10 > 11 * stats.tot
+    """,
+)
+def q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion) adapted: suppliers whose
+    promo-part volume exceeds 1.1× the average supplier's — the
+    scalar-aggregate-threshold subquery shape (Q20's "half the total
+    quantity" predicate), with the multiplier chosen non-degenerate
+    for this corpus's near-uniform volumes (2× selects zero rows at
+    every SF — a vacuous green; 1.1× keeps 2/20/183 rows at
+    sf0.001/0.01/0.1).
+
+    The threshold predicate is integer CROSS-MULTIPLICATION
+    (qty·n > 2·total on DECIMAL(38,0)/HUGEINT), so membership cannot
+    flip on a float average. Scale: promo parts broadcast into the
+    fact scan; per-supplier sums shuffle once; the (total, n) stats
+    are ONE row cross-joined back (broadcast), and supplier joins
+    back as a broadcast dim.
+    """
+    pt = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type").like("PROMO%")
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    promo = (
+        li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(EX.cents("l_quantity")).alias("qty_c"))
+    )
+    stats = promo.agg(
+        EX.wide_sum(F.col("qty_c")).alias("tot"), F.count("*").alias("n")
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    return (
+        promo.crossJoin(F.broadcast(stats))
+        .filter(
+            F.col("qty_c").cast("decimal(38,0)") * F.col("n") * 10
+            > 11 * F.col("tot")
+        )
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("qty_c") / 100.0, 4).alias("promo_qty"),
+        )
+    )
