@@ -215,6 +215,11 @@ def main() -> None:
         "cms_heavy_hitters",
         "graph_triangle_count",
         "sample_weighted_systematic",
+        "q7_volume_shipping",
+        "q19_disjunctive_revenue",
+        "graph_pagerank_3iter",
+        "bpe_pair_merges",
+        "doc_surprisal_proxy",
     ]
     headline = {n: timings[n] for n in headline_names if n in timings}
     payload = json.dumps(

@@ -2510,3 +2510,119 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(k * uni - NUM_MINHASHES * inter) <= 2 * uni).alias("within_quarter"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE pair statistics + corpus-relative surprisal (r7)
+# ---------------------------------------------------------------------------
+
+#: Top-k byte-pair merges reported (the first BPE training step).
+BPE_TOPK = 30
+
+
+@query(
+    "bpe_pair_merges",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest({TX.TOKENS_SQL.format(c="text")}) AS t FROM documents
+    ),
+    pairs AS (
+        SELECT unnest(list_transform(
+                   range(1, length(t)),
+                   i -> substr(t, CAST(i AS INT), 2))) AS pair
+        FROM toks WHERE length(t) >= 2
+    )
+    SELECT pair, count(*) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT {BPE_TOPK}
+    """,
+)
+def bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE tokenizer-training step: corpus-wide adjacent
+    character-pair frequencies (every occurrence counted, as BPE
+    does), top-{BPE_TOPK} merge candidates with a deterministic
+    (count desc, pair asc) tie-break.
+
+    Scale: tokenize → per-token pair expansion is all higher-order
+    built-ins (transform over sequence — whole-stage codegen, no
+    Python); the count shuffles once on the pair key with map-side
+    partials over a ~|alphabet|² key space, and the top-k is
+    TakeOrderedAndProject (each task keeps {BPE_TOPK} rows — no
+    global sort). Successive BPE rounds re-run this with the merged
+    vocabulary applied; the per-round plan is identical.
+    """
+    docs = _docs(spark, sf_dir)
+    tok = explode_nonempty(TX.tokens("text")).alias("t")
+    pairs = (
+        docs.select(tok)
+        .filter(F.length("t") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, length(t)-1), i -> substring(t, i, 2))")
+            ).alias("pair")
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(BPE_TOPK)
+    )
+
+
+@query(
+    "doc_surprisal_proxy",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({TX.TOKENS_SQL.format(c="text")}) AS t
+        FROM documents
+    ),
+    vocab AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+    n AS (SELECT count(*) AS total FROM toks),
+    info AS (
+        SELECT toks.doc_id,
+               length(printf('%b', n.total // vocab.c)) - 1 AS bits
+        FROM toks JOIN vocab USING (t) CROSS JOIN n
+    )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(bits) AS BIGINT) AS total_bits,
+           {EX.ratio_round4_sql("sum(bits)", "count(*)", 0)} AS avg_surprisal
+    FROM info GROUP BY doc_id
+    """,
+)
+def doc_surprisal_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram surprisal proxy — the data-selection
+    signal behind perplexity filtering (rare-token-dense docs score
+    high, boilerplate scores low), in INTEGER-EXACT form: a token's
+    information is floor(log2(N div c)) computed as
+    bit_length(N div c) − 1 (binary-string length — no libm log,
+    whose last-ulp differences between engines flip rounded 4th
+    decimals), averaged per doc via the exact ratio identity.
+
+    Scale: one tokenize scan; the vocab aggregate shuffles on token;
+    the token→info join shuffles the tokenized fact once on the same
+    key (sort-merge, AQE-skew-splittable — stopword keys are hot);
+    the single-row corpus total broadcasts. At 100 TB the vocab side
+    is Zipf-bounded (≪ fact) and can itself broadcast below the
+    byte gate.
+    """
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", explode_nonempty(TX.tokens("text")).alias("t")
+    )
+    vocab = toks.groupBy("t").agg(F.count("*").alias("c"))
+    total = toks.agg(F.count("*").alias("total"))
+    info = (
+        toks.join(vocab, "t")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            (F.length(F.bin(F.expr("total div c"))) - 1).alias("bits"),
+        )
+    )
+    return info.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("bits").alias("total_bits"),
+        EX.ratio_round4(F.sum("bits"), F.count("*"), 0).alias("avg_surprisal"),
+    )

@@ -47,8 +47,8 @@ CMS_WIDTH = 64
 #: P = 2^61 − 1 (Mersenne prime). Pure 64-bit integer arithmetic —
 #: identical on both engines and ~100× cheaper per row than a digest
 #: (the md5+conv formulation was the bench's slowest query at 3.4 s).
-#: A_d < 2^30 keeps A·k < 2^63 for keys below 2^33; wider key domains
-#: need a two-step reduction (documented, not needed for these ids).
+#: A_d < 2^30; cms_bucket's two-step Mersenne reduction (r7) makes
+#: the hash exact over the FULL nonnegative long key domain.
 CMS_P = (1 << 61) - 1
 CMS_A = (536870923, 715827883, 805306457, 897581057)
 CMS_B = (12582917, 25165843, 50331653, 100663319)
@@ -807,3 +807,107 @@ def bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         EX.ratio_round4(fp, nonm, 0).alias("fp_rate"),
         (fp * 20 <= nonm).alias("fp_below_5pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank (fixed-iteration, integer-exact)
+# ---------------------------------------------------------------------------
+
+#: PageRank fixed-point scale (scores are integers × 1e-6) and the
+#: unrolled iteration count.
+PR_SCALE = 1_000_000
+PR_ITERS = 3
+
+
+@query(
+    "graph_pagerank_3iter",
+    oracle=f"""
+    WITH {_PAIRS_ORACLE},
+    eu AS (
+        SELECT part_a, part_b FROM pair_counts
+        WHERE n_ab >= {TRIANGLE_MIN_SUPPORT}
+    ),
+    e AS (
+        SELECT part_a AS src, part_b AS dst FROM eu
+        UNION ALL
+        SELECT part_b, part_a FROM eu
+    ),
+    deg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY src),
+    s0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS s FROM deg),
+    it1 AS (
+        SELECT e.dst AS node,
+               150000 + (85 * sum(s0.s // deg.d)) // 100 AS s
+        FROM e JOIN s0 ON s0.node = e.src JOIN deg ON deg.node = e.src
+        GROUP BY e.dst
+    ),
+    it2 AS (
+        SELECT e.dst AS node,
+               150000 + (85 * sum(it1.s // deg.d)) // 100 AS s
+        FROM e JOIN it1 ON it1.node = e.src JOIN deg ON deg.node = e.src
+        GROUP BY e.dst
+    ),
+    it3 AS (
+        SELECT e.dst AS node,
+               150000 + (85 * sum(it2.s // deg.d)) // 100 AS s
+        FROM e JOIN it2 ON it2.node = e.src JOIN deg ON deg.node = e.src
+        GROUP BY e.dst
+    )
+    SELECT it3.node, it3.s AS score_ppm, deg.d AS degree
+    FROM it3 JOIN deg ON deg.node = it3.node
+    """,
+)
+def graph_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the co-purchase graph, {PR_ITERS} unrolled
+    iterations (damping 0.85), in FIXED-POINT INTEGER arithmetic:
+    scores are parts-per-million longs, each step is
+    s'(v) = 0.15·10⁶ + floor(0.85·Σ_{{u→v}} floor(s(u)/deg(u))) —
+    every operation an integer floor, so both engines produce
+    bit-identical scores (no float accumulation-order drift, which is
+    why iterative PageRank normally can't be oracle-hashed). The
+    iterative-algorithm representative of the registry.
+
+    Scale: the classic join-aggregate PageRank — each iteration
+    shuffles contributions on dst (map-side combine) and joins the
+    P-row score table back to edges on src; degrees are computed once.
+    Score/degree tables are node-sized (≪ edges) and both joins are
+    key-partitioned equi-joins; co-partitioning edges by src across
+    iterations lets Spark reuse the exchange (the score side is the
+    only moving part). Dangling nodes don't exist here (the graph is
+    undirected, every node has out-degree ≥ 1); at 100 TB the same
+    recurrence runs unchanged — the iteration count, not the data,
+    bounds the plan depth. Cited shape: the join-agg PageRank of the
+    GraphX/Pregel literature, minus message abstraction.
+    """
+    pairs = _basket_pair_counts(_baskets(spark, sf_dir))
+    eu = pairs.filter(F.col("n_ab") >= TRIANGLE_MIN_SUPPORT).select(
+        "part_a", "part_b"
+    )
+    return pagerank_scores(eu)
+
+
+def pagerank_scores(eu: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    """(node, score_ppm, degree) for an undirected edge list (part_a,
+    part_b) — the fixed-point iteration body of graph_pagerank_3iter,
+    split out so the planted-graph test drives the production path."""
+    e = eu.select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+    ).unionAll(
+        eu.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
+    )
+    deg = e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
+    scores = deg.select("node", F.lit(PR_SCALE).cast("long").alias("s"))
+    ed = e.join(deg, e.src == deg.node).select("src", "dst", "d")
+    for _ in range(iters):
+        contrib = (
+            ed.join(scores, ed.src == scores.node)
+            .select("dst", F.expr("s div d").alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("m"))
+        )
+        scores = contrib.select(
+            F.col("dst").alias("node"),
+            (F.lit(150000) + F.expr("(85 * m) div 100")).alias("s"),
+        )
+    return scores.join(
+        deg.withColumnRenamed("node", "n2"), scores.node == F.col("n2")
+    ).select("node", F.col("s").alias("score_ppm"), F.col("d").alias("degree"))

@@ -333,3 +333,23 @@ def test_cms_bucket_wide_key_domain_matches_hugeint(spark):
                 f" % {M.CMS_WIDTH}"
             ).fetchall()[0][0]
             assert rel == want, (d, k)
+
+
+def test_pagerank_integer_recurrence_on_planted_graph(spark):
+    """3-node path a—b—c: hand-computed fixed-point recurrence
+    (s' = 150000 + (85·Σ floor(s/deg)) div 100) must match the
+    production pipeline exactly — the bit-identical-across-engines
+    property the oracle hash relies on."""
+    e = _edges(spark, [(1, 2), (2, 3)])
+    got = {r.node: (r.score_ppm, r.degree)
+           for r in M.pagerank_scores(e).collect()}
+    # hand simulation
+    deg = {1: 1, 2: 2, 3: 1}
+    s = {1: 1_000_000, 2: 1_000_000, 3: 1_000_000}
+    for _ in range(M.PR_ITERS):
+        share = {v: s[v] // deg[v] for v in s}
+        inc = {1: share[2], 3: share[2], 2: share[1] + share[3]}
+        s = {v: 150_000 + (85 * inc[v]) // 100 for v in s}
+    assert got == {v: (s[v], deg[v]) for v in s}
+    # center node aggregates two neighbors -> highest score
+    assert got[2][0] > got[1][0] == got[3][0]
