@@ -2626,3 +2626,64 @@ def doc_surprisal_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bits").alias("total_bits"),
         EX.ratio_round4(F.sum("bits"), F.count("*"), 0).alias("avg_surprisal"),
     )
+
+
+#: Tokens reported by the vocabulary-coverage profile.
+VOCAB_TOPN = 50
+
+
+@query(
+    "vocab_coverage_topn",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest({TX.TOKENS_SQL.format(c="text")}) AS t FROM documents
+    ),
+    vocab AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+    ranked AS (
+        SELECT t, c,
+               row_number() OVER (ORDER BY c DESC, t) AS rnk,
+               sum(c) OVER (ORDER BY c DESC, t
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(c) OVER () AS total
+        FROM vocab
+    )
+    SELECT t AS token, rnk, CAST(c AS BIGINT) AS n,
+           {EX.ratio_round4_sql("100 * cum", "total", 0)} AS coverage_pct,
+           (CAST(cum AS HUGEINT) * 10 >= 9 * total) AS covers_90
+    FROM ranked
+    WHERE rnk <= {VOCAB_TOPN}
+    """,
+)
+def vocab_coverage_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage profile — the tokenizer-sizing question
+    ("how many vocab entries cover 90% of the corpus?"): tokens
+    ranked by frequency with cumulative corpus coverage and an exact
+    covers-90 flag (integer cross-multiplication, no float share).
+
+    Scale: the vocab aggregate shuffles once on token; the global
+    frequency ranking + running sum come from ONE
+    scale.two_level_prefix pass over the Zipf-bounded VOCAB relation
+    (range-banded windows — no single-reducer ORDER BY even for
+    billion-entry vocabularies), reusing the banded machinery of
+    RFM/Pareto/equi-depth; the oracle runs the literal global window,
+    proving the banded plan value-identical. Output is top-{VOCAB_TOPN}
+    only, taken by rank filter (pushed before the join-back).
+    """
+    from bigdata_riveranalysis_spark.plans import scale as SC
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(explode_nonempty(TX.tokens("text")).alias("t"))
+    vocab = toks.groupBy("t").agg(F.count("*").alias("c"))
+    o = SC.two_level_prefix(vocab, [F.desc("c"), F.asc("t")], sum_cols=("c",))
+    return (
+        o.filter(F.col("_rk") <= VOCAB_TOPN)
+        .select(
+            F.col("t").alias("token"),
+            F.col("_rk").alias("rnk"),
+            F.col("c").alias("n"),
+            EX.ratio_round4(F.col("_cum_c") * 100, F.col("_tot_c"), 0).alias(
+                "coverage_pct"
+            ),
+            (F.col("_cum_c") * 10 >= F.col("_tot_c") * 9).alias("covers_90"),
+        )
+    )

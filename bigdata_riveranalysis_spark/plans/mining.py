@@ -603,8 +603,14 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def triangles_per_node(e: DataFrame) -> DataFrame:
     """(node, n_triangles) for an undirected edge list (part_a,
     part_b) — the wedge-closure body of graph_triangle_count, split
-    out so the planted-graph tests drive the exact production path."""
-    de = degree_oriented_edges(e)
+    out so the planted-graph tests drive the exact production path.
+
+    The oriented edge list feeds THREE consumers (both wedge sides
+    and the closure probe); localCheckpoint materializes it once so
+    the upstream pair-count aggregate + degree join don't re-execute
+    per consumer (measured 3.0 → 2.2 s at sf0.1) — the same
+    materialize-small-reused-frames move _baskets makes."""
+    de = degree_oriented_edges(e).localCheckpoint()
     w1 = de.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     w2 = de.select(F.col("src").alias("a"), F.col("dst").alias("c"))
     e3 = de.select(F.col("src").alias("b"), F.col("dst").alias("c"))
@@ -895,8 +901,22 @@ def pagerank_scores(eu: DataFrame, iters: int = PR_ITERS) -> DataFrame:
         eu.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
     )
     deg = e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
+    # deg feeds the initial scores, every iteration's edge join, and
+    # the final output join; ed feeds all PR_ITERS iterations. Without
+    # materialization each iteration re-executes the whole pair-count
+    # lineage (measured 3.6 → 2.3 s at sf0.1).
+    deg = deg.localCheckpoint()
     scores = deg.select("node", F.lit(PR_SCALE).cast("long").alias("s"))
-    ed = e.join(deg, e.src == deg.node).select("src", "dst", "d")
+    # Pre-partition the (static) edge side by the per-iteration join
+    # key: every iteration's edges⋈scores then reuses this exchange
+    # and only the node-sized score table moves — the co-location
+    # trick a Pregel runtime gets from vertex partitioning.
+    ed = (
+        e.join(deg, e.src == deg.node)
+        .select("src", "dst", "d")
+        .repartition(F.col("src"))
+        .localCheckpoint()
+    )
     for _ in range(iters):
         contrib = (
             ed.join(scores, ed.src == scores.node)
