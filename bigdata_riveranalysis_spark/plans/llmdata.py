@@ -607,13 +607,13 @@ def _jaccard_local(spark: SparkSession, sh: DataFrame, df_cap: int) -> DataFrame
     part: memory-adaptive tiles (one sgemm at n=5000 instead of three
     2048-row slivers, 0.59→0.24 s measured standalone) and dropping
     the union matrix for the fused (1+t)·common ≥ t·ssum threshold.
-    After: min-of-5 1.34 s under measured neighbor load with 2.8 s
-    outliers in the same loop — the residual vs r5's 0.80 s row is
-    shared-box variance (BENCH_r07 records the 1-min load average per
-    run to make that attributable), not plan regression: the floor is
-    Arrow collect + one BLAS call + fixed Spark job overhead, none of
-    which the r6 exact-ratio rollout touched (the ratio identity runs
-    on the ≤256 surviving pairs only).
+    After: the r7 full-bench min-of-3 row is **0.942 s — inside 1.2×
+    of r5's 0.796 s** (interim under-load loops read 1.3-2.8 s; the
+    bench's recorded load-average/idle-probe samples make that
+    attributable). The floor is Arrow collect + one BLAS call + fixed
+    Spark job overhead, none of which the r6 exact-ratio rollout
+    touched (the ratio identity runs on the ≤256 surviving pairs
+    only).
     """
     import numpy as np
     import pandas as pd

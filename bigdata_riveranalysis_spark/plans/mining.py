@@ -1,10 +1,12 @@
-"""Pattern-mining and sequence analytics (round 6 coverage growth).
+"""Pattern-mining, sequence, sketch, and graph analytics.
 
-Four operator families the reference's analytics ambitions (README's
-promised layer; SURVEY.md §0) imply but no earlier round covered:
-market-basket association mining, Markov/sequence transition
-analysis, inter-arrival (tempo) statistics, and per-document keyword
-extraction. Every query is integer-exact or single-division rounded
+Operator families the reference's analytics ambitions (README's
+promised layer; SURVEY.md §0) imply but the relational core doesn't
+cover: market-basket association mining, Markov/sequence transition
+analysis, inter-arrival (tempo) statistics, per-document keyword
+extraction (r6); CMS/Bloom sketches, degree-oriented triangle
+counting, fixed-point integer PageRank, weighted systematic sampling
+(r6/r7). Every query is integer-exact or single-division rounded
 (registry conventions) and carries its DuckDB oracle.
 
 Scale postures, module-wide:
