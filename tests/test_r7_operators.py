@@ -353,3 +353,135 @@ def test_pagerank_integer_recurrence_on_planted_graph(spark):
     assert got == {v: (s[v], deg[v]) for v in s}
     # center node aggregates two neighbors -> highest score
     assert got[2][0] > got[1][0] == got[3][0]
+
+
+# ---------------------------------------------------------------------------
+# Property-based checks (hypothesis) for the r7 graph + GIF paths
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_SETTINGS = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_edge_sets = st.sets(
+    st.tuples(st.integers(0, 11), st.integers(0, 11)).filter(
+        lambda p: p[0] != p[1]
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+def _canon_edges(pairs):
+    return sorted({(min(a, b), max(a, b)) for a, b in pairs})
+
+
+@_SETTINGS
+@given(pairs=_edge_sets)
+def test_triangle_counts_match_bruteforce(spark, pairs):
+    """Degree-oriented distributed counts == O(n³) brute force on
+    random graphs — orientation/tie-break independence."""
+    import itertools
+
+    edges = _canon_edges(pairs)
+    adj = set(edges)
+    nodes = sorted({v for e in edges for v in e})
+    expect = {}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (
+            (a, b) in adj and (b, c) in adj and (a, c) in adj
+        ):
+            for v in (a, b, c):
+                expect[v] = expect.get(v, 0) + 1
+    got = {
+        r.node: r.n_triangles
+        for r in M.triangles_per_node(_edges(spark, edges)).collect()
+    }
+    assert got == expect, (edges, got, expect)
+
+
+@_SETTINGS
+@given(pairs=_edge_sets)
+def test_pagerank_matches_integer_simulation(spark, pairs):
+    """Distributed fixed-point PageRank == a pure-Python integer
+    simulation of the same recurrence, on random graphs."""
+    edges = _canon_edges(pairs)
+    deg: dict[int, int] = {}
+    nbrs: dict[int, list[int]] = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+        nbrs.setdefault(a, []).append(b)
+        nbrs.setdefault(b, []).append(a)
+    s = {v: M.PR_SCALE for v in deg}
+    for _ in range(M.PR_ITERS):
+        share = {v: s[v] // deg[v] for v in s}
+        s = {
+            v: 150_000 + (85 * sum(share[u] for u in nbrs[v])) // 100
+            for v in s
+        }
+    got = {
+        r.node: (r.score_ppm, r.degree)
+        for r in M.pagerank_scores(_edges(spark, edges)).collect()
+    }
+    assert got == {v: (s[v], deg[v]) for v in s}, edges
+
+
+_frames_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 255),  # fill color index
+        st.booleans(),  # interlaced?
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@_SETTINGS
+@given(
+    w=st.integers(1, 9),
+    h=st.integers(1, 9),
+    frames=_frames_strategy,
+    seed=st.integers(0, 2**31),
+)
+def test_gif_roundtrip_random_frames(w, h, frames, seed):
+    """decode(encode(x)) == x for random full-frame animations under
+    the REAL LZW encoder, any geometry, mixed interlacing."""
+    import random
+
+    from bigdata_riveranalysis_spark.operators import multimodal as MM
+
+    rng = random.Random(seed)
+    pal = _pal256()
+    spec = []
+    planes = []
+    for fill, inter in frames:
+        idx = bytes(
+            (fill + rng.randrange(4)) % 256 for _ in range(w * h)
+        )
+        if inter:
+            # rows in GIF 4-pass order
+            order = (
+                list(range(0, h, 8))
+                + list(range(4, h, 8))
+                + list(range(2, h, 4))
+                + list(range(1, h, 2))
+            )
+            enc_idx = b"".join(
+                idx[y * w : (y + 1) * w] for y in order
+            )
+        else:
+            enc_idx = idx
+        spec.append((0, 0, w, h, enc_idx, None, inter))
+        planes.append(idx)
+    gif = _gif_encode(w, h, spec, pal, min_code=8, encoder=_gif_lzw_real)
+    got = MM._gif_frames(gif)
+    assert got is not None and len(got) == len(planes)
+    for (gw, gh, rgb), idx in zip(got, planes):
+        assert (gw, gh) == (w, h)
+        assert rgb == _rgb(pal, idx)
