@@ -443,3 +443,121 @@ def stream_windowed_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_stream(agg, spark, "complete", "windowed_cms")
+
+
+@query(
+    "stream_sliding_window_counts",
+    oracle="""
+    WITH assign AS (
+        SELECT time_bucket(INTERVAL '30 minutes', ts)
+                 - i * INTERVAL '30 minutes' AS win_start,
+               event_type, value
+        FROM events
+        CROSS JOIN (SELECT unnest(range(0, 2)) AS i)
+    )
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n,
+           {avg} AS avg_value
+    FROM assign
+    GROUP BY 1, 2
+    """.format(avg=EX.avg_round4_sql(EX.cents_sql("value"), 2)),
+)
+def stream_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OVERLAPPING (sliding) windows — 1-hour span sliding every
+    30 minutes, per event type: each event contributes to exactly
+    TWO windows, the semantics tumbling windows can't express
+    (rolling engagement dashboards, rate-limit lookbacks).
+
+    Streaming side: ``F.window(ts, '1 hour', '30 minutes')`` —
+    Spark's stateful window operator replicates each row into its
+    span/slide = 2 assignments and aggregates per (window, type);
+    complete mode over availableNow makes the final state equal the
+    batch semantics. Oracle: windows are re-derived arithmetically —
+    an event at t belongs to slide-grid starts {bucket30(t),
+    bucket30(t) − 30min} — so DuckDB needs no window-assign builtin.
+    The average is the exact ratio identity on cent sums. Scale:
+    state is (windows × types), bounded by the watermark horizon —
+    the replication factor span/slide (2 here) is the knob that
+    trades lookback smoothness against state volume.
+    """
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("win"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            EX.avg_round4(EX.cents("value"), 2).alias("avg_value"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            "avg_value",
+        )
+    )
+    return _run_stream(agg, spark, "complete", "sliding_window_counts")
+
+
+@query(
+    "stream_ewma_spikes",
+    oracle="""
+    WITH RECURSIVE s AS (
+        SELECT user_id AS sensor_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    r AS (
+        SELECT sensor_id, event_id, value, rn,
+               CASE WHEN value IS NULL THEN CAST('nan' AS DOUBLE)
+                    ELSE value END AS ewma,
+               CASE WHEN value IS NULL THEN 0 ELSE 1 END AS n,
+               false AS is_spike
+        FROM s WHERE rn = 1
+        UNION ALL
+        SELECT s.sensor_id, s.event_id, s.value, s.rn,
+               CASE WHEN s.value IS NULL THEN r.ewma
+                    WHEN r.n = 0 THEN s.value
+                    ELSE CAST(0.3 AS DOUBLE) * s.value
+                         + CAST(0.7 AS DOUBLE) * r.ewma END,
+               r.n + CASE WHEN s.value IS NULL THEN 0 ELSE 1 END,
+               (r.n > 0 AND s.value IS NOT NULL
+                AND s.value > CAST(3.0 AS DOUBLE) * r.ewma)
+        FROM r JOIN s ON s.sensor_id = r.sensor_id AND s.rn = r.rn + 1
+    )
+    SELECT sensor_id, event_id, value, ewma, is_spike
+    FROM r
+    """,
+)
+def stream_ewma_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom-stateful-operator representative
+    (applyInPandasWithState): per-sensor EWMA with spike flags,
+    state carried across micro-batches
+    (streaming/stateful.py::ewma_with_spikes).
+
+    Why this is oracle-checkable at all: the recurrence
+    ewma ← 0.3·v + 0.7·ewma is SEQUENTIAL per sensor in (ts,
+    event_id) order, so both engines execute the IDENTICAL chain of
+    IEEE multiply-adds (1.0−0.3 == the double literal 0.7; the
+    oracle's recursive CTE casts its literals to DOUBLE because
+    DuckDB otherwise parses them as DECIMAL) — bit-identical ewma
+    values, no accumulation-order freedom anywhere. The ewma column is
+    emitted RAW (bit-identical doubles hash identically; a
+    round(x, 6) here would reintroduce the half-boundary
+    engine-rounding divergence this repo's exact-identity policy
+    exists to avoid — caught by the sf0.1 cross-SF sweep). Scale: state is one (double, long) pair per sensor —
+    constant; the oracle's recursion depth is max-events-per-sensor,
+    fine for the fixture, while the ENGINE side is the thing built
+    for unbounded streams.
+    """
+    from bigdata_riveranalysis_spark.streaming.stateful import ewma_with_spikes
+
+    out = ewma_with_spikes(
+        _events_stream(spark, sf_dir), alpha=0.3, spike_ratio=3.0
+    )
+    return _run_stream(out, spark, "append", "ewma_spikes")
