@@ -63,10 +63,11 @@ _CHANGED_THIS_ROUND = [
 ]
 
 
-def _driver_history() -> tuple[dict[str, int], int]:
-    """(latest driver-checked round per query, latest round seen),
-    scanned from the CORRECTNESS_r*.json files the driver writes at
-    the repo root (next to this file)."""
+def _driver_history() -> tuple[dict[str, int], dict[str, bool], int]:
+    """(latest driver-checked round per query, greenness of that
+    LATEST row per query, latest round seen), scanned from the
+    CORRECTNESS_r*.json files the driver writes at the repo root
+    (next to this file)."""
     import glob
     import json
     import os
@@ -74,6 +75,7 @@ def _driver_history() -> tuple[dict[str, int], int]:
 
     root = os.path.dirname(os.path.abspath(__file__))
     last: dict[str, int] = {}
+    green: dict[str, bool] = {}
     latest = 0
     for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(p))
@@ -86,28 +88,49 @@ def _driver_history() -> tuple[dict[str, int], int]:
         except (OSError, ValueError):
             continue
         latest = max(latest, rnd)
-        for name in rows:
-            last[name] = max(last.get(name, 0), rnd)
-    return last, latest
+        for name, row in rows.items():
+            if rnd <= last.get(name, 0):
+                continue
+            last[name] = rnd
+            ok = isinstance(row, dict) and not row.get("err") and all(
+                row.get(k, True)
+                for k in ("rows_match", "schema_match", "hash_match")
+            )
+            green[name] = ok
+    return last, green, latest
 
 
 def _rotation(names: list[str]) -> list[str]:
-    last, _ = _driver_history()
+    last, green, _ = _driver_history()
+    # A changed-list name missing from the registry (renamed/typo'd
+    # query) must fail LOUDLY at registry-build time: silently
+    # skipping it would drop the intended query's priority slot and
+    # ship a round on a stale driver row (r6 failure mode; restored
+    # after the r7 review found the check had moved to tests only).
+    missing = [n for n in _CHANGED_THIS_ROUND if n not in names]
+    if missing:
+        raise KeyError(
+            f"_CHANGED_THIS_ROUND names not in the query registry: {missing}"
+        )
+    # RED rows outrank everything: a query whose LATEST driver row
+    # failed must be re-verified next round, not wait out the cadence
+    # as 'freshly checked' (the r6 embedding_quantize_int8 precedent).
+    red = sorted(n for n in names if n in last and not green.get(n, True))
     never = sorted(n for n in names if n not in last)
     changed = [
-        n for n in _CHANGED_THIS_ROUND if n in names and n not in never
+        n for n in _CHANGED_THIS_ROUND if n not in never and n not in red
     ]
+    head = set(red) | set(never) | set(changed)
     rest = sorted(
-        (n for n in names if n not in never and n not in changed),
-        key=lambda n: (last[n], n),
+        (n for n in names if n not in head), key=lambda n: (last[n], n)
     )
-    order = never + changed + rest
+    order = red + never + changed + rest
     # A new query MUST land inside the driver's window in its first
     # round — the r6 orders_price_equidepth failure mode.
-    outside = [n for n in never if order.index(n) >= _WINDOW]
+    outside = [n for n in red + never if order.index(n) >= _WINDOW]
     if outside:
         raise AssertionError(
-            f"never-driver-checked queries fall outside the {_WINDOW}-slot "
+            f"red/never-driver-checked queries fall outside the {_WINDOW}-slot "
             f"window: {outside}"
         )
     return order

@@ -510,6 +510,15 @@ def _gif_frames(payload: bytes) -> list[tuple[int, int, bytes]] | None:
     try:
         w = int.from_bytes(payload[6:8], "little")
         h = int.from_bytes(payload[8:10], "little")
+        # Validate geometry BEFORE allocating: the header bytes are
+        # untrusted (any payload starting with the magic reaches here
+        # — including text documents), and a bogus 65535×65535 screen
+        # would commit a ~12.9 GB canvas and O(w·h) loops before the
+        # first block even parses (r7 review). The cap bounds the
+        # in-engine pure-Python decode; larger real assets belong to
+        # a codec slotted into this same dispatch.
+        if not (0 < w * h <= GIF_MAX_PIXELS):
+            return None
         packed, bg_idx = payload[10], payload[11]
         pos = 13
         gct = None
@@ -560,6 +569,11 @@ def _gif_frames(payload: bytes) -> list[tuple[int, int, bytes]] | None:
                     data += payload[pos + 1 : pos + 1 + sz]
                     pos += 1 + sz
                 pos += 1
+                # frame rect must sit inside the logical screen, else
+                # the compositing slice-assignments silently EXTEND or
+                # misplace canvas bytes (bytearray slice semantics)
+                if fw == 0 or fh == 0 or left + fw > w or top + fh > h:
+                    return None
                 idx = _gif_lzw(bytes(data), min_code, fw * fh)
                 if len(idx) < fw * fh:
                     return None
@@ -568,6 +582,8 @@ def _gif_frames(payload: bytes) -> list[tuple[int, int, bytes]] | None:
                 pal = lct or gct
                 if pal is None:
                     return None
+                if max(idx) * 3 + 3 > len(pal):
+                    return None  # index beyond palette: corrupt stream
                 saved = bytes(canvas) if disposal == 3 else None
                 for y in range(fh):
                     row = (top + y) * w
@@ -596,6 +612,11 @@ def _gif_frames(payload: bytes) -> list[tuple[int, int, bytes]] | None:
 #: Keep every Nth decoded GIF frame (target-fps reduction — the knob a
 #: real video sampler exposes; deterministic here).
 GIF_FRAME_EVERY = 2
+
+#: Logical-screen pixel cap for the pure-Python GIF decoder (≈12 MB
+#: canvas) — guards against hostile/corrupt headers committing
+#: multi-GB allocations from 4 untrusted dimension bytes.
+GIF_MAX_PIXELS = 1 << 22
 
 
 def _sample_frames(payload: bytes) -> list[tuple[int, bytes]]:

@@ -630,6 +630,13 @@ def _jaccard_local(spark: SparkSession, sh: DataFrame, df_cap: int) -> DataFrame
     nv = len(uniques)
     if n * nv > JACCARD_LOCAL_MAX_CELLS or 2.0 * n * n * nv > JACCARD_LOCAL_MAX_FLOPS:
         return None
+    if nv > (1 << 23):
+        # exactness bound for the fused f32 threshold: common ≤ nv and
+        # (1+t)·common needs one extra mantissa bit, so counts must
+        # stay ≤ 2^23 (f32 has 24) — beyond that the sweep's integer
+        # arithmetic stops being exact (r7 review). A ≥8M-gram vocab
+        # at n≤4 docs is a degenerate shape anyway; distributed path.
+        return None
     ids = pdf["doc_id"].to_numpy(dtype=np.int64)
     M = np.zeros((n, max(nv, 1)), dtype=np.float32)
     M[np.repeat(np.arange(n), sizes), codes] = 1.0
@@ -654,8 +661,9 @@ def _jaccard_local(spark: SparkSession, sh: DataFrame, df_cap: int) -> DataFrame
         # exact) and
         #   J ≥ t ⟺ common ≥ t·(union) = t·(|A|+|B|−common)
         #       ⟺ (1+t)·common ≥ t·(|A|+|B|)
-        # which is EXACT for dyadic t — both scaled operands are
-        # integer-valued f32 products with ≤1 extra mantissa bit. The
+        # which is EXACT for dyadic t while counts stay ≤ 2^23 — the
+        # (1+t) product needs one extra mantissa bit (f32 has 24),
+        # and the nv ≤ 2^23 regime gate above guarantees it. The
         # ssum>0 guard replaces union>0: ssum=0 forces common=0 where
         # the rearranged inequality would vacuously hold. Only the few
         # surviving candidate pairs ever touch f64.
@@ -2612,7 +2620,12 @@ def doc_surprisal_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", explode_nonempty(TX.tokens("text")).alias("t")
     )
     vocab = toks.groupBy("t").agg(F.count("*").alias("c"))
-    total = toks.agg(F.count("*").alias("total"))
+    # corpus total = Σ vocab counts — a vocab-sized aggregate, NOT a
+    # third tokenize scan of the corpus (r7 review: three consumers
+    # of `toks` re-executed the dominant scan; now only the vocab
+    # build and the token→info join touch it, and those two scans
+    # are irreducible without materializing a corpus-sized frame).
+    total = vocab.agg(F.sum("c").alias("total"))
     info = (
         toks.join(vocab, "t")
         .crossJoin(F.broadcast(total))

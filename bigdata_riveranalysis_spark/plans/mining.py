@@ -70,9 +70,12 @@ def cms_bucket(d: F.Column, k: F.Column, width: int = CMS_WIDTH) -> F.Column:
 
     Computes (a·k + b) mod P via a TWO-STEP Mersenne reduction
     (ADVICE r6): the naive ``a*k`` wraps silently in non-ANSI Spark
-    for keys ≥ ~2^33 while DuckDB promotes BIGINT→HUGEINT — a cross-
-    engine divergence over exactly the surrogate-id ranges a 100 TB
-    corpus reaches. Split k = hi·2^31 + lo (hi < 2^30 after k mod P);
+    for keys ≥ ~2^33 while DuckDB RAISES (BIGINT products do not
+    auto-promote: "Overflow in multiplication of INT64") unless its
+    twin casts to HUGEINT — either way a cross-engine divergence over
+    exactly the surrogate-id ranges a 100 TB corpus reaches, closed
+    on the oracle side by ``cms_bucket_sql``'s explicit CAST.
+    Split k = hi·2^31 + lo (hi < 2^30 after k mod P);
     a·hi < 2^60 reduces mod P, and ·2^31 folds through 2^61 ≡ 1
     (mod P) as t·2^31 ≡ (t div 2^30) + (t mod 2^30)·2^31 — every
     intermediate < 2^63, so the result is exact for ANY nonnegative
@@ -92,6 +95,20 @@ def cms_bucket(d: F.Column, k: F.Column, width: int = CMS_WIDTH) -> F.Column:
         1 << 31
     )
     return ((folded % CMS_P + a * lo + b) % CMS_P) % width
+
+def cms_bucket_sql(key_expr: str, width: int = CMS_WIDTH) -> str:
+    """DuckDB twin of cms_bucket for oracle texts: CAST the key to
+    HUGEINT before the a·k multiply. DuckDB does NOT silently promote
+    a BIGINT product (verified: a·2^35 raises "Overflow in
+    multiplication of INT64"), so an un-cast oracle raises at exactly
+    the wide keys the engine's two-step reduction exists for. With
+    the cast, HUGEINT arithmetic is exact over the full long domain
+    and equals the Spark twin bit-for-bit (pinned by the wide-key
+    parity test, which runs THIS text). Assumes the seeds CTE is in
+    scope with columns (d, a, bb); qualify via ``alias`` when two
+    instances join."""
+    return f"((a * CAST(({key_expr}) AS HUGEINT) + bb) % {CMS_P}) % {width}"
+
 
 #: Heavy hitters audited against the sketch.
 CMS_TOP_K = 20
@@ -399,7 +416,7 @@ def docs_keyword_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     {CMS_SEEDS_SQL},
     sketch AS (
         SELECT d,
-               ((a * l_partkey + bb) % {CMS_P}) % {CMS_WIDTH} AS b,
+               {cms_bucket_sql("l_partkey")} AS b,
                count(*) AS cnt
         FROM lineitem CROSS JOIN seeds
         GROUP BY 1, 2
@@ -416,7 +433,8 @@ def docs_keyword_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
         CROSS JOIN seeds
         JOIN sketch s
           ON s.d = seeds.d
-         AND s.b = ((seeds.a * t.part + seeds.bb) % {CMS_P}) % {CMS_WIDTH}
+         AND s.b = ((seeds.a * CAST(t.part AS HUGEINT) + seeds.bb)
+                    % {CMS_P}) % {CMS_WIDTH}
         GROUP BY 1, 2
     )
     SELECT part, exact_n, est_n,
@@ -717,7 +735,7 @@ BLOOM_K = 4
         WHERE o_orderpriority = '1-URGENT'
     ),
     bloom AS (
-        SELECT DISTINCT d, ((a * k + bb) % {CMS_P}) % {BLOOM_M} AS pos
+        SELECT DISTINCT d, {cms_bucket_sql("k", BLOOM_M)} AS pos
         FROM members CROSS JOIN seeds
     ),
     probe AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
@@ -727,7 +745,8 @@ BLOOM_K = 4
         CROSS JOIN seeds
         JOIN bloom b
           ON b.d = seeds.d
-         AND b.pos = ((seeds.a * p.k + seeds.bb) % {CMS_P}) % {BLOOM_M}
+         AND b.pos = ((seeds.a * CAST(p.k AS HUGEINT) + seeds.bb)
+                      % {CMS_P}) % {BLOOM_M}
         GROUP BY p.k
     ),
     flags AS (
@@ -860,7 +879,9 @@ PR_ITERS = 3
         FROM e JOIN it2 ON it2.node = e.src JOIN deg ON deg.node = e.src
         GROUP BY e.dst
     )
-    SELECT it3.node, it3.s AS score_ppm, deg.d AS degree
+    SELECT it3.node,
+           CAST(it3.s AS BIGINT) AS score_ppm,
+           CAST(deg.d AS BIGINT) AS degree
     FROM it3 JOIN deg ON deg.node = it3.node
     """,
 )

@@ -405,7 +405,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {MN.CMS_SEEDS_SQL}
     SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS window_start,
            d,
-           ((a * user_id + bb) % {MN.CMS_P}) % {MN.CMS_WIDTH} AS b,
+           {MN.cms_bucket_sql("user_id")} AS b,
            count(*) AS cnt
     FROM events CROSS JOIN seeds
     GROUP BY 1, 2, 3
@@ -530,7 +530,10 @@ def stream_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AND s.value > CAST(3.0 AS DOUBLE) * r.ewma)
         FROM r JOIN s ON s.sensor_id = r.sensor_id AND s.rn = r.rn + 1
     )
-    SELECT sensor_id, event_id, value, ewma, is_spike
+    SELECT sensor_id, event_id,
+           CASE WHEN value IS NULL THEN CAST('nan' AS DOUBLE)
+                ELSE value END AS value,
+           ewma, is_spike
     FROM r
     """,
 )
@@ -550,7 +553,12 @@ def stream_ewma_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted RAW (bit-identical doubles hash identically; a
     round(x, 6) here would reintroduce the half-boundary
     engine-rounding divergence this repo's exact-identity policy
-    exists to avoid — caught by the sf0.1 cross-SF sweep). Scale: state is one (double, long) pair per sensor —
+    exists to avoid — caught by the sf0.1 cross-SF sweep). NULL
+    readings surface as NaN in the value column on BOTH sides
+    (Arrow→pandas converts the null before the operator yields; the
+    oracle applies the matching CASE — else a NULL-bearing fixture
+    hashes 'NULL' vs 'NaN'; r7 review).
+    Scale: state is one (double, long) pair per sensor —
     constant; the oracle's recursion depth is max-events-per-sensor,
     fine for the fixture, while the ENGINE side is the thing built
     for unbounded streams.

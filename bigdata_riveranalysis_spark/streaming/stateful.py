@@ -71,7 +71,16 @@ def ewma_with_spikes(
     ) -> Iterator[pd.DataFrame]:
         (sensor_id,) = key
         ewma, n = state.get if state.exists else (0.0, 0)
-        for pdf in pdfs:
+        # Concatenate the group's Arrow chunks BEFORE sorting: a group
+        # larger than arrow.maxRecordsPerBatch (10k default) arrives
+        # as multiple chunks, and chunk-local sorts would run the
+        # recurrence in chunk-arrival order across boundaries —
+        # diverging from the (ts, event_id) chain the oracle and the
+        # semantics define (r7 review). Memory is one micro-batch's
+        # rows for ONE sensor — the same bound the sort itself needs.
+        chunks = list(pdfs)
+        whole = pd.concat(chunks) if len(chunks) > 1 else chunks[0] if chunks else None
+        for pdf in [] if whole is None else [whole]:
             pdf = pdf.sort_values(["ts", "event_id"])
             out_ewma, out_spike = [], []
             for v in pdf["value"]:

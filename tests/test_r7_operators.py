@@ -328,9 +328,13 @@ def test_cms_bucket_wide_key_domain_matches_hugeint(spark):
         for k in keys:
             want = ((a * k + b) % M.CMS_P) % M.CMS_WIDTH
             assert got[(d, k)] == want, (d, k, got[(d, k)], want)
+            # run the ACTUAL oracle fragment (cms_bucket_sql), not a
+            # hand-built equivalent — the r7 review found the real
+            # oracle texts lacked the HUGEINT cast while this test's
+            # inline SQL had it, masking the divergence.
             rel = duckdb.sql(
-                f"SELECT ((({a} * CAST({k} AS HUGEINT)) + {b}) % {M.CMS_P})"
-                f" % {M.CMS_WIDTH}"
+                f"WITH {M.CMS_SEEDS_SQL} SELECT {M.cms_bucket_sql(str(k))}"
+                f" FROM seeds WHERE d = {d}"
             ).fetchall()[0][0]
             assert rel == want, (d, k)
 

@@ -26,7 +26,7 @@ def test_rotation_covers_registry_exactly_once():
 def test_never_checked_queries_lead_the_window():
     from bigdata_riveranalysis_spark.plans import query_catalog
 
-    last, _ = E._driver_history()
+    last, _green, _ = E._driver_history()
     names = E._rotation(list(query_catalog()))
     never = [n for n in names if n not in last]
     # _rotation raises if any never-checked name is outside the
@@ -42,7 +42,7 @@ def test_three_round_cadence_holds_after_this_window():
     for r5's impossible 'none older than two rounds' claim."""
     from bigdata_riveranalysis_spark.plans import query_catalog
 
-    last, latest = E._driver_history()
+    last, _green, latest = E._driver_history()
     this_round = latest + 1
     names = E._rotation(list(query_catalog()))
     simulated = dict(last)
@@ -61,3 +61,37 @@ def test_changed_list_names_are_registered():
 
     missing = [n for n in E._CHANGED_THIS_ROUND if n not in query_catalog()]
     assert not missing, missing
+
+
+def test_red_rows_lead_the_window(tmp_path, monkeypatch):
+    """A query whose LATEST driver row is red must take slot 1 of the
+    next window — ahead of never-checked and changed queries (r7
+    review: the history scan previously treated any row as green)."""
+    import json
+
+    import __spark_entry__ as E
+
+    fake = {
+        "alpha": {"rows_match": True, "schema_match": True,
+                  "hash_match": False, "err": None},
+        "beta": {"rows_match": True, "schema_match": True,
+                 "hash_match": True, "err": None},
+    }
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(fake))
+    monkeypatch.setattr(
+        "os.path.dirname", lambda p_: str(tmp_path), raising=True
+    )
+    last, green, latest = E._driver_history()
+    assert latest == 1 and last == {"alpha": 1, "beta": 1}
+    assert green == {"alpha": False, "beta": True}
+    monkeypatch.setattr(E, "_CHANGED_THIS_ROUND", [])
+    order = E._rotation(["beta", "gamma", "alpha"])
+    assert order[0] == "alpha"      # red first
+    assert order[1] == "gamma"      # never-checked second
+
+    # and a typo'd changed-list name fails LOUDLY at build time
+    monkeypatch.setattr(E, "_CHANGED_THIS_ROUND", ["no_such_query"])
+    import pytest
+
+    with pytest.raises(KeyError):
+        E._rotation(["beta", "gamma", "alpha"])

@@ -661,3 +661,43 @@ def test_rocksdb_state_store_parity(spark, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_STATE_STORE", "not-a-provider")
     with pytest.raises(ValueError, match="SPARK_GRAFT_STATE_STORE"):
         REGISTRY[names[0]].fn(spark, SF_SMOKE)
+
+
+def test_ewma_sorts_across_arrow_chunks(spark, tmp_path):
+    """A group larger than arrow.maxRecordsPerBatch arrives as
+    MULTIPLE chunks; the operator must sort the WHOLE group by
+    (ts, event_id) before running the recurrence (r7 review:
+    chunk-local sorts ran the chain in chunk-arrival order). Rows are
+    written in REVERSE time order so any chunk-local shortcut
+    produces a different chain than the simulation."""
+    from bigdata_riveranalysis_spark.streaming.stateful import ewma_with_spikes
+
+    n = 90
+    batch = [
+        _ev(i, f"2024-01-01 {i // 60:02d}:{i % 60:02d}:00",
+            user_id=1, value=float(10 + (i * 7) % 23))
+        for i in range(n)
+    ][::-1]  # reverse arrival order
+    path = _write_files(tmp_path, [batch])
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        stream = file_json_stream(spark, path, max_files_per_trigger=1)
+        out = ewma_with_spikes(stream, alpha=0.5, spike_ratio=3.0)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("ewma_chunks")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    rows = {r.event_id: r.ewma for r in spark.table("ewma_chunks").collect()}
+    # python simulation in (ts, event_id) == event_id order
+    ewma = None
+    for i in range(n):
+        v = float(10 + (i * 7) % 23)
+        ewma = v if ewma is None else 0.5 * v + 0.5 * ewma
+        assert rows[i] == ewma, (i, rows[i], ewma)
