@@ -2016,3 +2016,422 @@ def q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("qty_c") / 100.0, 4).alias("promo_qty"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# r7 (second batch): the rest of the TPC-H suite expressible here —
+# Q4/Q6/Q8/Q13/Q15/Q17/Q21/Q22 shapes (commitdate/receiptdate,
+# partsupp, comments, phones absent from the fixtures; each docstring
+# names its adaptation — the JOIN/SUBQUERY/AGG shape is the point).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q4_priority_late_orders",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND datediff('day', o_orderdate, l_shipdate) > 60
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking) adapted: orders in a
+    quarter having AT LEAST ONE line shipped >60 days after order
+    (stand-in for commit<receipt — the fixture has only l_shipdate),
+    counted by priority. The EXISTS decorrelates to a LEFT SEMI join.
+
+    Scale: the date filter prunes orders at the scan; the semi join
+    shuffles on orderkey and short-circuits per key (no fact-side
+    aggregation, no duplicate explosion); priority count is a
+    broadcast-small aggregate.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).filter(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60
+    ).select(F.col("l_orderkey").alias("k"))
+    return (
+        orders.join(late, orders.o_orderkey == F.col("k"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT {EX.sum_round4_sql(
+        f"{EX.cents_sql('l_extendedprice')} * {EX.cents_sql('l_discount')}", 4
+    )} AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND {EX.cents_sql('l_discount')} BETWEEN 5 AND 7
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the single-table
+    filter-and-sum — revenue that WOULD have been earned had
+    discounts in a band been dropped (Σ price·discount over a year,
+    discount 5-7%, small quantities).
+
+    The discount-band predicate runs on exact cents (a raw
+    ``BETWEEN 0.05 AND 0.07`` on binary doubles excludes 0.07's
+    nearest-double when it rounds up — the knife-edge class), and the
+    product sum is integer scale-4. Scale: zero joins, one scan with
+    ALL predicates pushed to parquet (date range prunes row groups by
+    footer stats), map-side partial aggregation into a single row.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_c = EX.cents("l_discount")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & disc_c.between(5, 7)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            EX.sum_round4(EX.cents("l_extendedprice") * disc_c, 4).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle=f"""
+    WITH base AS (
+        SELECT year(o_orderdate) AS order_year,
+               CAST({_REV_INT_SQL} AS HUGEINT) AS rev,
+               sn.n_name AS supp_nation
+        FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation cn ON cn.n_nationkey = c_nationkey
+        JOIN region   ON r_regionkey = cn.n_regionkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation sn ON sn.n_nationkey = s_nationkey
+        WHERE r_name = 'ASIA'
+    )
+    SELECT order_year,
+           {EX.ratio_round4_sql(
+               "100 * sum(CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE 0 END)",
+               "sum(rev)", 0)} AS mkt_share_pct
+    FROM base GROUP BY order_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): the share of revenue in one
+    region's orders supplied by a given nation, per year — the
+    conditional-numerator / total-denominator ratio computed in ONE
+    aggregation pass (no second scan, no self-join).
+
+    Share is the exact integer ratio identity (numerator pre-scaled
+    ×100 for percent) over DECIMAL(38,0)/HUGEINT cent sums. Scale:
+    customer⋈nation⋈region and supplier⋈nation broadcast; the fact
+    join shuffles once on orderkey; both CASE branches fold into the
+    same map-side partial.
+    """
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nat.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("sk"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    rev = _REV_INT()
+    base = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            EX.wide_sum(
+                F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0))
+            ).alias("num"),
+            EX.wide_sum(rev).alias("den"),
+        )
+    )
+    return base.select(
+        "order_year",
+        EX.ratio_round4(F.col("num") * 100, F.col("den"), 0).alias("mkt_share_pct"),
+    )
+
+
+@query(
+    "q13_customer_order_distribution",
+    oracle="""
+    WITH co AS (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           count(*) AS custdist
+    FROM co GROUP BY c_count
+    """,
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): how many customers placed
+    exactly k orders — INCLUDING the zero-order customers the inner
+    join would drop (the LEFT JOIN + count(nullable) subtlety that
+    makes Q13 a correctness classic).
+
+    Scale: the first aggregate shuffles on custkey (orders' natural
+    key locality); the distribution re-aggregate is tiny (distinct
+    order counts). count(o_orderkey) — not count(*) — is what makes
+    unmatched customers count 0.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    co = (
+        cust.join(orders, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH srev AS (
+        SELECT l_suppkey,
+               sum(CAST({_REV_INT_SQL} AS HUGEINT)) AS rev_c
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    ),
+    mx AS (SELECT max(rev_c) AS m FROM srev)
+    SELECT s.s_suppkey, s.s_name,
+           {EX.val_round4_sql("srev.rev_c", 4)} AS total_revenue
+    FROM srev CROSS JOIN mx
+    JOIN supplier s ON s.s_suppkey = srev.l_suppkey
+    WHERE srev.rev_c = mx.m
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the supplier(s) with maximum revenue
+    in a quarter — the view + scalar-max + equality join-back shape
+    (ties kept, as the spec requires).
+
+    The max and the equality run on exact integer cents, so ties are
+    genuine ties (a double max can manufacture or lose one). Scale:
+    per-supplier sums shuffle once; the 1-row max broadcasts back;
+    supplier joins as a broadcast dim.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    srev = li.groupBy("l_suppkey").agg(EX.wide_sum(_REV_INT()).alias("rev_c"))
+    mx = srev.agg(F.max("rev_c").alias("m"))
+    sup = load_table(spark, sf_dir, "supplier")
+    return (
+        srev.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev_c") == F.col("m"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            EX.val_round4(F.col("rev_c"), 4).alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    WITH pstats AS (
+        SELECT l_partkey AS pk,
+               CAST(sum({EX.cents_sql('l_quantity')}) AS HUGEINT) AS sq,
+               count(*) AS nq
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT {EX.ratio_round4_sql(
+        "sum(CAST(round(l_extendedprice * 100) AS BIGINT))", "7 * 100", 0
+    )} AS avg_yearly,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN pstats ON pk = l_partkey
+    WHERE CAST({EX.cents_sql('l_quantity')} AS HUGEINT) * 5 * nq < sq
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): revenue from lines
+    whose quantity is below 20% of that part's average quantity,
+    divided by 7 (the spec's "average yearly" convention) — the
+    correlated-scalar-average shape decorrelated into one aggregate
+    plus a join-back.
+
+    The threshold is integer CROSS-MULTIPLICATION on exact cents
+    (qty·5·n < Σqty ⟺ qty < 0.2·avg, no float average anywhere), and
+    the final ÷(7·100) runs through the exact ratio identity. Scale:
+    the per-part stats shuffle once on partkey; the join-back reuses
+    the same key partitioning (co-located sort-merge); no
+    re-aggregation of the fact side.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    qty_c = EX.cents("l_quantity")
+    pstats = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        EX.wide_sum(qty_c).alias("sq"), F.count("*").alias("nq")
+    )
+    return (
+        li.join(pstats, F.col("l_partkey") == F.col("pk"))
+        .filter(qty_c.cast("decimal(38,0)") * 5 * F.col("nq") < F.col("sq"))
+        .agg(
+            EX.ratio_round4(
+                EX.wide_sum(EX.cents("l_extendedprice")), F.lit(700), 0
+            ).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q21_sole_late_supplier",
+    oracle="""
+    WITH ostat AS (
+        SELECT l_orderkey AS k,
+               count(DISTINCT l_suppkey) AS n_supp,
+               count(DISTINCT CASE WHEN datediff('day', o_orderdate, l_shipdate) > 60
+                                   THEN l_suppkey END) AS n_late
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        GROUP BY l_orderkey
+    ),
+    blame AS (
+        SELECT DISTINCT li.l_suppkey, li.l_orderkey
+        FROM lineitem li
+        JOIN orders o ON o.o_orderkey = li.l_orderkey
+        JOIN ostat   ON ostat.k = li.l_orderkey
+        WHERE ostat.n_supp >= 2 AND ostat.n_late = 1
+          AND datediff('day', o.o_orderdate, li.l_shipdate) > 60
+    )
+    SELECT s.s_suppkey, s.s_name, count(*) AS numwait
+    FROM blame JOIN supplier s ON s.s_suppkey = blame.l_suppkey
+    GROUP BY 1, 2
+    """,
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting): per supplier,
+    the number of multi-supplier orders where THEY were the only late
+    one — the EXISTS(other supplier) AND NOT EXISTS(other late
+    supplier) double-correlation, decorrelated into one per-order
+    conditional-distinct aggregate (late defined as shipped >60 days
+    after order; the fixture has no commit/receipt dates).
+
+    Scale: ONE aggregation over the fact join computes both distinct
+    counts (n_supp, n_late) map-side-partially; the blame join-back
+    broadcasts the tiny qualifying-order set. The literal nested-
+    EXISTS formulation would scan lineitem three times; this scans
+    it twice (stats + blame) with the same orderkey shuffle key.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    j = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    late = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60
+    ostat = j.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+    )
+    qual = ostat.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1)).select("k")
+    blame = (
+        j.join(F.broadcast(qual), F.col("l_orderkey") == F.col("k"))
+        .filter(late)
+        .select("l_suppkey", "l_orderkey")
+        .distinct()
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    return (
+        blame.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@query(
+    "q22_dormant_rich_customers",
+    oracle="""
+    WITH avg_bal AS (
+        SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS HUGEINT) AS s,
+               count(*) AS n
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT CAST(c_custkey % 10 AS BIGINT) AS cust_group,
+           count(*) AS numcust,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS totacctbal_c
+    FROM customer CROSS JOIN avg_bal
+    WHERE CAST(round(c_acctbal * 100) AS BIGINT) * avg_bal.n > avg_bal.s
+      AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey
+            AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      )
+    GROUP BY 1
+    """,
+)
+def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): customers with
+    above-average positive balances and NO orders since 2000 (cutoff
+    chosen non-degenerate for this corpus's 1995-2001 order span:
+    5/55/646 qualifying customers at sf0.001/0.01/0.1 — the spec's
+    relative cutoff selects zero here, a vacuous green), grouped by
+    a customer-group code (custkey mod 10 — the fixture has no phone
+    country codes) — the scalar-average threshold + NOT EXISTS
+    anti-join pair.
+
+    The above-average test is integer cross-multiplication on exact
+    balance cents (bal·n > Σbal — no float average), and the group
+    totals are exact cent sums. Scale: the 1-row average broadcasts;
+    the anti join shuffles on custkey against the date-pruned orders
+    scan; group re-aggregation is 10 rows.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    bal_c = EX.cents("c_acctbal")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        EX.wide_sum(bal_c).alias("s"), F.count("*").alias("n")
+    )
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(bal_c.cast("decimal(38,0)") * F.col("n") > F.col("s"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy((F.col("c_custkey") % 10).alias("cust_group"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(bal_c).alias("totacctbal_c"),
+        )
+    )
