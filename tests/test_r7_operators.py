@@ -489,3 +489,34 @@ def test_gif_roundtrip_random_frames(w, h, frames, seed):
     for (gw, gh, rgb), idx in zip(got, planes):
         assert (gw, gh) == (w, h)
         assert rgb == _rgb(pal, idx)
+
+
+@_SETTINGS
+@given(blob=st.binary(min_size=0, max_size=400), seed=st.integers(0, 2**31))
+def test_gif_decoder_never_crashes_on_garbage(blob, seed):
+    """decode-or-None discipline under fuzz: arbitrary bytes — raw,
+    magic-prefixed, or a valid GIF with a corrupted tail — must
+    return None or valid frames, never raise or hang (the decoder
+    runs inside executors on untrusted payloads)."""
+    import random
+
+    from bigdata_riveranalysis_spark.operators import multimodal as MM
+
+    for payload in (
+        blob,
+        b"GIF89a" + blob,
+        b"GIF87a" + blob,
+    ):
+        out = MM._gif_frames(payload)
+        assert out is None or all(
+            len(rgb) == 3 * w * h for w, h, rgb in out
+        )
+    # corrupted valid GIF: flip a few bytes
+    pal = _pal256()
+    good = _gif_encode(4, 3, [(0, 0, 4, 3, bytes(12), None, False)], pal)
+    rng = random.Random(seed)
+    bad = bytearray(good)
+    for _ in range(3):
+        bad[rng.randrange(len(bad))] ^= rng.randrange(1, 256)
+    out = MM._gif_frames(bytes(bad))
+    assert out is None or all(len(rgb) == 3 * w * h for w, h, rgb in out)
