@@ -2700,3 +2700,74 @@ def vocab_coverage_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_cum_c") * 10 >= F.col("_tot_c") * 9).alias("covers_90"),
         )
     )
+
+
+#: Chunking geometry (tokens): window size and stride (overlap =
+#: window − stride). Sized so the fixture docs produce multi-chunk
+#: fan-out; production uses the model's context length.
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 16
+
+
+@query(
+    "doc_chunk_windows",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {TX.TOKENS_SQL.format(c="text")} AS t FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, t,
+               unnest(range(0,
+                   CAST(ceil(greatest(len(t) - {CHUNK_TOKENS}, 0)
+                             / {CHUNK_STRIDE}.0) AS BIGINT) + 1)) AS chunk_no
+        FROM toks WHERE len(t) >= 1
+    )
+    SELECT doc_id,
+           CAST(chunk_no AS BIGINT) AS chunk_no,
+           CAST(len(list_slice(t, CAST(chunk_no * {CHUNK_STRIDE} + 1 AS INT),
+                    CAST(chunk_no * {CHUNK_STRIDE} + {CHUNK_TOKENS} AS INT)))
+                AS INT) AS n_tokens,
+           array_to_string(
+               list_slice(t, CAST(chunk_no * {CHUNK_STRIDE} + 1 AS INT),
+                          CAST(chunk_no * {CHUNK_STRIDE} + {CHUNK_TOKENS} AS INT)),
+               ' ') AS chunk_text
+    FROM chunks
+    """,
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the context-length
+    segmentation every LLM training/retrieval pipeline runs: each doc
+    fans out to overlapping {CHUNK_TOKENS}-token windows at stride
+    {CHUNK_STRIDE} (overlap keeps boundary-spanning text learnable;
+    the final partial window is kept). The 1→N fan-out companion of
+    seq_pack_greedy (which packs; this splits).
+
+    Scale: tokenize → sequence+explode+slice are ALL higher-order
+    builtins (whole-stage codegen, zero Python); the fan-out is
+    narrow — no shuffle at all, chunk rows stream straight to the
+    consumer, so the operator is scan-bound at any corpus size and
+    partition sizing is the only knob (same posture as
+    multimodal frame sampling).
+    """
+    docs = _docs(spark, sf_dir)
+    t = TX.tokens("text")
+    base = docs.select("doc_id", t.alias("t")).filter(F.size("t") >= 1)
+    n_chunks = (
+        F.ceil(F.greatest(F.size("t") - CHUNK_TOKENS, F.lit(0)) / CHUNK_STRIDE)
+        + 1
+    ).cast("int")
+    return (
+        base.select(
+            "doc_id", "t", F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("c")
+        )
+        .select(
+            "doc_id",
+            F.col("c").cast("long").alias("chunk_no"),
+            F.size(
+                F.slice("t", F.col("c") * CHUNK_STRIDE + 1, CHUNK_TOKENS)
+            ).alias("n_tokens"),
+            F.concat_ws(
+                " ", F.slice("t", F.col("c") * CHUNK_STRIDE + 1, CHUNK_TOKENS)
+            ).alias("chunk_text"),
+        )
+    )
