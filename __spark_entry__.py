@@ -126,11 +126,17 @@ def _rotation(names: list[str]) -> list[str]:
     )
     order = red + never + changed + rest
     # A new query MUST land inside the driver's window in its first
-    # round — the r6 orders_price_equidepth failure mode.
-    outside = [n for n in red + never if order.index(n) >= _WINDOW]
+    # round — the r6 orders_price_equidepth failure mode. The hard
+    # assertion covers NEVER only: its count is developer-controlled
+    # (add ≤50 new queries per round). Red counts are FAILURE-driven
+    # (a systemic fixture/oracle breakage could redden 51+ rows at
+    # once) — raising on those would deadlock the driver out of ever
+    # running the round that clears them, so excess reds spill to the
+    # next window instead (they still sort first).
+    outside = [n for n in never if order.index(n) >= _WINDOW]
     if outside:
         raise AssertionError(
-            f"red/never-driver-checked queries fall outside the {_WINDOW}-slot "
+            f"never-driver-checked queries fall outside the {_WINDOW}-slot "
             f"window: {outside}"
         )
     return order

@@ -526,7 +526,15 @@ def _gif_frames(payload: bytes) -> list[tuple[int, int, bytes]] | None:
             n = 2 ** ((packed & 7) + 1)
             gct = payload[pos : pos + 3 * n]
             pos += 3 * n
-        bg = gct[bg_idx * 3 : bg_idx * 3 + 3] if gct else b"\x00\x00\x00"
+        # bg_idx is untrusted: out of range it would slice to b'' and
+        # size the canvas at 0 bytes, after which compositing APPENDS
+        # via bytearray slice semantics and emits truncated rasters
+        # (r7 review #2) — clamp to black instead.
+        bg = (
+            gct[bg_idx * 3 : bg_idx * 3 + 3]
+            if gct and bg_idx * 3 + 3 <= len(gct)
+            else b"\x00\x00\x00"
+        )
         canvas = bytearray(bg * (w * h))
         frames: list[tuple[int, int, bytes]] = []
         transparent: int | None = None

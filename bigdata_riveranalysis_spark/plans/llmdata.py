@@ -2737,10 +2737,10 @@ CHUNK_STRIDE = 16
 def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window document chunking — the context-length
     segmentation every LLM training/retrieval pipeline runs: each doc
-    fans out to overlapping {CHUNK_TOKENS}-token windows at stride
-    {CHUNK_STRIDE} (overlap keeps boundary-spanning text learnable;
-    the final partial window is kept). The 1→N fan-out companion of
-    seq_pack_greedy (which packs; this splits).
+    fans out to overlapping 32-token windows at stride 16
+    (CHUNK_TOKENS/CHUNK_STRIDE; overlap keeps boundary-spanning text
+    learnable, the final partial window is kept). The 1→N fan-out
+    companion of seq_pack_greedy (which packs; this splits).
 
     Scale: tokenize → sequence+explode+slice are ALL higher-order
     builtins (whole-stage codegen, zero Python); the fan-out is

@@ -2438,6 +2438,9 @@ def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy((F.col("c_custkey") % 10).alias("cust_group"))
         .agg(
             F.count("*").alias("numcust"),
-            F.sum(bal_c).alias("totacctbal_c"),
+            # wide_sum per the exact-sum policy (a bare long sum is the
+            # ANSI overflow cliff); final long cast mirrors the
+            # oracle's CAST AS BIGINT so driver dtypes align.
+            EX.wide_sum(bal_c).cast("long").alias("totacctbal_c"),
         )
     )

@@ -79,8 +79,8 @@ def ewma_with_spikes(
         # semantics define (r7 review). Memory is one micro-batch's
         # rows for ONE sensor — the same bound the sort itself needs.
         chunks = list(pdfs)
-        whole = pd.concat(chunks) if len(chunks) > 1 else chunks[0] if chunks else None
-        for pdf in [] if whole is None else [whole]:
+        if chunks:
+            pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
             pdf = pdf.sort_values(["ts", "event_id"])
             out_ewma, out_spike = [], []
             for v in pdf["value"]:

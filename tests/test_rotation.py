@@ -26,12 +26,16 @@ def test_rotation_covers_registry_exactly_once():
 def test_never_checked_queries_lead_the_window():
     from bigdata_riveranalysis_spark.plans import query_catalog
 
-    last, _green, _ = E._driver_history()
+    last, green, _ = E._driver_history()
     names = E._rotation(list(query_catalog()))
     never = [n for n in names if n not in last]
+    red = sorted(
+        n for n in names if n in last and not green.get(n, True)
+    )
     # _rotation raises if any never-checked name is outside the
-    # window; here additionally pin that they occupy the FIRST slots.
-    assert names[: len(never)] == sorted(never)
+    # window; here additionally pin that they occupy the first slots
+    # AFTER any red rows (red-first is pinned by its own test).
+    assert names[len(red) : len(red) + len(never)] == sorted(never)
 
 
 def test_three_round_cadence_holds_after_this_window():
