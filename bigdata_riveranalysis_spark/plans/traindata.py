@@ -767,3 +767,85 @@ def dq_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("ct") * F.col("bt")
         ).alias("share_within_10pct"),
     )
+
+
+@query(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT 'lineitem.l_orderkey -> orders' AS fk,
+           (SELECT count(*) FROM lineitem) AS n_rows,
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+    UNION ALL
+    SELECT 'orders.o_custkey -> customer',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'lineitem.l_partkey -> part',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'lineitem.l_suppkey -> supplier',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                              WHERE s.s_suppkey = l.l_suppkey))
+    UNION ALL
+    SELECT 'customer.c_nationkey -> nation',
+           (SELECT count(*) FROM customer),
+           (SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey))
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: for each
+    foreign-key edge, total rows and orphan count (child keys with no
+    parent) — the DQ gate a warehouse runs before publishing a
+    snapshot, and the complement of dq_constraint_report's
+    single-table rules.
+
+    Scale: each orphan count is a LEFT ANTI join against the parent's
+    key projection — dimension parents broadcast; the orders parent
+    of lineitem is the one key-shuffled anti join, and Catalyst
+    positions it on the same orderkey exchange the fact aggregates
+    reuse. Counts are exact longs; output is one row per FK edge, so
+    the report is constant-size regardless of corpus.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+
+    def audit(fk: str, child: DataFrame, key: str, parent: DataFrame, pkey: str) -> DataFrame:
+        # fully declarative — ONE output row per edge, no driver-side
+        # .count() loops (the whole report is a single union plan)
+        total = child.agg(F.count("*").alias("n_rows"))
+        orphans = (
+            child.select(key)
+            .join(parent.select(pkey), F.col(key) == F.col(pkey), "left_anti")
+            .agg(F.count("*").alias("n_orphans"))
+        )
+        return (
+            total.crossJoin(orphans)
+            .select(F.lit(fk).alias("fk"), "n_rows", "n_orphans")
+        )
+
+    edges = [
+        audit("lineitem.l_orderkey -> orders", li, "l_orderkey", orders, "o_orderkey"),
+        audit("orders.o_custkey -> customer", orders, "o_custkey", cust, "c_custkey"),
+        audit("lineitem.l_partkey -> part", li, "l_partkey", part, "p_partkey"),
+        audit("lineitem.l_suppkey -> supplier", li, "l_suppkey", supp, "s_suppkey"),
+        audit("customer.c_nationkey -> nation", cust, "c_nationkey", nat, "n_nationkey"),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionAll(e)
+    return out
