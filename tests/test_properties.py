@@ -17,8 +17,13 @@ from pyspark.sql import functions as F
 from bigdata_riveranalysis_spark.functions import text as TX
 from bigdata_riveranalysis_spark.operators.river_pipeline import parse_readings
 
+# SPARK_GRAFT_HYP_EXAMPLES raises the example budget for release
+# sweeps (each example is a Spark job, so the default stays small;
+# the r7 release pass ran the suite at 60 examples/property).
+import os as _os
+
 SETTINGS = settings(
-    max_examples=8,
+    max_examples=int(_os.environ.get("SPARK_GRAFT_HYP_EXAMPLES", "8")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
