@@ -520,3 +520,24 @@ def test_gif_decoder_never_crashes_on_garbage(blob, seed):
         bad[rng.randrange(len(bad))] ^= rng.randrange(1, 256)
     out = MM._gif_frames(bytes(bad))
     assert out is None or all(len(rgb) == 3 * w * h for w, h, rgb in out)
+
+
+def test_two_level_prefix_sums_survive_long_overflow(spark):
+    """ADVICE r6 #1 pin: sum_cols accumulate on DECIMAL(38,0), so a
+    cumulative sum that overflows a LONG partway through the order
+    (terms of 2^62: the long cliff hits at row 2) stays exact to the
+    last row — the same HUGEINT-equivalent headroom exact.wide_sum
+    gives plain aggregates."""
+    from decimal import Decimal
+
+    from bigdata_riveranalysis_spark.plans import scale as SC
+
+    n, term = 40, 1 << 62
+    df = spark.createDataFrame(
+        [(i, term) for i in range(n)], "k long, v long"
+    )
+    out = SC.two_level_prefix(df, [F.asc("k")], sum_cols=("v",)).orderBy("k")
+    rows = out.select("k", "_cum_v", "_tot_v").collect()
+    for r in rows:
+        assert r._cum_v == Decimal((r.k + 1) * term), r
+        assert r._tot_v == Decimal(n * term)
