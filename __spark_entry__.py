@@ -116,7 +116,13 @@ def _rotation(names: list[str]) -> list[str]:
     # failed must be re-verified next round, not wait out the cadence
     # as 'freshly checked' (the r6 embedding_quantize_int8 precedent).
     red = sorted(n for n in names if n in last and not green.get(n, True))
-    never = sorted(n for n in names if n not in last)
+    # VERDICT r6 #2 names orders_price_equidepth as slot 1 of the r7
+    # window: pin it to the head of the never-checked tier (a no-op
+    # once it has a driver row — it then leaves this tier entirely).
+    never = sorted(
+        (n for n in names if n not in last),
+        key=lambda n: (n != "orders_price_equidepth", n),
+    )
     changed = [
         n for n in _CHANGED_THIS_ROUND if n not in never and n not in red
     ]
