@@ -45,21 +45,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # so the window accounting can't silently drop a query again.
 _WINDOW = 50
 
-# Queries whose plan or output changed in THIS round (r7). The exact
-# SQL-twin HUGEINT widening (functions/exact.py) is a text-only
-# oracle change with identical values at every SF below the old
-# overflow cliff; the entries here are the ones whose SPARK plan
-# changed.
+# Queries whose plan or output changed in THIS round (r8).
+# stream_windowed_cms (the r7 red) is NOT listed: its latest driver
+# row is red, so the red tier already pins it to slot 1.
 _CHANGED_THIS_ROUND = [
-    "events_interarrival_user",  # val_round4 Spark side widened to decimal
-    "graph_triangle_count",  # r7: degree-oriented rewrite (VERDICT #4)
-    "dedup_ngram_jaccard",  # r7: adaptive-tile local sweep (VERDICT #6)
-    "events_pareto_users",  # r7: rnk long + decimal banded sums (ADVICE)
-    "sample_weighted_systematic",  # r7: decimal banded sums (ADVICE)
-    "cms_heavy_hitters",  # r7: two-step Mersenne cms_bucket (ADVICE)
-    "bloom_prefilter_audit",  # r7: same cms_bucket change
-    "stream_windowed_cms",  # r7: same cms_bucket change
-    "multimodal_frame_sample",  # r7: GIF dispatch added to the sampler
+    "q20_promo_part_suppliers",  # r8: qty_c long sum → wide_sum (ADVICE)
+    "q21_sole_late_supplier",  # r8: qual broadcast hint dropped (VERDICT #3)
+    "graph_triangle_count",  # r8: degree join byte-gated (VERDICT #4)
+    "graph_pagerank_3iter",  # r8: iteration-k checkpointing (VERDICT #6)
+    "dedup_ngram_jaccard",  # r8: f32 gate tightened to 2^24/3 (ADVICE)
 ]
 
 
@@ -116,13 +110,24 @@ def _rotation(names: list[str]) -> list[str]:
     # failed must be re-verified next round, not wait out the cadence
     # as 'freshly checked' (the r6 embedding_quantize_int8 precedent).
     red = sorted(n for n in names if n in last and not green.get(n, True))
-    # VERDICT r6 #2 names orders_price_equidepth as slot 1 of the r7
-    # window: pin it to the head of the never-checked tier (a no-op
-    # once it has a driver row — it then leaves this tier entirely).
-    never = sorted(
-        (n for n in names if n not in last),
-        key=lambda n: (n != "orders_price_equidepth", n),
-    )
+    never = sorted(n for n in names if n not in last)
+    # A new query MUST land inside the driver's window in its first
+    # round — the r6 orders_price_equidepth failure mode. The hard
+    # assertion covers NEVER only: its count is developer-controlled
+    # (add ≤50 new queries per round). Red counts are FAILURE-driven
+    # (a systemic fixture/oracle breakage could redden 51+ rows at
+    # once), so the red tier is CAPPED at the slots never doesn't
+    # need: excess reds spill behind the never tier (still ahead of
+    # every green row) instead of crowding new queries out of their
+    # guaranteed first-round slot — raising there would deadlock the
+    # driver out of the very round that clears the reds (ADVICE r7).
+    if len(never) > _WINDOW:
+        raise AssertionError(
+            f"{len(never)} never-driver-checked queries exceed the "
+            f"{_WINDOW}-slot window; they cannot all get a first-round row"
+        )
+    cap = _WINDOW - len(never)
+    red_head, red_spill = red[:cap], red[cap:]
     changed = [
         n for n in _CHANGED_THIS_ROUND if n not in never and n not in red
     ]
@@ -130,22 +135,7 @@ def _rotation(names: list[str]) -> list[str]:
     rest = sorted(
         (n for n in names if n not in head), key=lambda n: (last[n], n)
     )
-    order = red + never + changed + rest
-    # A new query MUST land inside the driver's window in its first
-    # round — the r6 orders_price_equidepth failure mode. The hard
-    # assertion covers NEVER only: its count is developer-controlled
-    # (add ≤50 new queries per round). Red counts are FAILURE-driven
-    # (a systemic fixture/oracle breakage could redden 51+ rows at
-    # once) — raising on those would deadlock the driver out of ever
-    # running the round that clears them, so excess reds spill to the
-    # next window instead (they still sort first).
-    outside = [n for n in never if order.index(n) >= _WINDOW]
-    if outside:
-        raise AssertionError(
-            f"never-driver-checked queries fall outside the {_WINDOW}-slot "
-            f"window: {outside}"
-        )
-    return order
+    return red_head + never + red_spill + changed + rest
 
 
 def _rotated(catalog: dict) -> dict:

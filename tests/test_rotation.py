@@ -32,12 +32,16 @@ def test_never_checked_queries_lead_the_window():
     red = sorted(
         n for n in names if n in last and not green.get(n, True)
     )
-    # _rotation raises if any never-checked name is outside the
-    # window; here additionally pin that they occupy the first slots
-    # AFTER any red rows (red-first is pinned by its own test), as a
-    # SET — within-tier order is _rotation's business (it pins
-    # orders_price_equidepth first per VERDICT r6 #2).
-    assert sorted(names[len(red) : len(red) + len(never)]) == sorted(never)
+    # Never-checked names occupy the first slots AFTER the (capped)
+    # red tier (red-first is pinned by its own test), as a SET —
+    # within-tier order is _rotation's business. The red tier is
+    # capped at _WINDOW - len(never) so the never tier always fits
+    # (ADVICE r7: an uncapped red wave would push new queries outside
+    # the window and the old hard assertion then deadlocked the
+    # driver out of the round that clears the reds).
+    n_red_head = min(len(red), E._WINDOW - len(never))
+    assert sorted(names[n_red_head : n_red_head + len(never)]) == sorted(never)
+    assert all(names.index(n) < E._WINDOW for n in never)
 
 
 def test_three_round_cadence_holds_after_this_window():
@@ -101,3 +105,55 @@ def test_red_rows_lead_the_window(tmp_path, monkeypatch):
 
     with pytest.raises(KeyError):
         E._rotation(["beta", "gamma", "alpha"])
+
+
+def test_red_wave_spills_instead_of_deadlocking(tmp_path, monkeypatch):
+    """ADVICE r7: a systemic red wave (> _WINDOW - |never| red rows)
+    must NOT raise at registry build — excess reds spill behind the
+    never tier so new queries keep their guaranteed first-round slot
+    and the driver still runs the round that clears the reds."""
+    import json
+
+    import __spark_entry__ as E
+
+    n_red = E._WINDOW + 10
+    fake = {
+        f"red{i:03d}": {"rows_match": True, "schema_match": True,
+                        "hash_match": False, "err": None}
+        for i in range(n_red)
+    }
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(fake))
+    monkeypatch.setattr(
+        "os.path.dirname", lambda p_: str(tmp_path), raising=True
+    )
+    monkeypatch.setattr(E, "_CHANGED_THIS_ROUND", [])
+    names = sorted(fake) + ["new_a", "new_b"]
+    order = E._rotation(names)
+    assert sorted(order) == sorted(names)
+    # both never-checked queries land inside the window
+    assert order.index("new_a") < E._WINDOW
+    assert order.index("new_b") < E._WINDOW
+    # the window head is reds up to the cap, then the never tier
+    cap = E._WINDOW - 2
+    assert order[:cap] == sorted(fake)[:cap]
+    assert sorted(order[cap : cap + 2]) == ["new_a", "new_b"]
+    # spilled reds follow immediately (ahead of any green row)
+    assert order[cap + 2 : cap + 2 + (n_red - cap)] == sorted(fake)[cap:]
+
+
+def test_registry_size_keeps_three_round_cadence_arithmetic():
+    """VERDICT r7 #7: the 3-round cadence bound (every query's driver
+    row ≤ 3 rounds old) requires ceil(n / _WINDOW) ≤ 3. This guard
+    fails the build at 151+ queries, forcing an explicit policy
+    decision (prune, merge, or widen the documented bound in SURVEY
+    §5) instead of silent staleness."""
+    from math import ceil
+
+    from bigdata_riveranalysis_spark.plans import query_catalog
+
+    n = len(query_catalog())
+    assert ceil(n / E._WINDOW) <= 3, (
+        f"{n} registered queries over a {E._WINDOW}-slot window breaks the "
+        f"3-round cadence (ceil({n}/{E._WINDOW}) = {ceil(n / E._WINDOW)}); "
+        "prune/merge queries or renegotiate the SURVEY §5 cadence claim"
+    )
