@@ -630,12 +630,15 @@ def _jaccard_local(spark: SparkSession, sh: DataFrame, df_cap: int) -> DataFrame
     nv = len(uniques)
     if n * nv > JACCARD_LOCAL_MAX_CELLS or 2.0 * n * n * nv > JACCARD_LOCAL_MAX_FLOPS:
         return None
-    if nv > (1 << 23):
-        # exactness bound for the fused f32 threshold: common ≤ nv and
-        # (1+t)·common needs one extra mantissa bit, so counts must
-        # stay ≤ 2^23 (f32 has 24) — beyond that the sweep's integer
-        # arithmetic stops being exact (r7 review). A ≥8M-gram vocab
-        # at n≤4 docs is a degenerate shape anyway; distributed path.
+    if nv > (1 << 24) // 3:
+        # exactness bound for the fused f32 threshold: common ≤ nv,
+        # and with t=0.5 the product (1+t)·common = 1.5·common is a
+        # HALF-integer for odd common — representable in f32 only
+        # while 1.5·common < 2^23, i.e. common ≤ 2^24/3 = 5 592 405
+        # (the old ≤2^23 gate admitted common up to 8.3M, where a pair
+        # sitting exactly on the J=0.5 boundary could flip vs the
+        # oracle — ADVICE r7). A ≥5.6M-gram vocab at n≤4 docs is a
+        # degenerate shape anyway; distributed path.
         return None
     ids = pdf["doc_id"].to_numpy(dtype=np.int64)
     M = np.zeros((n, max(nv, 1)), dtype=np.float32)
@@ -661,9 +664,9 @@ def _jaccard_local(spark: SparkSession, sh: DataFrame, df_cap: int) -> DataFrame
         # exact) and
         #   J ≥ t ⟺ common ≥ t·(union) = t·(|A|+|B|−common)
         #       ⟺ (1+t)·common ≥ t·(|A|+|B|)
-        # which is EXACT for dyadic t while counts stay ≤ 2^23 — the
-        # (1+t) product needs one extra mantissa bit (f32 has 24),
-        # and the nv ≤ 2^23 regime gate above guarantees it. The
+        # which is EXACT for dyadic t while 1.5·common stays a
+        # representable f32 half-integer (< 2^23) — the nv ≤ 2^24/3
+        # regime gate above guarantees it for t=0.5. The
         # ssum>0 guard replaces union>0: ssum=0 forces common=0 where
         # the rearranged inequality would vacuously hold. Only the few
         # surviving candidate pairs ever touch f64.

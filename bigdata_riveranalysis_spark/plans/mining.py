@@ -515,9 +515,18 @@ def degree_oriented_edges(e: DataFrame) -> DataFrame:
     with 10⁶ co-purchase neighbors contributes 0 wedges as a center —
     all its edges point IN — where id orientation makes it the center
     of up to 10¹² wedges. Degrees are one aggregate over the edge
-    list; the degree join broadcasts (|V| ≤ distinct parts, far
-    smaller than wedges). Struct comparison keeps it whole-stage
-    codegen, no UDF.
+    list. Struct comparison keeps it whole-stage codegen, no UDF.
+
+    The degree joins carry NO broadcast hint (VERDICT r7 #4): the
+    "nodes ≪ edges" assumption is usually true but unbounded — a
+    billion-node graph's degree table is a driver OOM if hinted.
+    Joining plain leaves the byte-gate to AQE's runtime join
+    selection, which broadcasts deg only when its MEASURED shuffle
+    bytes sit under the threshold and falls back to a key-partitioned
+    SMJ above it — the same measured-size discipline the llmdata
+    local regimes apply, priced by the engine instead of hand-priced
+    (forced-large-path parity pinned by
+    tests/test_r8_operators.py::test_degree_orientation_parity_without_broadcast).
     """
     deg = (
         e.select(F.col("part_a").alias("node"))
@@ -527,8 +536,8 @@ def degree_oriented_edges(e: DataFrame) -> DataFrame:
     )
     da, db = [d.alias(n) for d, n in ((deg, "da"), (deg, "db"))]
     oriented = (
-        e.join(F.broadcast(da), F.col("part_a") == F.col("da.node"))
-        .join(F.broadcast(db), F.col("part_b") == F.col("db.node"))
+        e.join(da, F.col("part_a") == F.col("da.node"))
+        .join(db, F.col("part_b") == F.col("db.node"))
         .select(
             F.when(
                 F.struct(F.col("da.d"), F.col("part_a"))
@@ -914,10 +923,24 @@ def graph_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_scores(eu)
 
 
-def pagerank_scores(eu: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+def pagerank_scores(
+    eu: DataFrame, iters: int = PR_ITERS, checkpoint_every: int = 4
+) -> DataFrame:
     """(node, score_ppm, degree) for an undirected edge list (part_a,
     part_b) — the fixed-point iteration body of graph_pagerank_3iter,
-    split out so the planted-graph test drives the production path."""
+    split out so the planted-graph test drives the production path.
+
+    Lineage hygiene (VERDICT r7 #6): each iteration chains a
+    join-aggregate onto the score frame, so at 10+ iterations the
+    unrolled plan tree — and the recomputation risk if any stage
+    retries — grows linearly. Every ``checkpoint_every`` iterations
+    the node-sized score table is localCheckpointed (the same
+    materialize-reused-frames move ``deg``/``ed`` already get), which
+    truncates the lineage to a materialized leaf; the default of 4
+    leaves the registered 3-iteration query's plan byte-identical to
+    r7's. Bounded plan depth at 10 iterations is pinned by
+    tests/test_r8_operators.py::test_pagerank_ten_iterations_bounded_plan.
+    """
     e = eu.select(
         F.col("part_a").alias("src"), F.col("part_b").alias("dst")
     ).unionAll(
@@ -940,7 +963,7 @@ def pagerank_scores(eu: DataFrame, iters: int = PR_ITERS) -> DataFrame:
         .repartition(F.col("src"))
         .localCheckpoint()
     )
-    for _ in range(iters):
+    for i in range(iters):
         contrib = (
             ed.join(scores, ed.src == scores.node)
             .select("dst", F.expr("s div d").alias("share"))
@@ -951,6 +974,8 @@ def pagerank_scores(eu: DataFrame, iters: int = PR_ITERS) -> DataFrame:
             F.col("dst").alias("node"),
             (F.lit(150000) + F.expr("(85 * m) div 100")).alias("s"),
         )
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < iters:
+            scores = scores.localCheckpoint()
     return scores.join(
         deg.withColumnRenamed("node", "n2"), scores.node == F.col("n2")
     ).select("node", F.col("s").alias("score_ppm"), F.col("d").alias("degree"))

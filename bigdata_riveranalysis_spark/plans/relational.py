@@ -1994,10 +1994,15 @@ def q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_type").like("PROMO%")
     ).select("p_partkey")
     li = load_table(spark, sf_dir, "lineitem")
+    # wide_sum, not a bare long sum: the DuckDB twin's sum(BIGINT)
+    # auto-promotes to HUGEINT while Spark's long sum wraps silently
+    # in non-ANSI mode — the exact divergence class the wide_sum
+    # policy exists for (ADVICE r7; q22 below uses it for the same
+    # shape). Downstream already multiplies on decimal(38,0).
     promo = (
         li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey")
-        .agg(F.sum(EX.cents("l_quantity")).alias("qty_c"))
+        .agg(EX.wide_sum(EX.cents("l_quantity")).alias("qty_c"))
     )
     stats = promo.agg(
         EX.wide_sum(F.col("qty_c")).alias("tot"), F.count("*").alias("n")
@@ -2375,8 +2380,16 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("supp_late"), 1).otherwise(0)).alias("n_late"),
     )
     qual = ostat.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1)).select("k")
+    # NO broadcast hint on qual (VERDICT r7 #3): it is a set of
+    # qualifying ORDERS — order-cardinality, a meaningful fraction of
+    # all orders at the 100 TB design point, i.e. the classic
+    # unbounded-broadcast OOM. Both sides descend from the same
+    # (l_orderkey, …) groupBy of the checkpointed os_ frame, so the
+    # plain equi-join shuffles only the already-aggregated key sets;
+    # AQE may still elect a broadcast at small SF from measured sizes
+    # — a runtime choice, not a hardcoded assumption.
     blame = os_.filter(F.col("supp_late")).join(
-        F.broadcast(qual), F.col("l_orderkey") == F.col("k")
+        qual, F.col("l_orderkey") == F.col("k")
     )
     sup = load_table(spark, sf_dir, "supplier")
     return (

@@ -1,0 +1,264 @@
+"""r8 pins: VERDICT r7 next-round items 1/3/4/6 and the ADVICE gates.
+
+* stream_windowed_cms attributability — the streamed CMS must equal a
+  batch formulation of the SAME sketch cell-by-cell, so a future red
+  driver row distinguishes "hash family diverged" from "driver-side
+  flake" (the r7 red was irreproducible: locally green, hash-stable
+  ×3, batch siblings green).
+* q21 drops the order-cardinality broadcast hint (scale OOM class).
+* degree_oriented_edges joins carry no broadcast hint; parity under a
+  forced-large (no-broadcast-allowed) configuration.
+* pagerank_scores stays correct AND bounded-plan at 10 iterations.
+* the f32 fused-Jaccard gate sits exactly at the 2^24/3 boundary.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r7 #1 — streamed CMS ≡ batch CMS, cell-level
+# ---------------------------------------------------------------------------
+
+
+def test_stream_windowed_cms_equals_batch_twin_cellwise(spark):
+    """The streamed per-day Count-Min sketch must be bit-identical to
+    the same sketch computed by a BATCH plan over the same events —
+    same cms_bucket hash family, same windowing. Within-engine
+    equality: if a driver round ever reds the stream query on hash
+    while this test is green, the divergence is NOT in the hash
+    family or window assignment (both run here), narrowing it to
+    driver-side environment/staging."""
+    from pyspark.sql import functions as F
+
+    from bigdata_riveranalysis_spark.plans import mining as MN
+    from bigdata_riveranalysis_spark.plans.streaming_queries import (
+        stream_windowed_cms,
+    )
+    from bigdata_riveranalysis_spark.sources.tables import load_table
+
+    streamed = stream_windowed_cms(spark, SF_SMOKE)
+
+    seeds = F.array([F.lit(d) for d in range(MN.CMS_DEPTH)])
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .select(F.window("ts", "1 day").alias("win"), F.explode(seeds).alias("d"), "user_id")
+        .select("win", "d", MN.cms_bucket(F.col("d"), F.col("user_id")).alias("b"))
+        .groupBy("win", "d", "b")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd").alias("window_start"),
+            "d",
+            "b",
+            "cnt",
+        )
+    )
+    cols = ["window_start", "d", "b", "cnt"]
+    s_rows = _rows(streamed, cols)
+    b_rows = _rows(batch, cols)
+    assert s_rows == b_rows
+    assert len(s_rows) > 0
+
+
+def test_cms_bucket_two_step_equals_naive_modular_hash(spark):
+    """ADVICE r7 bisect: the r7 two-step Mersenne reduction must agree
+    with the naive ((a·k + b) mod P) mod w — computed in unbounded
+    Python ints — over the actual streamed key domain (small user_ids)
+    AND wide keys. Green here rules the r7 hash rewrite OUT as the
+    cause of the r7 driver red."""
+    from pyspark.sql import functions as F
+
+    from bigdata_riveranalysis_spark.plans import mining as MN
+    from bigdata_riveranalysis_spark.sources.tables import load_table
+
+    keys = [
+        r[0]
+        for r in load_table(spark, SF_SMOKE, "events")
+        .select("user_id")
+        .distinct()
+        .collect()
+    ]
+    keys += [0, 1, (1 << 33) + 7, (1 << 62) + 11, (1 << 63) - 1]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {
+        (r["k"], r["d"]): r["b"]
+        for r in df.select(
+            "k", F.explode(F.array([F.lit(d) for d in range(MN.CMS_DEPTH)])).alias("d")
+        )
+        .select("k", "d", MN.cms_bucket(F.col("d"), F.col("k")).alias("b"))
+        .collect()
+    }
+    for k in keys:
+        for d in range(MN.CMS_DEPTH):
+            want = ((MN.CMS_A[d] * k + MN.CMS_B[d]) % MN.CMS_P) % MN.CMS_WIDTH
+            assert got[(k, d)] == want, (k, d)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r7 #3 — q21 must not hint a broadcast of the qual order set
+# ---------------------------------------------------------------------------
+
+
+def test_q21_plan_hints_only_the_supplier_dim(spark):
+    """The qualifying-orders set is order-cardinality — hinting it
+    broadcast is the classic unbounded-broadcast OOM at 100 TB. The
+    plan may contain exactly ONE broadcast hint: the supplier dim.
+    (AQE may still CHOOSE a broadcast for qual at small SF from
+    measured sizes — pinned here is the absence of the hardcoded
+    hint, not the runtime choice.)"""
+    from bigdata_riveranalysis_spark.plans.relational import q21_sole_late_supplier
+
+    df = q21_sole_late_supplier(spark, SF_SMOKE)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 1, analyzed
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r7 #4 — degree joins survive a forced no-broadcast regime
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def _no_broadcast(spark):
+    """Force the large-graph path: no broadcast joins at all, static
+    or AQE-converted — every join must run key-partitioned."""
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ]
+    prev = {}
+    for k in keys:
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+        spark.conf.set(k, "-1")
+    yield
+    for k, v in prev.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
+def test_degree_orientation_parity_without_broadcast(spark, _no_broadcast):
+    """Rows of triangle counting must be identical when every join is
+    forced to the shuffle path — the billion-node regime where a
+    degree-table broadcast would OOM. With no hint in the plan this
+    is pure join-strategy variation; any row difference would mean
+    the result depends on the physical strategy (it must not)."""
+    from bigdata_riveranalysis_spark.plans.mining import triangles_per_node
+
+    edges = [
+        (1, 2), (2, 3), (1, 3),          # triangle
+        (3, 4), (4, 5), (3, 5),          # triangle sharing node 3
+        (5, 6),                           # pendant edge
+        (6, 7), (7, 8), (6, 8), (8, 9),  # triangle + pendant
+    ]
+    e = spark.createDataFrame(edges, "part_a long, part_b long")
+    got = _rows(triangles_per_node(e), ["node", "n_triangles"])
+    assert got == [
+        (1, 1), (2, 1), (3, 2), (4, 1), (5, 1), (6, 1), (7, 1), (8, 1)
+    ]
+
+
+def test_degree_orientation_plan_has_no_broadcast_hint(spark):
+    from bigdata_riveranalysis_spark.plans.mining import degree_oriented_edges
+
+    e = spark.createDataFrame([(1, 2), (2, 3)], "part_a long, part_b long")
+    analyzed = degree_oriented_edges(e)._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r7 #6 — PageRank at 10 iterations: correct and bounded-plan
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_reference(edges, iters):
+    """Pure-Python fixed-point twin of pagerank_scores: integer floors
+    only, so it must match Spark bit-for-bit."""
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    for a, b in edges:
+        adj[a].append(b)
+        adj[b].append(a)
+    deg = {n: len(vs) for n, vs in adj.items()}
+    s = {n: 1_000_000 for n in deg}
+    for _ in range(iters):
+        m = defaultdict(int)
+        for u, vs in adj.items():
+            share = s[u] // deg[u]
+            for v in vs:
+                m[v] += share
+        s = {v: 150000 + (85 * t) // 100 for v, t in m.items()}
+    return sorted((n, s[n], deg[n]) for n in s)
+
+
+def test_pagerank_ten_iterations_bounded_plan(spark):
+    """10 unrolled iterations must (a) match the pure-Python integer
+    fixed point exactly and (b) keep the optimized plan bounded —
+    localCheckpoint every 4 iterations truncates the lineage, so the
+    final plan holds at most ceil-of-cadence iterations' joins, not
+    all 10 (VERDICT r7 #6: recomputation risk and plan-tree growth)."""
+    from bigdata_riveranalysis_spark.plans.mining import pagerank_scores
+
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 1), (2, 5)]
+    e = spark.createDataFrame(edges, "part_a long, part_b long")
+    df = pagerank_scores(e, iters=10)
+    got = _rows(df, ["node", "score_ppm", "degree"])
+    assert got == _pagerank_reference(edges, 10)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    # 10 unhygienic iterations would chain ≥10 join-aggregates; with
+    # checkpointing every 4 the live lineage holds ≤2 iterations plus
+    # the final degree join → a handful of Joins, not a tower.
+    assert optimized.count("Join") <= 5, optimized.count("Join")
+
+
+def test_pagerank_three_iterations_unchanged_by_cadence(spark):
+    """The registered 3-iteration query must be unaffected by the
+    checkpoint cadence (4 > 3 → no checkpoint fires)."""
+    from bigdata_riveranalysis_spark.plans.mining import pagerank_scores
+
+    edges = [(1, 2), (2, 3), (1, 3)]
+    e = spark.createDataFrame(edges, "part_a long, part_b long")
+    got = _rows(pagerank_scores(e, iters=3), ["node", "score_ppm", "degree"])
+    assert got == _pagerank_reference(edges, 3)
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r7 — the fused f32 Jaccard threshold gate boundary
+# ---------------------------------------------------------------------------
+
+
+def test_f32_jaccard_gate_constant_sits_at_the_half_integer_boundary():
+    """With t = 0.5 the fused threshold compares 1.5·common (a HALF-
+    integer for odd common) in f32. Halves are exactly representable
+    only below 2^23, so common must stay ≤ 2^24/3 — the gate constant.
+    Pin the numeric boundary itself: the largest admitted odd count is
+    exact, the first odd count past the gate is not."""
+    import numpy as np
+
+    gate = (1 << 24) // 3  # 5_592_405, odd
+    assert gate % 2 == 1
+    exact = np.float32(1.5) * np.float32(gate)
+    assert float(exact) == 1.5 * gate  # 8388607.5 < 2^23: representable
+    past = gate + 2  # next odd value, beyond the gate
+    rounded = np.float32(1.5) * np.float32(past)
+    assert float(rounded) != 1.5 * past  # half is lost → flip risk
+
+    # and the module gate uses exactly this constant
+    import inspect
+
+    from bigdata_riveranalysis_spark.plans import llmdata
+
+    src = inspect.getsource(llmdata._jaccard_local)
+    assert "(1 << 24) // 3" in src
