@@ -123,6 +123,19 @@ def main() -> None:
             {"loadavg_1m": round(os.getloadavg()[0], 2), "probe_sec": _idle_probe()}
         )
 
+    # Per-QUERY contention context (VERDICT r7 #5): run-level probes
+    # can't adjudicate a single query's 2× delta (the r7
+    # dedup_ngram_jaccard 2.74 s-vs-claimed-0.94 s stand-off), so each
+    # timed run also records the 1-min loadavg read immediately before
+    # it (os.getloadavg is a sysinfo call — nanoseconds, safe per
+    # query), and a full dgemm probe is interleaved every
+    # _PROBE_EVERY queries inside each pass, not just at pass
+    # boundaries. BENCH.json then carries, per query, the loadavg of
+    # every pass AND of the exact pass the min came from — a verdict
+    # reading a regressed row sees its contention context inline.
+    _PROBE_EVERY = 25
+    runs_load: dict[str, list[float]] = {name: [] for name in qs}
+
     for _ in range(3):
         _noise_sample()
         # Re-warm the Python worker pool at the top of EVERY pass, not
@@ -133,21 +146,32 @@ def main() -> None:
         # 2.38 s vs 0.56 s min in BENCH_r05 (VERDICT r5 #8). The warm
         # runs OUTSIDE the per-query timers.
         _warm_python_workers()
-        for name, fn in qs.items():
+        for qi, (name, fn) in enumerate(qs.items()):
             if name in errors:
                 continue
+            if qi and qi % _PROBE_EVERY == 0:
+                _noise_sample()
             spark.catalog.clearCache()
+            load_at = round(os.getloadavg()[0], 2)
             t0 = time.perf_counter()
             try:
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             except Exception as e:  # noqa: BLE001
                 errors[name] = str(e)[:200]
                 runs.pop(name, None)
+                runs_load.pop(name, None)
                 continue
             runs[name].append(time.perf_counter() - t0)
+            runs_load[name].append(load_at)
     _noise_sample()
     timings = {name: round(min(ts), 3) for name, ts in runs.items() if ts}
     last = {name: round(ts[-1], 3) for name, ts in runs.items() if ts}
+    # loadavg read just before the run that produced each query's min.
+    loadavg_at_min = {
+        name: runs_load[name][ts.index(min(ts))]
+        for name, ts in runs.items()
+        if ts and len(runs_load.get(name, [])) == len(ts)
+    }
 
     total = round(sum(timings.values()), 3)
     total_last = round(sum(last.values()), 3)
@@ -170,6 +194,10 @@ def main() -> None:
                     "n_queries": len(timings),
                     "queries": timings,
                     "queries_last": last,
+                    "queries_loadavg": {
+                        n: ls for n, ls in runs_load.items() if ls
+                    },
+                    "loadavg_at_min": loadavg_at_min,
                     "total_last": total_last,
                     "errors": errors,
                     "noise": noise,
