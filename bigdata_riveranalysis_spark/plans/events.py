@@ -470,3 +470,191 @@ def events_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(nxt, "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r8: time-RANGE frames, exact mode, activity bitmaps, cumulative distincts
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_rolling_1h_range",
+    oracle="""
+    SELECT event_id, user_id,
+           count(*) OVER w AS n_1h,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+               AS sum_value_c
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_rolling_1h_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-based rolling window — every event's count and exact cent
+    sum over the trailing REAL-TIME hour [ts−1h, ts], per user. The
+    RANGE-with-interval frame the rows-based rolling queries
+    (sensor_rolling_avg) can't express: with irregular arrival, "last
+    6 rows" and "last hour" are different semantics (rate limiting,
+    trailing-exposure windows need the latter).
+
+    Spark has no interval literal for rangeBetween, so the order key
+    is ``unix_micros(ts)`` with a ±3.6e9 µs frame — integer
+    microseconds, exactly DuckDB's ``RANGE INTERVAL '1 hour'
+    PRECEDING`` bound (both ends inclusive, peer rows = equal
+    timestamps in both engines). Sum stays integer cents (NULL values
+    skipped by both engines' sum, counted by count(*)).
+
+    Scale: partitioned by user — millions of independent groups, no
+    global window; the frame is evaluated with a sliding two-pointer
+    pass inside each sorted partition (Spark's bounded-range window
+    executor), so cost is O(rows), not O(rows × frame).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(EX.cents("value")).over(w).alias("sum_value_c"),
+    )
+
+
+@query(
+    "events_mode_type_per_user",
+    oracle="""
+    WITH cnt AS (
+        SELECT user_id, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    rk AS (
+        SELECT user_id, event_type, n,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY n DESC, event_type) AS rn
+        FROM cnt
+    )
+    SELECT user_id, event_type AS mode_type, n AS n_events
+    FROM rk WHERE rn = 1
+    """,
+)
+def events_mode_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group MODE (most frequent event type per user) with a
+    DETERMINISTIC tie-break — lexicographically smallest type wins at
+    equal counts, so both engines select the identical row (a bare
+    ``mode()`` aggregate leaves ties implementation-defined, which
+    can never hash-match cross-engine).
+
+    Scale: one count aggregate shuffled on (user, type), then a
+    row_number over the per-user count rows — group size is bounded
+    by the TYPE cardinality (5 here, small always), so the window
+    input is tiny regardless of event volume.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cnt = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = W.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_type"),
+            F.col("n").alias("n_events"),
+        )
+    )
+
+
+@query(
+    "events_active_day_bitmap",
+    oracle="""
+    SELECT user_id,
+           CAST(bit_or(1 << dayofweek(ts)) AS BIGINT) AS day_mask,
+           CAST(bit_count(bit_or(1 << dayofweek(ts))) AS BIGINT) AS n_days,
+           (bit_or(1 << dayofweek(ts)) & 62) = 0 AS weekend_only
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def events_active_day_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user day-of-week activity BITMAP: bit d set iff the user
+    was ever active on weekday d (bit 0 = Sunday … bit 6 = Saturday;
+    Spark's 1-based dayofweek is shifted to DuckDB's 0-based), plus
+    the popcount and a weekend-only flag (mask ∩ Mon–Fri = Ø,
+    bits 1-5 = 62).
+
+    Bitmask aggregation is the constant-size presence-set idiom: at
+    100 TB a per-user set of active days is one long under bit_or —
+    map-side combinable, 8 bytes of state per group, no distinct
+    expansion — where collect_set would carry per-element state. The
+    same pattern scales to 64-period bitmaps (hours-of-week mod 64,
+    feature flags, A/B exposure masks).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # SQL form: the pyspark shiftleft wrapper only takes a Python int
+    # for the shift amount; the catalyst expression takes any column.
+    mask = F.expr("CAST(shiftleft(1, dayofweek(ts) - 1) AS BIGINT)")
+    return (
+        ev.select("user_id", mask.alias("m"))
+        .groupBy("user_id")
+        .agg(F.bit_or("m").alias("day_mask"))
+        .select(
+            "user_id",
+            "day_mask",
+            F.bit_count("day_mask").cast("long").alias("n_days"),
+            ((F.col("day_mask").bitwiseAND(F.lit(62))) == 0).alias("weekend_only"),
+        )
+    )
+
+
+@query(
+    "events_cum_distinct_users",
+    oracle="""
+    WITH f AS (
+        SELECT event_type, user_id,
+               min(time_bucket(INTERVAL '1 day', ts)) AS d0
+        FROM events GROUP BY 1, 2
+    ),
+    d AS (
+        SELECT event_type, d0, count(*) AS new_users
+        FROM f GROUP BY 1, 2
+    )
+    SELECT event_type,
+           strftime(d0, '%Y-%m-%d') AS day,
+           new_users,
+           CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY d0)
+                AS BIGINT) AS cum_users
+    FROM d
+    """,
+)
+def events_cum_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUMULATIVE DISTINCT user count per event type by day — "how
+    many unique users has this event type ever seen, as of day X".
+    A windowed COUNT(DISTINCT) is unsupported in both engines; the
+    scalable identity is first-occurrence marking: a user contributes
+    to the cumulative count exactly on their FIRST active day, so
+    cum-distinct = running sum of per-day newcomer counts.
+
+    Scale: the (type, user) → min(day) aggregate shuffles once on the
+    natural key (map-side combinable); everything after runs on
+    (types × days) rows — bounded input, so the per-type running-sum
+    window is a few hundred rows, not a data-sized global sort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    firstd = (
+        ev.select("event_type", "user_id", F.date_trunc("day", "ts").alias("d"))
+        .groupBy("event_type", "user_id")
+        .agg(F.min("d").alias("d0"))
+    )
+    daily = firstd.groupBy("event_type", "d0").agg(
+        F.count("*").alias("new_users")
+    )
+    w = W.partitionBy("event_type").orderBy("d0")
+    return daily.select(
+        "event_type",
+        F.date_format("d0", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )

@@ -2457,3 +2457,242 @@ def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             EX.wide_sum(bal_c).cast("long").alias("totacctbal_c"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r8: yoy growth, exact discrete quantiles, gaps-and-islands, skyline
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_yoy_revenue",
+    oracle=f"""
+    WITH yearly AS (
+        SELECT year(o_orderdate) AS yr,
+               CAST(sum({EX.cents_sql('o_totalprice')}) AS HUGEINT) AS rev_c
+        FROM orders GROUP BY 1
+    ),
+    seq AS (
+        SELECT yr, rev_c, lag(rev_c) OVER (ORDER BY yr) AS prev_c
+        FROM yearly
+    )
+    SELECT yr,
+           {EX.val_round4_sql('rev_c', 2)} AS revenue,
+           {EX.ratio_round4_sql('rev_c', 'prev_c', 0)} AS yoy_ratio
+    FROM seq
+    """,
+)
+def orders_yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue with the prior-period ratio — the
+    period-comparison window shape (lag over an aggregated grain).
+    The ratio is current/previous rounded via the exact rational
+    identity (both operands are nonnegative cent sums, so the
+    floor-based half-up rounding is valid); the first year's ratio is
+    NULL in both engines (lag over nothing → NULL propagates through
+    the division).
+
+    Scale: one shuffle to the YEAR grain (map-side combinable cent
+    sums on decimal(38,0) headroom); the lag window then runs over a
+    handful of year rows — bounded input, the only kind of
+    unpartitioned window this engine allows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    yearly = o.groupBy(F.year("o_orderdate").alias("yr")).agg(
+        EX.wide_sum(EX.cents("o_totalprice")).alias("rev_c")
+    )
+    w = W.orderBy("yr")
+    seq = yearly.withColumn("prev_c", F.lag("rev_c").over(w))
+    return seq.select(
+        "yr",
+        EX.val_round4(F.col("rev_c"), 2).alias("revenue"),
+        EX.ratio_round4(F.col("rev_c"), F.col("prev_c"), 0).alias("yoy_ratio"),
+    )
+
+
+@query(
+    "orders_price_quartiles_exact",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT o_orderpriority,
+               {EX.cents_sql('o_totalprice')} AS price_c,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY {EX.cents_sql('o_totalprice')},
+                                           o_orderkey) AS rn,
+               count(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders
+    )
+    SELECT o_orderpriority, q.label AS quartile,
+           {EX.val_round4_sql('price_c', 2)} AS price
+    FROM ranked
+    CROSS JOIN (VALUES (1, 'p25'), (2, 'p50'), (3, 'p75')) q(k, label)
+    WHERE rn = (q.k * n + 3) // 4
+    """,
+)
+def orders_price_quartiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DISCRETE quartiles (order statistics, no interpolation)
+    of order price per priority: the value at rank ceil(k·n/4) under
+    a total order with an explicit key tie-break — so unlike
+    interpolated quantile_cont (agg_percentiles_lineitem) every
+    reported price is an actual row's value and both engines pick
+    the IDENTICAL row even among duplicate prices.
+
+    ceil is the integer identity (k·n + 3) // 4 — arithmetic shared
+    verbatim with the oracle; no floats anywhere before the final
+    display rounding.
+
+    Scale: exact rank-k per group needs a per-group total order —
+    priority has only 5 values, so this is the low-cardinality-group
+    regime where the sort cost is real at 100 TB; the production
+    scale path is the sketch sibling (agg_approx_percentiles), and
+    THIS query is its exact witness, run on samples or slices. (A
+    rank-k-only variant can avoid the full sort via per-band counts —
+    the two_level_prefix machinery — at the cost of a second pass.)
+    """
+    o = load_table(spark, sf_dir, "orders")
+    price_c = EX.cents("o_totalprice")
+    wrk = W.partitionBy("o_orderpriority").orderBy("price_c", "o_orderkey")
+    wn = W.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority", price_c.alias("price_c"), "o_orderkey"
+    ).select(
+        "o_orderpriority",
+        "price_c",
+        F.row_number().over(wrk).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    qdefs = F.explode(
+        F.array(
+            F.struct(F.lit(1).alias("k"), F.lit("p25").alias("label")),
+            F.struct(F.lit(2).alias("k"), F.lit("p50").alias("label")),
+            F.struct(F.lit(3).alias("k"), F.lit("p75").alias("label")),
+        )
+    )
+    return (
+        ranked.select("o_orderpriority", "price_c", "rn", "n", qdefs.alias("q"))
+        .filter(F.col("rn") == F.expr("(q.k * n + 3) div 4"))
+        .select(
+            "o_orderpriority",
+            F.col("q.label").alias("quartile"),
+            EX.val_round4(F.col("price_c"), 2).alias("price"),
+        )
+    )
+
+
+@query(
+    "customer_order_streaks",
+    oracle="""
+    WITH m AS (
+        SELECT DISTINCT o_custkey,
+               year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mi
+        FROM orders
+    ),
+    g AS (
+        SELECT o_custkey, mi,
+               mi - dense_rank() OVER (PARTITION BY o_custkey
+                                       ORDER BY mi) AS grp
+        FROM m
+    ),
+    s AS (SELECT o_custkey, grp, count(*) AS len FROM g GROUP BY 1, 2)
+    SELECT o_custkey,
+           max(len) AS longest_streak,
+           CAST(sum(len) AS BIGINT) AS n_active_months,
+           count(*) AS n_streaks
+    FROM s GROUP BY 1
+    """,
+)
+def customer_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per customer, the LONGEST run of consecutive
+    calendar months with at least one order, plus total active months
+    and island count — the classic "streak" shape (retention runs,
+    consecutive-day logins, SLA breach spells) that needs the
+    month_index − dense_rank island identity: within a run of
+    consecutive months the difference is constant, and every gap
+    starts a new island. All integer arithmetic on a linearized month
+    index (y·12 + m − 1).
+
+    Scale: distinct (customer, month) is one shuffle (map-side
+    combinable); the island window partitions by customer — millions
+    of independent groups of ≤ #months rows each — and the two
+    aggregations after it run on strictly shrinking keyed data.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    months = o.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("mi"),
+    ).distinct()
+    w = W.partitionBy("o_custkey").orderBy("mi")
+    islands = months.withColumn("grp", F.col("mi") - F.dense_rank().over(w))
+    streaks = islands.groupBy("o_custkey", "grp").agg(F.count("*").alias("len"))
+    return streaks.groupBy("o_custkey").agg(
+        F.max("len").alias("longest_streak"),
+        F.sum("len").alias("n_active_months"),
+        F.count("*").alias("n_streaks"),
+    )
+
+
+@query(
+    "part_frontier_by_brand",
+    oracle=f"""
+    WITH pts AS (
+        SELECT p_brand,
+               {EX.cents_sql('p_retailprice')} AS price_c,
+               p_size AS size,
+               count(*) AS n_parts,
+               min(p_partkey) AS min_partkey
+        FROM part GROUP BY 1, 2, 3
+    ),
+    sky AS (
+        SELECT *,
+               max(size) OVER (PARTITION BY p_brand
+                               ORDER BY price_c ASC, size DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS mx
+        FROM pts
+    )
+    SELECT p_brand,
+           {EX.val_round4_sql('price_c', 2)} AS price,
+           size, n_parts, min_partkey
+    FROM sky
+    WHERE mx IS NULL OR mx < size
+    """,
+)
+def part_frontier_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D SKYLINE (Pareto frontier) per brand: the parts not
+    dominated on (price ↓ better, size ↑ better) — no other same-brand
+    part is cheaper-or-equal AND larger-or-equal with one strict.
+    The windowed formulation: dedupe to distinct (price, size) points,
+    sort by (price asc, size desc), and a point survives iff the
+    running max of size over STRICTLY-preceding points is below its
+    own size — preceding points have price ≤ (ties size-descending),
+    so any with size ≥ dominates. O(n log n) instead of the naive
+    O(n²) dominance join, and the tie semantics are deterministic
+    because duplicates were collapsed first (carrying count and min
+    key as the representative).
+
+    Scale: partitioned by brand — the frontier of each partition is
+    independent; a global (unpartitioned) skyline at 100 TB would
+    instead pre-prune with a coarse grid (each cell keeps its local
+    frontier, the union re-runs the same window) — same operator,
+    applied twice.
+    """
+    p = load_table(spark, sf_dir, "part")
+    pts = p.groupBy(
+        "p_brand",
+        EX.cents("p_retailprice").alias("price_c"),
+        F.col("p_size").alias("size"),
+    ).agg(
+        F.count("*").alias("n_parts"), F.min("p_partkey").alias("min_partkey")
+    )
+    w = (
+        W.partitionBy("p_brand")
+        .orderBy(F.asc("price_c"), F.desc("size"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    sky = pts.withColumn("mx", F.max("size").over(w))
+    return sky.filter(F.col("mx").isNull() | (F.col("mx") < F.col("size"))).select(
+        "p_brand",
+        EX.val_round4(F.col("price_c"), 2).alias("price"),
+        "size",
+        "n_parts",
+        "min_partkey",
+    )

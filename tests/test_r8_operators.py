@@ -262,3 +262,111 @@ def test_f32_jaccard_gate_constant_sits_at_the_half_integer_boundary():
 
     src = inspect.getsource(llmdata._jaccard_local)
     assert "(1 << 24) // 3" in src
+
+
+# ---------------------------------------------------------------------------
+# r8 new query shapes — tie-break and boundary semantics on planted data
+# ---------------------------------------------------------------------------
+
+
+def test_skyline_strict_domination_semantics(spark):
+    """Planted frontier: duplicates collapse to one representative,
+    equal-size points keep only the cheaper, equal-price points keep
+    only the larger — and an undominated diagonal survives whole."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    rows = [
+        # (brand, price_c, size)
+        ("B", 100, 10), ("B", 100, 10),   # duplicate point
+        ("B", 100, 5),                    # same price, smaller: dominated
+        ("B", 200, 10),                   # same size, pricier: dominated
+        ("B", 200, 20),                   # diagonal: survives
+        ("B", 300, 30),                   # diagonal: survives
+        ("B", 350, 25),                   # dominated by (300,30)
+    ]
+    pts = (
+        spark.createDataFrame(rows, "p_brand string, price_c long, size long")
+        .groupBy("p_brand", "price_c", "size")
+        .agg(F.count("*").alias("n_parts"))
+    )
+    w = (
+        W.partitionBy("p_brand")
+        .orderBy(F.asc("price_c"), F.desc("size"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    sky = (
+        pts.withColumn("mx", F.max("size").over(w))
+        .filter(F.col("mx").isNull() | (F.col("mx") < F.col("size")))
+    )
+    got = sorted((r["price_c"], r["size"], r["n_parts"]) for r in sky.collect())
+    assert got == [(100, 10, 2), (200, 20, 1), (300, 30, 1)]
+
+
+def test_streak_islands_identity(spark):
+    """Months {0,1,2, 5, 7,8} → islands of length 3/1/2: longest 3,
+    active 6, streaks 3 — the mi − dense_rank identity."""
+    from pyspark.sql import functions as F
+
+    months = [(1, m) for m in (0, 1, 2, 5, 7, 8)]
+    df = spark.createDataFrame(months, "o_custkey long, mi long")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("o_custkey").orderBy("mi")
+    islands = df.withColumn("grp", F.col("mi") - F.dense_rank().over(w))
+    streaks = islands.groupBy("o_custkey", "grp").agg(F.count("*").alias("len"))
+    out = streaks.groupBy("o_custkey").agg(
+        F.max("len").alias("longest"),
+        F.sum("len").alias("active"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    assert (out["longest"], out["active"], out["n"]) == (3, 6, 3)
+
+
+def test_mode_tie_break_is_lexicographic(spark):
+    """Equal counts must resolve to the lexicographically smallest
+    type in BOTH engines — the determinism contract a bare mode()
+    aggregate cannot give."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    rows = [(1, "view"), (1, "click"), (2, "error"), (2, "click"), (2, "error")]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string")
+    cnt = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = W.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    got = {
+        r["user_id"]: r["event_type"]
+        for r in cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert got == {1: "click", 2: "error"}
+
+
+def test_rolling_range_frame_is_time_not_rows(spark):
+    """Three events 0/30/61 min apart: the 1-hour RANGE frame holds
+    [1, 2, 2] rows (the third sees only the 30-min neighbor), where a
+    2-row ROWS frame would read [1, 2, 2] for DIFFERENT reasons —
+    pin the time-exclusion of the first event at +61 min."""
+    import datetime as dt
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, 7, t0),
+        (2, 7, t0 + dt.timedelta(minutes=30)),
+        (3, 7, t0 + dt.timedelta(minutes=61)),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    got = {
+        r["event_id"]: r["n"]
+        for r in ev.select("event_id", F.count(F.lit(1)).over(w).alias("n")).collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 2}
