@@ -370,3 +370,62 @@ def test_rolling_range_frame_is_time_not_rows(spark):
         for r in ev.select("event_id", F.count(F.lit(1)).over(w).alias("n")).collect()
     }
     assert got == {1: 1, 2: 2, 3: 2}
+
+
+def test_complete_mode_agg_keeps_late_rows_across_batches(spark, tmp_path):
+    """ADVICE r7 hypothesis test (driver file-batching): even when the
+    file source is FORCED to split input across micro-batches
+    (maxFilesPerTrigger=1) with the late file arriving AFTER the
+    watermark advanced 10h past it, COMPLETE-mode aggregation keeps
+    every row — complete mode retains all aggregate state and does
+    not filter late input. This rules out multi-batch late-row drops
+    as a mechanism for the r7 stream_windowed_cms driver red: with
+    the hash-family bisect and batch-twin tests above, every
+    in-engine divergence mechanism is now pinned green."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("k", T.LongType())]
+    )
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows_a = [(base + dt.timedelta(hours=10, minutes=m), 1) for m in range(3)]
+    rows_b = [(base + dt.timedelta(minutes=m), 2) for m in range(3)]  # 10h late
+    spark.createDataFrame(rows_a, schema).coalesce(1).write.parquet(
+        str(tmp_path / "fa")
+    )
+    spark.createDataFrame(rows_b, schema).coalesce(1).write.parquet(
+        str(tmp_path / "fb")
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy(glob.glob(str(tmp_path / "fa" / "*.parquet"))[0], src / "0000-a.parquet")
+    shutil.copy(glob.glob(str(tmp_path / "fb" / "*.parquet"))[0], src / "0001-b.parquet")
+    now = time.time()
+    os.utime(src / "0000-a.parquet", (now - 100, now - 100))  # batch 1: new data
+    os.utime(src / "0001-b.parquet", (now, now))  # batch 2: late data
+    agg = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "k")
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("mb_late_rows")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    assert len(q.recentProgress) >= 2  # genuinely multi-batch
+    res = sorted((r["k"], r["n"]) for r in spark.table("mb_late_rows").collect())
+    assert res == [(1, 3), (2, 3)]  # the 10h-late rows survive intact
