@@ -54,6 +54,8 @@ _CHANGED_THIS_ROUND = [
     "graph_triangle_count",  # r8: degree join byte-gated (VERDICT #4)
     "graph_pagerank_3iter",  # r8: iteration-k checkpointing (VERDICT #6)
     "dedup_ngram_jaccard",  # r8: f32 gate tightened to 2^24/3 (ADVICE)
+    "q18_large_volume_customers",  # r8: big-orders broadcast hint dropped
+    "dq_constraint_report",  # r8: customer-key broadcast hint dropped
 ]
 
 

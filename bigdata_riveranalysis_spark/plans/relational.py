@@ -1447,12 +1447,15 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal sums, so the HAVING predicate is integer-exact on both
     engines); the output divisions are single ops on identical
     operands. Scale: the lineitem aggregate shuffles once on
-    l_orderkey with map-side partials; HAVING prunes to a tiny
-    "big orders" set BEFORE any join, so both join-backs broadcast
-    the filtered side into the orders/customer scans — the
-    aggregate-then-filter-then-join shape that makes Q18 tractable
-    at any SF (the naive join-first plan moves the whole fact table
-    twice).
+    l_orderkey with map-side partials; HAVING prunes to a "big
+    orders" set BEFORE any join — the aggregate-then-filter-then-join
+    shape that makes Q18 tractable at any SF (the naive join-first
+    plan moves the whole fact table twice). The join-back carries NO
+    broadcast hint (r8, the q21 review point): with a FIXED quantity
+    threshold the qualifying set is ORDER-cardinality — it grows
+    linearly with the corpus, so a hardcoded broadcast is the
+    unbounded-broadcast OOM class; AQE broadcasts it at small SF from
+    measured bytes and key-partitions above.
     """
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
@@ -1463,7 +1466,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("qty_c") > Q18_QTY_CENTS)
     )
     return (
-        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_name",

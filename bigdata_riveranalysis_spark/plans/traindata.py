@@ -443,9 +443,13 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("r"),
     ).select("tbl", "r.check_name", "r.n_rows", "r.n_violations")
+    # NO broadcast hint (r8, the q21 review class): the key set is
+    # CUSTOMER-cardinality — linear in the corpus, unbroadcastable at
+    # the design point; the unhinted left join shuffles on custkey
+    # (AQE may still broadcast at small SF from measured bytes).
     ref = (
         orders.join(
-            F.broadcast(customer.select("c_custkey")),
+            customer.select("c_custkey"),
             orders.o_custkey == F.col("c_custkey"),
             "left",
         )

@@ -429,3 +429,20 @@ def test_complete_mode_agg_keeps_late_rows_across_batches(spark, tmp_path):
     assert len(q.recentProgress) >= 2  # genuinely multi-batch
     res = sorted((r["k"], r["n"]) for r in spark.table("mb_late_rows").collect())
     assert res == [(1, 3), (2, 3)]  # the 10h-late rows survive intact
+
+
+def test_data_cardinality_frames_carry_no_broadcast_hint(spark):
+    """r8 broadcast audit: every hinted broadcast in the repo must be
+    a bounded frame (dim table, 1-row aggregate, fixed sample/spine).
+    The two data-cardinality offenders found — q18's qualifying-order
+    set and the constraint report's customer key set — are pinned
+    hint-free here (AQE still owns the small-SF runtime choice)."""
+    from bigdata_riveranalysis_spark.plans.relational import (
+        q18_large_volume_customers,
+    )
+    from bigdata_riveranalysis_spark.plans.traindata import dq_constraint_report
+
+    q18 = q18_large_volume_customers(spark, SF_SMOKE)
+    assert "ResolvedHint" not in q18._jdf.queryExecution().analyzed().toString()
+    dq = dq_constraint_report(spark, SF_SMOKE)
+    assert "ResolvedHint" not in dq._jdf.queryExecution().analyzed().toString()
