@@ -632,3 +632,81 @@ def test_round4_sql_twins_survive_wide_numerators(spark):
                 EX.val_round4(F.col("x"), scale).alias("r")
             ).collect()[0].r
             assert gotv == w, ("val_spark", v, scale, gotv, w)
+
+
+# ---------------------------------------------------------------------------
+# r8 formulations: skyline and gaps-and-islands vs brute-force references
+# ---------------------------------------------------------------------------
+
+
+@SETTINGS
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)), min_size=1, max_size=20
+    )
+)
+def test_skyline_window_formulation_equals_bruteforce(spark, pts):
+    """The sorted running-max skyline (part_frontier_by_brand's
+    formulation) must equal the O(n²) dominance definition: keep p iff
+    no q has price ≤ AND size ≥ with one strict — on arbitrary point
+    sets including duplicates and full ties."""
+    from pyspark.sql import Window as W
+
+    distinct = sorted(set(pts))
+    brute = {
+        p
+        for p in distinct
+        if not any(
+            q != p and q[0] <= p[0] and q[1] >= p[1] for q in distinct
+        )
+    }
+    df = (
+        spark.createDataFrame(pts, "price_c long, size long")
+        .groupBy("price_c", "size")
+        .agg(F.count("*").alias("n"))
+    )
+    w = (
+        W.partitionBy(F.lit(1))
+        .orderBy(F.asc("price_c"), F.desc("size"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    sky = df.withColumn("mx", F.max("size").over(w)).filter(
+        F.col("mx").isNull() | (F.col("mx") < F.col("size"))
+    )
+    got = {(r["price_c"], r["size"]) for r in sky.collect()}
+    assert got == brute
+
+
+@SETTINGS
+@given(mis=st.sets(st.integers(0, 30), min_size=1, max_size=15))
+def test_streak_islands_equal_python_reference(spark, mis):
+    """mi − dense_rank islands must reproduce the run-length structure
+    of any month set: longest run, total actives, and run count."""
+    from pyspark.sql import Window as W
+
+    s = sorted(mis)
+    runs, cur = [], 1
+    for a, b in zip(s, s[1:]):
+        if b == a + 1:
+            cur += 1
+        else:
+            runs.append(cur)
+            cur = 1
+    runs.append(cur)
+    df = spark.createDataFrame([(1, m) for m in s], "k long, mi long")
+    w = W.partitionBy("k").orderBy("mi")
+    out = (
+        df.withColumn("grp", F.col("mi") - F.dense_rank().over(w))
+        .groupBy("k", "grp")
+        .agg(F.count("*").alias("len"))
+        .groupBy("k")
+        .agg(
+            F.max("len").alias("longest"),
+            F.sum("len").alias("active"),
+            F.count("*").alias("n"),
+        )
+        .collect()[0]
+    )
+    assert out["longest"] == max(runs)
+    assert out["active"] == len(s)
+    assert out["n"] == len(runs)
