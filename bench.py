@@ -248,8 +248,23 @@ def main() -> None:
         "graph_pagerank_3iter",
         "bpe_pair_merges",
         "doc_surprisal_proxy",
+        "events_rolling_1h_range",
+        "part_frontier_by_brand",
+        "customer_order_streaks",
     ]
     headline = {n: timings[n] for n in headline_names if n in timings}
+    # Stdout carries a SUMMARY of the noise samples, not the array:
+    # the r8 interleaved probes grew the array to ~19 entries (~850
+    # chars), which silently tripped the >1800 fallback below and
+    # shipped a query-less tail — the exact regression the fallback
+    # exists to avoid. Full samples stay in BENCH.json.
+    noise_summary = {
+        "n": len(noise),
+        "loadavg_min": min(s["loadavg_1m"] for s in noise),
+        "loadavg_max": max(s["loadavg_1m"] for s in noise),
+        "probe_min": min(s["probe_sec"] for s in noise),
+        "probe_max": max(s["probe_sec"] for s in noise),
+    }
     payload = json.dumps(
         {
             "metric": "engine_total_query_wall",
@@ -258,7 +273,7 @@ def main() -> None:
             "n_queries": len(timings),
             "queries": headline,
             "total_last": total_last,
-            "noise": noise,
+            "noise": noise_summary,
             "sf": sf_val,
         }
     )
