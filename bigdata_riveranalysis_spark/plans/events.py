@@ -658,3 +658,79 @@ def events_cum_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).alias("cum_users"),
     )
+
+
+#: Attribution lookback: touches (click/view) within this many hours
+#: before a purchase share its credit.
+ATTR_WINDOW_HOURS = 24
+
+
+@query(
+    "events_attribution_linear",
+    oracle=f"""
+    WITH p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+        SELECT user_id, ts AS tts, event_type AS touch_type
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    j AS (
+        SELECT p.event_id, p.ts AS pts, t.touch_type
+        FROM p JOIN t ON p.user_id = t.user_id
+         AND t.tts < p.ts
+         AND t.tts >= p.ts - INTERVAL {ATTR_WINDOW_HOURS} HOUR
+    ),
+    k AS (
+        SELECT *, count(*) OVER (PARTITION BY event_id) AS n_touch FROM j
+    )
+    SELECT strftime(date_trunc('day', pts), '%Y-%m-%d') AS day,
+           touch_type,
+           count(*) AS n_touches,
+           CAST(sum(1000000 // n_touch) AS HUGEINT) AS credit_micro
+    FROM k GROUP BY 1, 2
+    """,
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase splits one unit
+    of conversion credit EQUALLY across the user's click/view touches
+    in the prior {ATTR_WINDOW_HOURS} h, reported per (purchase-day,
+    touch-type). The marketing-analytics staple one step past the
+    as-of join: events_asof_purchase_click answers "which single
+    touch preceded", this distributes credit across all of them.
+
+    Exactness: per-touch credit is the integer 1 000 000 // n_touch
+    (micro-credits, floor division — identical `div` semantics in
+    both engines for positive operands), summed wide. No floating
+    credit fractions, so the totals hash bit-identically.
+
+    Scale: the touch↔purchase interval join keys on user_id — the
+    skew bound is one user's activity window, the same bound
+    events_sessionize carries. The per-purchase touch count is a
+    window over the SAME user-partitioned shuffle (event_id is
+    user-local), and the final rollup is day×type-sized. No
+    unbounded state, no broadcast of data-cardinality sets.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    t = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    j = p.join(
+        t,
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("tts") < F.col("ts"))
+        & (F.col("tts") >= F.col("ts") - F.expr(f"INTERVAL {ATTR_WINDOW_HOURS} HOURS")),
+    )
+    k = j.withColumn("n_touch", F.count("*").over(W.partitionBy("event_id")))
+    return k.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "touch_type",
+    ).agg(
+        F.count("*").alias("n_touches"),
+        EX.wide_sum(F.expr("1000000 div n_touch")).alias("credit_micro"),
+    )

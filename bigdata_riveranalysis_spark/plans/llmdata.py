@@ -2791,3 +2791,390 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment dedup
+# ---------------------------------------------------------------------------
+
+#: C(A,B) = |A∩B| / min(|A|,|B|) threshold, as an integer percent so
+#: the filter is an exact integer comparison (5·common ≥ 4·min) in
+#: every regime and in the oracle.
+CONTAINMENT_THRESHOLD_PCT = 80
+
+
+def _containment_local(spark: SparkSession, sh: DataFrame, df_cap: int) -> DataFrame | None:
+    """Exact all-pairs containment in the small-corpus regime — the
+    sibling of _jaccard_local (same gates, same factorize + blocked
+    binary matmul), kept separate because the fused-threshold trick
+    differs: containment thresholds against min(|A|,|B|), so the
+    tile test is the integer comparison 5·common ≥ 4·min evaluated
+    in int64 after an exact f32→int64 conversion of the GEMM counts
+    (counts ≤ vocab < 2²⁴ are exact in f32; no half-integer products
+    appear, unlike Jaccard's 1.5·common)."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = "doc_a long, doc_b long, n_common long, containment double"
+    pdf = sh.select("doc_id", "s").toPandas()
+    n = len(pdf)
+    if n == 0:
+        return spark.createDataFrame([], out_schema)
+    sets = pdf["s"].to_numpy()
+    sizes = np.fromiter((len(s) for s in sets), dtype=np.int64, count=n)
+    flat = np.concatenate(sets) if sizes.sum() else np.array([], dtype=object)
+    codes, uniques = pd.factorize(flat)
+    nv = len(uniques)
+    if n * nv > JACCARD_LOCAL_MAX_CELLS or 2.0 * n * n * nv > JACCARD_LOCAL_MAX_FLOPS:
+        return None
+    if nv > 1 << 24:  # GEMM counts must stay exact in f32
+        return None
+    ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+    M = np.zeros((n, max(nv, 1)), dtype=np.float32)
+    M[np.repeat(np.arange(n), sizes), codes] = 1.0
+    if nv:
+        gram_df = np.bincount(codes, minlength=nv)
+        M[:, gram_df > df_cap] = 0.0
+        sizes = M.sum(axis=1).astype(np.int64)
+    out_a, out_b, out_c, out_r = [], [], [], []
+    block = max(1, _JACCARD_SWEEP_CELLS // max(n, 1))
+    col = np.arange(n)
+    for start in range(0, n, block):
+        stop = min(start + block, n)
+        common = (M[start:stop] @ M.T).astype(np.int64)
+        mins = np.minimum(sizes[start:stop, None], sizes[None, :])
+        # strict upper triangle by INDEX (each unordered pair once);
+        # output orientation is by doc_id VALUE below, matching the
+        # oracle's doc_a < doc_b.
+        mask = (
+            (5 * common >= 4 * mins)
+            & (mins > 0)
+            & (col[None, :] > np.arange(start, stop)[:, None])
+        )
+        ii, jj = np.nonzero(mask)
+        if len(ii) == 0:
+            continue
+        c = common[ii, jj]
+        mn = mins[ii, jj]
+        ia, ib = ids[start + ii], ids[jj]
+        out_a.append(np.minimum(ia, ib))
+        out_b.append(np.maximum(ia, ib))
+        out_c.append(c)
+        # the exact ratio_round4 identity (scale 0): identical
+        # integers to the oracle's floor((2·10⁴·S + n)/(2n))/10⁴.
+        out_r.append((20000 * c + mn) // (2 * mn) / 1e4)
+    if not out_a:
+        return spark.createDataFrame([], out_schema)
+    pout = pd.DataFrame(
+        {
+            "doc_a": np.concatenate(out_a),
+            "doc_b": np.concatenate(out_b),
+            "n_common": np.concatenate(out_c),
+            "containment": np.concatenate(out_r),
+        }
+    )
+    return spark.createDataFrame(pout, out_schema)
+
+
+@query(
+    "dedup_containment_ngram",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {TX.TOKENS_SQL.format(c="text")} AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, list_distinct({TX.word_shingles_sql("t", 2)}) AS s
+        FROM toks WHERE len(t) >= 2
+    ),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    gdf AS (SELECT g, count(*) AS df FROM ex GROUP BY g),
+    kept AS (
+        SELECT e.doc_id, e.g FROM ex e JOIN gdf ON e.g = gdf.g
+        WHERE gdf.df <= {JACCARD_DF_CAP_SQL}
+    ),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id)
+    SELECT doc_a, doc_b, n_common,
+           {EX.ratio_round4_sql("n_common", "least(sa.n, sb.n)", 0)} AS containment
+    FROM common
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE 5 * n_common >= 4 * least(sa.n, sb.n)
+    """,
+)
+def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection: word-bigram CONTAINMENT
+    C = |A∩B| / min(|A|,|B|) ≥ 0.8 — the Broder containment measure
+    that catches what Jaccard structurally misses: a short document
+    quoted or embedded inside a much longer one (J = |A∩B|/|A∪B| is
+    crushed by the big set's size; C is not). The standard second
+    pass of an LLM-corpus dedup stack (quote/subset leakage).
+
+    The same stats-driven regime split as dedup_ngram_jaccard (gates
+    priced from parquet footers, no job): local dense matmul below,
+    inverted index above. One real difference, documented loudly: the
+    Jaccard size-ratio prune is UNSOUND here — a 10-gram doc can be
+    80 %-contained in a 10 000-gram doc, which is exactly the pair
+    containment exists to find — so the distributed join has no size
+    predicate and the df-cap (boilerplate grams dropped before
+    sizing) is the sole hot-key defense. At 100 TB the shuffle key
+    is still the shingle and pair aggregation only sees co-gram
+    candidates; the threshold filter is the exact integer comparison
+    5·common ≥ 4·min in both regimes and the oracle.
+    """
+    docs = _docs(spark, sf_dir)
+    tok = TX.tokens("text")
+    sh = (
+        docs.select("doc_id", tok.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select("doc_id", F.array_distinct(TX.word_shingles(F.col("t"), 2)).alias("s"))
+    )
+    n_docs = table_rowcount(sf_dir, "documents")
+    text_bytes = table_column_bytes(sf_dir, "documents", "text")
+    df_cap = _jaccard_df_cap(n_docs)
+    if n_docs <= JACCARD_LOCAL_MAX_DOCS and text_bytes <= JACCARD_LOCAL_MAX_TEXT_BYTES:
+        local = _containment_local(spark, sh, df_cap)
+        if local is not None:
+            return local
+    ex0 = sh.select("doc_id", explode_nonempty("s").alias("g"))
+    ex = (
+        ex0.withColumn("df", F.count("*").over(W.partitionBy("g")))
+        .filter(F.col("df") <= df_cap)
+        .drop("df")
+        .withColumn("n", F.count("*").over(W.partitionBy("doc_id")))
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.count("*").alias("n_common"),
+            F.first("a.n").alias("na"),
+            F.first("b.n").alias("nb"),
+        )
+    )
+    mn = F.least(F.col("na"), F.col("nb"))
+    return (
+        common.filter(F.lit(5) * F.col("n_common") >= F.lit(4) * mn)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            EX.ratio_round4(F.col("n_common"), mn, 0).alias("containment"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Canonical keep-best selection over duplicate clusters
+# ---------------------------------------------------------------------------
+
+
+def _components_oracle() -> str:
+    """The registered dedup_cluster_components oracle as a subquery —
+    keep-best builds on the SAME cluster semantics, textually (the
+    _lsh_pairs_oracle composition pattern)."""
+    from bigdata_riveranalysis_spark.plans.registry import REGISTRY
+
+    return REGISTRY["dedup_cluster_components"].oracle
+
+
+@query(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH comp AS ({_components_oracle()}),
+    q AS (
+        SELECT comp.doc_id, comp.canonical_id, comp.component_size, d.n_chars
+        FROM comp JOIN documents d ON comp.doc_id = d.doc_id
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY canonical_id ORDER BY n_chars DESC, doc_id
+        ) AS rk FROM q
+    )
+    SELECT canonical_id AS cluster_id,
+           doc_id       AS kept_doc_id,
+           n_chars      AS kept_n_chars,
+           component_size AS n_members,
+           component_size - 1 AS n_dropped
+    FROM r WHERE rk = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection — the curation step that
+    turns a duplicate CLUSTERING into a deduplicated CORPUS: per
+    near-dup cluster, keep exactly one document by an explicit,
+    deterministic quality policy (longest text wins; doc_id breaks
+    ties) and account for the drops. Every production dedup ends
+    here — cluster labels alone don't say which copy survives, and an
+    unstated tie-break makes the kept set irreproducible across runs.
+
+    Composition: clusters come from dedup_cluster_components (LSH
+    pairs → connected components) — called as a plain function, so
+    the keep-best semantics stay in lockstep with the registered
+    clustering in both engines (the oracle textually embeds the
+    components oracle the same way).
+
+    Scale: one broadcast-sized join of cluster rows against the doc
+    quality column (cluster rows ≪ corpus — only actual duplicates
+    appear), then a per-cluster window; partition key is the cluster
+    id, so skew is bounded by the largest duplicate cluster — the
+    same bound the components loop already carries.
+    """
+    comp = dedup_cluster_components(spark, sf_dir)
+    quality = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    q = comp.join(quality, "doc_id")
+    w = W.partitionBy("canonical_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        q.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("canonical_id").alias("cluster_id"),
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("n_chars").alias("kept_n_chars"),
+            F.col("component_size").alias("n_members"),
+            (F.col("component_size") - 1).alias("n_dropped"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Integer-exact k-means over SQ8 codes
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+
+
+def _kmeans_assign(codes: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cid, dist2): nearest centroid per vector by exact
+    integer squared distance; ties break to the lowest cid."""
+    j = codes.join(F.broadcast(cents), "dim")
+    d = F.col("c") - F.col("cent")
+    d2 = j.groupBy("vec_id", "cid").agg(F.sum(d * d).alias("dist2"))
+    return (
+        d2.groupBy("vec_id")
+        .agg(F.min(F.struct("dist2", "cid")).alias("m"))
+        .select("vec_id", F.col("m.cid").alias("cid"), F.col("m.dist2").alias("dist2"))
+    )
+
+
+def _kmeans_update(codes: DataFrame, assign: DataFrame) -> DataFrame:
+    """(cid, dim, cent): per-cluster integer-mean centroid —
+    floor(Σcode / n) via integer `div`, exact in both engines (codes
+    are nonnegative, so floor = truncation on both sides)."""
+    m = codes.join(assign.select("vec_id", "cid"), "vec_id")
+    return m.groupBy("cid", "dim").agg(F.expr("sum(c) div count(*)").alias("cent"))
+
+
+def _quant_oracle() -> str:
+    """The registered embedding_quantize_int8 oracle as a subquery —
+    k-means clusters the SAME codes, textually."""
+    from bigdata_riveranalysis_spark.plans.registry import REGISTRY
+
+    return REGISTRY["embedding_quantize_int8"].oracle
+
+
+@query(
+    "kmeans_int8_lloyd2",
+    oracle=f"""
+    WITH codes AS (
+        SELECT vec_id, dim, code AS c FROM ({_quant_oracle()}) qz
+    ),
+    seed AS (
+        SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+        FROM (SELECT DISTINCT vec_id FROM codes ORDER BY vec_id LIMIT {KMEANS_K}) s
+    ),
+    cents0 AS (
+        SELECT seed.cid, codes.dim, codes.c AS cent
+        FROM codes JOIN seed ON codes.vec_id = seed.vec_id
+    ),
+    d1 AS (
+        SELECT codes.vec_id, cents0.cid,
+               sum((codes.c - cents0.cent) * (codes.c - cents0.cent)) AS dist2
+        FROM codes JOIN cents0 ON codes.dim = cents0.dim
+        GROUP BY 1, 2
+    ),
+    a1 AS (
+        SELECT vec_id, cid, dist2 FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist2, cid
+            ) AS rk FROM d1
+        ) WHERE rk = 1
+    ),
+    cents1 AS (
+        SELECT a1.cid, codes.dim, sum(codes.c) // count(*) AS cent
+        FROM codes JOIN a1 ON codes.vec_id = a1.vec_id
+        GROUP BY 1, 2
+    ),
+    d2 AS (
+        SELECT codes.vec_id, cents1.cid,
+               sum((codes.c - cents1.cent) * (codes.c - cents1.cent)) AS dist2
+        FROM codes JOIN cents1 ON codes.dim = cents1.dim
+        GROUP BY 1, 2
+    )
+    SELECT vec_id, cid, CAST(dist2 AS BIGINT) AS dist2 FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY dist2, cid
+        ) AS rk FROM d2
+    ) WHERE rk = 1
+    """,
+)
+def kmeans_int8_lloyd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (k = {KMEANS_K}, 2 Lloyd iterations) over the SQ8
+    quantization codes — INTEGER-EXACT clustering, the trick that
+    makes an iterative ML algorithm oracle-hashable at all: distances
+    are integer squared-L2 over 0-255 codes, centroid updates are
+    integer floor-means, and the nearest-centroid argmin breaks ties
+    on (dist2, cid) — so both engines walk bit-identical state
+    through every iteration (the graph_pagerank_3iter fixed-point
+    move, applied to embedding clustering). Float k-means cannot be
+    cross-engine-hashed (accumulation-order drift in both the
+    distances and the means); quantize-then-cluster is also the real
+    pipeline shape — IVF coarse quantizers train on compressed codes
+    precisely to keep memory linear.
+
+    Composition: codes come from embedding_quantize_int8 (called as a
+    plain function; the oracle embeds that query's registered SQL
+    textually). Init is deterministic: the {KMEANS_K} smallest
+    vec_ids seed the centroids.
+
+    Scale: the codes frame (n·d rows) feeds 2 assign + 1 update
+    passes, so it is localCheckpointed once (on a cluster: one
+    materialization to storage, the standard k-means staging table).
+    Each assignment joins codes to a BROADCAST k×d centroid table
+    (k·d = {KMEANS_K}·64 rows — constant-size, the gate-free
+    broadcast class) and aggregates on (vec_id, cid): linear n·d·k
+    work, shuffle keys vec-sized, never all-pairs. Centroid updates
+    aggregate to k·d rows. Empty clusters simply vanish (no rows join
+    back) — acceptable for a fixed-k witness query; a production
+    trainer would re-seed them.
+
+    Output is the final assignment (vec_id, cid, dist2) — one row per
+    vector, the strongest checkable granularity.
+    """
+    codes = (
+        embedding_quantize_int8(spark, sf_dir)
+        .select("vec_id", "dim", F.col("code").alias("c"))
+        .localCheckpoint()
+    )
+    wseed = W.orderBy("vec_id")  # bounded input: k rows after limit
+    seed = (
+        codes.select("vec_id")
+        .distinct()
+        .orderBy("vec_id")
+        .limit(KMEANS_K)
+        .withColumn("cid", F.row_number().over(wseed) - 1)
+    )
+    cents = codes.join(F.broadcast(seed), "vec_id").select(
+        "cid", "dim", F.col("c").alias("cent")
+    )
+    a1 = _kmeans_assign(codes, cents)
+    cents1 = _kmeans_update(codes, a1).localCheckpoint()
+    return _kmeans_assign(codes, cents1)

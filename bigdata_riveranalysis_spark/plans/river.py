@@ -432,3 +432,82 @@ def sensor_rollup_time_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_value",
         )
     )
+
+
+#: OLS trend x-origin: 2024-01-01 UTC epoch seconds. Shifting x
+#: leaves the slope invariant and shrinks x to day-scale magnitudes,
+#: so Σx² terms stay ~1e15/row instead of ~3e18 (headroom note in
+#: sensor_trend_ols).
+TREND_X_EPOCH = 1_704_067_200
+
+
+@query(
+    "sensor_trend_ols",
+    oracle=f"""
+    WITH b AS (
+        SELECT user_id AS sensor_id,
+               epoch_us(ts) // 1000000 - {TREND_X_EPOCH} AS x,
+               {EX.cents_sql('value')} AS y
+        FROM events
+    )
+    SELECT sensor_id,
+           count(*) AS n_readings,
+           CAST(count(*) AS HUGEINT) * CAST(sum(x * y) AS HUGEINT)
+             - CAST(sum(x) AS HUGEINT) * CAST(sum(y) AS HUGEINT) AS slope_num,
+           CAST(count(*) AS HUGEINT) * CAST(sum(x * x) AS HUGEINT)
+             - CAST(sum(x) AS HUGEINT) * CAST(sum(x) AS HUGEINT) AS slope_den
+    FROM b GROUP BY 1
+    HAVING count(*) >= 2
+       AND CAST(count(*) AS HUGEINT) * CAST(sum(x * x) AS HUGEINT)
+             - CAST(sum(x) AS HUGEINT) * CAST(sum(x) AS HUGEINT) > 0
+    """,
+)
+def sensor_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sensor least-squares trend — the drift detector a sensor
+    fleet runs continuously (is this probe's reading creeping?). The
+    slope is emitted as the EXACT RATIONAL numerator/denominator pair
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+
+    over integer x (epoch seconds, re-zeroed at TREND_X_EPOCH) and
+    integer y (reading cents): no division ever executes, so the
+    result hashes bit-identically — the regression sibling of
+    agg_stats_corr's moment sums, without corr()'s float tolerance.
+    (A round4 quotient is deliberately NOT emitted: the numerator is
+    signed, and the repo's half-up floor identity is exact only for
+    nonnegative S — see EX.ratio_round4_sql.)
+
+    Exactness/headroom: all moment sums accumulate in DECIMAL(38,0)
+    against DuckDB's HUGEINT — wide_sum's divergence-class fix —
+    including under the SPARK_GRAFT_LONG_SUMS A/B switch, which this
+    query ignores: even a per-row x² of ~1e15 overflows a LONG sum
+    near 1e4 rows/sensor, so the long-sum instrument would error
+    here (direct decimal casts, not wide_sum, by design). The
+    re-zeroed x keeps n·Σx² under ~1e36 out to ~1e9 readings/sensor
+    per decade of data; beyond that, re-zero x per epoch window.
+
+    Scale: one scan, one groupBy(sensor_id) with map-side partials —
+    the minimal two-shuffle-free aggregate shape; skew is bounded by
+    the chattiest sensor, same as every per-sensor rollup here.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    b = ev.select(
+        F.col("user_id").alias("sensor_id"),
+        (F.unix_seconds("ts") - TREND_X_EPOCH).alias("x"),
+        EX.cents("value").alias("y"),
+    )
+    g = b.groupBy("sensor_id").agg(
+        F.count("*").alias("n_readings"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+    )
+    n = F.col("n_readings").cast(dec)
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).alias("slope_num")
+    den = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        g.select("sensor_id", "n_readings", num, den.alias("slope_den"))
+        .filter((F.col("n_readings") >= 2) & (F.col("slope_den") > 0))
+    )

@@ -853,3 +853,66 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for e in edges[1:]:
         out = out.unionAll(e)
     return out
+
+
+@query(
+    "docs_interleave_schedule",
+    oracle="""
+    WITH d AS (SELECT doc_id, lang AS domain FROM documents),
+    r AS (
+        SELECT doc_id, domain,
+               row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS round_no
+        FROM d
+    )
+    SELECT doc_id, domain, round_no,
+           row_number() OVER (ORDER BY round_no, domain) AS pos
+    FROM r
+    """,
+)
+def docs_interleave_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-interleaved training order: documents are
+    dealt round-robin across domains (round 1 takes each domain's
+    first doc in domain order, round 2 the seconds, …; exhausted
+    domains drop out), yielding the global position every sample
+    occupies in the epoch — the data-mixing schedule a trainer
+    consumes, made reproducible across runs and cluster sizes.
+
+    The scale move is HOW the global position is computed. The
+    obvious formulation — row_number() over (ORDER BY round_no,
+    domain) — is a single-reducer global window, banned in this repo.
+    Instead the position is ARITHMETIC: with per-domain sizes s(d),
+
+        pos(d, r) = Σ_d' min(s(d'), r-1)  +  |{d' ≤ d : s(d') ≥ r}|
+
+    (everything dealt in earlier rounds, plus this row's rank within
+    its own round). Sizes aggregate to one domain-count row that is
+    broadcast and folded per-row with higher-order builtins — zero
+    additional shuffle beyond the per-domain row_number, and the
+    formula is exact for UNEQUAL domain sizes (the fixture's langs
+    are 64-218 docs). The banded-prefix trick, in closed form. The
+    ORACLE uses the single-reducer window formulation — DuckDB is
+    single-node anyway — which independently cross-checks the
+    arithmetic against the definitional semantics.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.col("lang").alias("domain"))
+    r = d.withColumn(
+        "round_no", F.row_number().over(W.partitionBy("domain").orderBy("doc_id"))
+    )
+    sizes = (
+        d.groupBy("domain")
+        .agg(F.count("*").alias("sz"))
+        .agg(F.array_sort(F.collect_list(F.struct("domain", "sz"))).alias("ds"))
+    )
+    rn = F.col("round_no")
+    dom = F.col("domain")
+    pos = F.aggregate(
+        "ds",
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.least(s["sz"], rn.cast("long") - 1)
+        + F.when((s["sz"] >= rn) & (s["domain"] <= dom), 1).otherwise(0),
+    )
+    return r.join(F.broadcast(sizes)).select(
+        "doc_id", "domain", "round_no", pos.alias("pos")
+    )

@@ -710,3 +710,55 @@ def test_streak_islands_equal_python_reference(spark, mis):
     assert out["longest"] == max(runs)
     assert out["active"] == len(s)
     assert out["n"] == len(runs)
+
+
+@SETTINGS
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=7), min_size=1, max_size=5)
+)
+def test_interleave_closed_form_equals_definitional_enumeration(spark, sizes):
+    """docs_interleave_schedule's arithmetic position — pos(d, r) =
+    Σ_d' min(s(d'), r−1) + |{d' ≤ d : s(d') ≥ r}| — must equal the
+    definitional round-robin enumeration for ARBITRARY unequal domain
+    sizes, not just the fixture's. Random size vectors; the engine
+    runs on a synthesized frame; the reference is a four-line Python
+    deal loop."""
+    rows = []
+    for di, sz in enumerate(sizes):
+        dom = f"d{di}"
+        rows += [(dom, i) for i in range(sz)]
+    df = spark.createDataFrame(rows, "domain string, doc_id long")
+
+    from pyspark.sql import Window as W
+
+    r = df.withColumn(
+        "round_no", F.row_number().over(W.partitionBy("domain").orderBy("doc_id"))
+    )
+    sz_tbl = (
+        df.groupBy("domain")
+        .agg(F.count("*").alias("sz"))
+        .agg(F.array_sort(F.collect_list(F.struct("domain", "sz"))).alias("ds"))
+    )
+    rn, dom = F.col("round_no"), F.col("domain")
+    pos = F.aggregate(
+        "ds",
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.least(s["sz"], rn.cast("long") - 1)
+        + F.when((s["sz"] >= rn) & (s["domain"] <= dom), 1).otherwise(0),
+    )
+    got = {
+        (r_.domain, r_.doc_id): r_.pos
+        for r_ in r.join(F.broadcast(sz_tbl)).select("domain", "doc_id", pos.alias("pos")).collect()
+    }
+
+    # definitional deal loop
+    remaining = {f"d{i}": s for i, s in enumerate(sizes)}
+    want, p, rnd = {}, 0, 1
+    while any(v >= rnd for v in remaining.values()):
+        for d in sorted(remaining):
+            if remaining[d] >= rnd:
+                p += 1
+                want[(d, rnd - 1)] = p
+        rnd += 1
+    assert got == want
