@@ -113,31 +113,37 @@ def _rotation(names: list[str]) -> list[str]:
     # as 'freshly checked' (the r6 embedding_quantize_int8 precedent).
     red = sorted(n for n in names if n in last and not green.get(n, True))
     never = sorted(n for n in names if n not in last)
-    # A new query MUST land inside the driver's window in its first
-    # round — the r6 orders_price_equidepth failure mode. The hard
-    # assertion covers NEVER only: its count is developer-controlled
-    # (add ≤50 new queries per round). Red counts are FAILURE-driven
-    # (a systemic fixture/oracle breakage could redden 51+ rows at
-    # once), so the red tier is CAPPED at the slots never doesn't
-    # need: excess reds spill behind the never tier (still ahead of
-    # every green row) instead of crowding new queries out of their
-    # guaranteed first-round slot — raising there would deadlock the
-    # driver out of the very round that clears the reds (ADVICE r7).
-    if len(never) > _WINDOW:
-        raise AssertionError(
-            f"{len(never)} never-driver-checked queries exceed the "
-            f"{_WINDOW}-slot window; they cannot all get a first-round row"
-        )
-    cap = _WINDOW - len(never)
-    red_head, red_spill = red[:cap], red[cap:]
     changed = [
         n for n in _CHANGED_THIS_ROUND if n not in never and n not in red
     ]
+    # New AND plan-changed queries MUST land inside the driver's
+    # window this round — the r6 orders_price_equidepth failure mode
+    # for `never`, and the same silent-staleness mode for `changed`
+    # (a changed plan shipping rounds on a stale green row — review
+    # finding r8). Both counts are developer-controlled (add/change
+    # ≤50 queries per round), so the hard assertion covers both. Red
+    # counts are FAILURE-driven (a systemic fixture/oracle breakage
+    # could redden 51+ rows at once), so the red tier is CAPPED at
+    # the slots the guaranteed tiers don't need: excess reds spill
+    # behind them (still ahead of every green row) instead of
+    # crowding guaranteed rows out of the window — raising there
+    # would deadlock the driver out of the very round that clears
+    # the reds (ADVICE r7). A changed query whose latest row is RED
+    # sits in the red tier; if it spills, its red status persists
+    # into next round's red tier, so it cannot be forgotten.
+    if len(never) + len(changed) > _WINDOW:
+        raise AssertionError(
+            f"{len(never)} never-checked + {len(changed)} changed queries "
+            f"exceed the {_WINDOW}-slot window; they cannot all get a row "
+            f"this round"
+        )
+    cap = _WINDOW - len(never) - len(changed)
+    red_head, red_spill = red[:cap], red[cap:]
     head = set(red) | set(never) | set(changed)
     rest = sorted(
         (n for n in names if n not in head), key=lambda n: (last[n], n)
     )
-    return red_head + never + red_spill + changed + rest
+    return red_head + never + changed + red_spill + rest
 
 
 def _rotated(catalog: dict) -> dict:

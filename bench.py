@@ -147,10 +147,15 @@ def main() -> None:
         # runs OUTSIDE the per-query timers.
         _warm_python_workers()
         for qi, (name, fn) in enumerate(qs.items()):
-            if name in errors:
-                continue
+            # Probe BEFORE the error skip: errored queries still
+            # advance qi, so skipping after would silently drop the
+            # probe slot whenever the boundary query errored and the
+            # cadence would drift from the documented every-25
+            # (review finding r8).
             if qi and qi % _PROBE_EVERY == 0:
                 _noise_sample()
+            if name in errors:
+                continue
             spark.catalog.clearCache()
             load_at = round(os.getloadavg()[0], 2)
             t0 = time.perf_counter()

@@ -707,9 +707,11 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the touch↔purchase interval join keys on user_id — the
     skew bound is one user's activity window, the same bound
     events_sessionize carries. The per-purchase touch count is a
-    window over the SAME user-partitioned shuffle (event_id is
-    user-local), and the final rollup is day×type-sized. No
-    unbounded state, no broadcast of data-cardinality sets.
+    window over (user_id, event_id): because user_id leads the
+    partition keys, Catalyst reuses the join's user_id hash
+    partitioning (a local sort, no second Exchange — pinned by
+    test), and the final rollup is day×type-sized. No unbounded
+    state, no broadcast of data-cardinality sets.
     """
     ev = load_table(spark, sf_dir, "events")
     p = ev.filter(F.col("event_type") == "purchase").select(
@@ -726,7 +728,16 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("tts") < F.col("ts"))
         & (F.col("tts") >= F.col("ts") - F.expr(f"INTERVAL {ATTR_WINDOW_HOURS} HOURS")),
     )
-    k = j.withColumn("n_touch", F.count("*").over(W.partitionBy("event_id")))
+    # partitionBy(user_id, event_id), not event_id alone: event_id is
+    # unique per purchase so the count is identical, but HashPartitioning
+    # (user_id) from the join SATISFIES ClusteredDistribution(user_id,
+    # event_id) — the window reuses the join's shuffle (local sort
+    # only), where partitionBy(event_id) would insert a second
+    # data-sized Exchange (review finding r8; exchange count pinned
+    # in tests/test_r8_queries.py).
+    k = j.withColumn(
+        "n_touch", F.count("*").over(W.partitionBy("user_id", "event_id"))
+    )
     return k.groupBy(
         F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
         "touch_type",

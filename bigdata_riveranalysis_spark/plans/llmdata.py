@@ -45,7 +45,24 @@ from bigdata_riveranalysis_spark.sources.tables import (
 
 NUM_MINHASHES = 8
 MINHASH_SHINGLE_N = 3  # word trigrams
-JACCARD_THRESHOLD = 0.5
+#: J ≥ t with t expressed as the exact integer rational NUM/DEN.
+#: Every regime — the distributed filter, the local fused tile test,
+#: the oracle SQL, the minhash agree-count — derives from this ONE
+#: pair, so editing the threshold cannot desync them (review finding
+#: r8: the tile test previously hardcoded the t = 1/2 coefficient 3,
+#: silently decoupled from this constant).
+JACCARD_THRESHOLD_NUM = 1
+JACCARD_THRESHOLD_DEN = 2
+JACCARD_THRESHOLD = JACCARD_THRESHOLD_NUM / JACCARD_THRESHOLD_DEN
+#: Fused tile-test coefficient: with t = p/q,
+#:   J ≥ t ⟺ q·common ≥ p·(ssum − common) ⟺ (p+q)·common ≥ p·ssum.
+_JACCARD_TILE_COEF = JACCARD_THRESHOLD_NUM + JACCARD_THRESHOLD_DEN
+#: f32-exactness vocab cap for the fused tile test: every scaled
+#: operand ((p+q)·common ≤ (p+q)·nv, p·size ≤ p·nv) must stay an
+#: exact f32 integer, i.e. < 2^24; p+q > p so p+q binds. At the
+#: default t = 1/2 this is the ADVICE-r7 2^24/3 = 5_592_405 bound
+#: (boundary pinned in tests/test_r8_operators.py).
+_JACCARD_VOCAB_CAP = (1 << 24) // _JACCARD_TILE_COEF
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -583,6 +600,49 @@ JACCARD_DF_CAP_SQL = (
 _JACCARD_SWEEP_CELLS = 64_000_000
 
 
+def _dense_shingle_matrix(sh: DataFrame, df_cap: int, vocab_cap: int):
+    """Shared local-dense setup for _jaccard_local/_containment_local
+    (factored r8 — the two verbatim copies of the collect/factorize/
+    matrix-build/df-cap block previously had to be edited in sync,
+    the same drift class _band_rows already got fixed for): one
+    Arrow-batched collect of the shingle sets, a pd.factorize vocab
+    index, the 0/1 f32 (docs × vocab) matrix, df-cap column zeroing,
+    and the post-cap size recompute.
+
+    Returns None when a gate says "use the distributed plan": the
+    cells/FLOPs dense gates, or vocab above the caller's
+    f32-exactness cap (the cap DIFFERS per caller because each fused
+    tile test scales counts by its own integer coefficients — see
+    _JACCARD_VOCAB_CAP / _CONTAINMENT_VOCAB_CAP). Otherwise returns
+    (ids, sizes, M); n == 0 yields empty arrays, which the callers'
+    tile loops handle naturally."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = sh.select("doc_id", "s").toPandas()
+    n = len(pdf)
+    sets = pdf["s"].to_numpy()
+    sizes = np.fromiter((len(s) for s in sets), dtype=np.int64, count=n)
+    flat = np.concatenate(sets) if sizes.sum() else np.array([], dtype=object)
+    codes, uniques = pd.factorize(flat)
+    nv = len(uniques)
+    if n * nv > JACCARD_LOCAL_MAX_CELLS or 2.0 * n * n * nv > JACCARD_LOCAL_MAX_FLOPS:
+        return None
+    if nv > vocab_cap:
+        return None
+    ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+    M = np.zeros((n, max(nv, 1)), dtype=np.float32)
+    M[np.repeat(np.arange(n), sizes), codes] = 1.0
+    # df-cap (see JACCARD_DF_CAP_*): zero out boilerplate-gram columns
+    # and recompute sizes over the kept vocabulary — identical to the
+    # distributed plans' and the oracles' capped semantics.
+    if nv:
+        gram_df = np.bincount(codes, minlength=nv)
+        M[:, gram_df > df_cap] = 0.0
+        sizes = M.sum(axis=1).astype(np.int64)
+    return ids, sizes, M
+
+
 def _jaccard_local(spark: SparkSession, sh: DataFrame, df_cap: int) -> DataFrame | None:
     """Exact all-pairs Jaccard in the local (small-corpus) regime.
 
@@ -627,39 +687,23 @@ def _jaccard_local(spark: SparkSession, sh: DataFrame, df_cap: int) -> DataFrame
     import pandas as pd
 
     out_schema = "doc_a long, doc_b long, jaccard double"
-    pdf = sh.select("doc_id", "s").toPandas()
-    n = len(pdf)
+    # _JACCARD_VOCAB_CAP: exactness bound for the fused f32 threshold
+    # — every scaled tile operand ((p+q)·common, p·size ≤ (p+q)·nv)
+    # must stay an exact f32 integer (< 2^24). At t=1/2 this is
+    # 2^24/3 = 5 592 405 (the old ≤2^23 gate admitted common up to
+    # 8.3M, where a pair sitting exactly on the J=0.5 boundary could
+    # flip vs the oracle — ADVICE r7). A ≥5.6M-gram vocab at n≤4 docs
+    # is a degenerate shape anyway; distributed path.
+    dense = _dense_shingle_matrix(sh, df_cap, _JACCARD_VOCAB_CAP)
+    if dense is None:
+        return None
+    ids, sizes, M = dense
+    n = len(ids)
     if n == 0:
         return spark.createDataFrame([], out_schema)
-    sets = pdf["s"].to_numpy()
-    sizes = np.fromiter((len(s) for s in sets), dtype=np.int64, count=n)
-    flat = np.concatenate(sets) if sizes.sum() else np.array([], dtype=object)
-    codes, uniques = pd.factorize(flat)
-    nv = len(uniques)
-    if n * nv > JACCARD_LOCAL_MAX_CELLS or 2.0 * n * n * nv > JACCARD_LOCAL_MAX_FLOPS:
-        return None
-    if nv > (1 << 24) // 3:
-        # exactness bound for the fused f32 threshold: common ≤ nv,
-        # and with t=0.5 the product (1+t)·common = 1.5·common is a
-        # HALF-integer for odd common — representable in f32 only
-        # while 1.5·common < 2^23, i.e. common ≤ 2^24/3 = 5 592 405
-        # (the old ≤2^23 gate admitted common up to 8.3M, where a pair
-        # sitting exactly on the J=0.5 boundary could flip vs the
-        # oracle — ADVICE r7). A ≥5.6M-gram vocab at n≤4 docs is a
-        # degenerate shape anyway; distributed path.
-        return None
-    ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-    M = np.zeros((n, max(nv, 1)), dtype=np.float32)
-    M[np.repeat(np.arange(n), sizes), codes] = 1.0
-    # df-cap (see JACCARD_DF_CAP_*): zero out boilerplate-gram columns
-    # and recompute sizes over the kept vocabulary — identical to the
-    # distributed plan's and the oracle's capped semantics.
-    if nv:
-        gram_df = np.bincount(codes, minlength=nv)
-        M[:, gram_df > df_cap] = 0.0
-        sizes = M.sum(axis=1).astype(np.int64)
     out_a, out_b, out_j = [], [], []
-    sizes32 = sizes.astype(np.float32)
+    # p·|·| as exact integer-valued f32 (p·nv < 2^24 under the gate).
+    psizes32 = sizes.astype(np.float32) * np.float32(JACCARD_THRESHOLD_NUM)
     block = max(1, _JACCARD_SWEEP_CELLS // max(n, 1))
     # Preallocated tile buffers + in-place ops (r8): the r7 sweep's
     # cost was NOT the GEMM (0.2-0.4 s) but the per-tile temporaries —
@@ -676,17 +720,21 @@ def _jaccard_local(spark: SparkSession, sh: DataFrame, df_cap: int) -> DataFrame
         cb, kb = common[: stop - start], cand[: stop - start]
         np.matmul(M[start:stop], M.T, out=cb)
         # Threshold in INTEGER-only f32 (ADVICE r7's alternative
-        # form): for t = 1/2,
-        #   J ≥ t ⟺ (1+t)·common ≥ t·(|A|+|B|) ⟺ 3·common ≥ |A|+|B|
-        # evaluated in-place as 3·common − |B| ≥ |A|. Every operand is
-        # an integer-valued f32: 3·common ≤ 3·nv < 2^24 stays exact
-        # under the nv ≤ 2^24/3 gate above, and the subtraction keeps
-        # integer magnitudes < 2^24 — no half-integers anywhere, so
-        # the boundary cannot flip. The |A|+|B| > 0 guard (ssum=0
-        # would vacuously pass) moves to the few survivors below.
-        cb *= np.float32(3)
-        cb -= sizes32[None, :]
-        np.greater_equal(cb, sizes32[start:stop, None], out=kb)
+        # form): with t = p/q,
+        #   J ≥ t ⟺ q·common ≥ p·(ssum − common) ⟺ (p+q)·common ≥ p·ssum
+        # evaluated in-place as (p+q)·common − p·|B| ≥ p·|A|, with
+        # p+q = _JACCARD_TILE_COEF derived from the SAME rational the
+        # distributed filter and oracle use (review finding r8: the
+        # coefficient was previously hardcoded for t=1/2). Every
+        # operand is an integer-valued f32: (p+q)·common ≤ (p+q)·nv
+        # < 2^24 stays exact under the _JACCARD_VOCAB_CAP gate, and
+        # the subtraction keeps integer magnitudes < 2^24 — no
+        # half-integers anywhere, so the boundary cannot flip. The
+        # |A|+|B| > 0 guard (ssum=0 would vacuously pass) moves to
+        # the few survivors below.
+        cb *= np.float32(_JACCARD_TILE_COEF)
+        cb -= psizes32[None, :]
+        np.greater_equal(cb, psizes32[start:stop, None], out=kb)
         ai, bj = np.nonzero(kb)
         keep = ids[start:stop][ai] < ids[bj]
         ai, bj = ai[keep], bj[keep]
@@ -2798,73 +2846,84 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 #: C(A,B) = |A∩B| / min(|A|,|B|) threshold, as an integer percent so
-#: the filter is an exact integer comparison (5·common ≥ 4·min) in
-#: every regime and in the oracle.
+#: the filter is an exact integer comparison in every regime and in
+#: the oracle. The comparison coefficients are DERIVED from this one
+#: constant (the Jaccard-threshold pattern): C ≥ pct/100 reduced to
+#: lowest terms p/q gives q·common ≥ p·min — at 80 %, 5·common ≥
+#: 4·min.
 CONTAINMENT_THRESHOLD_PCT = 80
+_CONT_P = CONTAINMENT_THRESHOLD_PCT // _math.gcd(CONTAINMENT_THRESHOLD_PCT, 100)
+_CONT_Q = 100 // _math.gcd(CONTAINMENT_THRESHOLD_PCT, 100)
+#: f32-exactness vocab cap for the fused containment tile test:
+#: q·common ≤ q·nv and p·size ≤ p·nv must stay exact f32 integers
+#: (< 2^24); q > p so q binds. At 80 % this is 2^24/5 = 3_355_443.
+_CONTAINMENT_VOCAB_CAP = (1 << 24) // _CONT_Q
 
 
 def _containment_local(spark: SparkSession, sh: DataFrame, df_cap: int) -> DataFrame | None:
     """Exact all-pairs containment in the small-corpus regime — the
-    sibling of _jaccard_local (same gates, same factorize + blocked
-    binary matmul), kept separate because the fused-threshold trick
-    differs: containment thresholds against min(|A|,|B|), so the
-    tile test is the integer comparison 5·common ≥ 4·min evaluated
-    in int64 after an exact f32→int64 conversion of the GEMM counts
-    (counts ≤ vocab < 2²⁴ are exact in f32; no half-integer products
-    appear, unlike Jaccard's 1.5·common)."""
+    sibling of _jaccard_local: same shared dense setup
+    (_dense_shingle_matrix), same preallocated-tile in-place sweep
+    (the r8 Jaccard fix — per-tile temporaries, not the GEMM, were
+    the measured 0.6→3.0 s variance source, and the first containment
+    cut reintroduced them at ~5× the bytes; review finding r8). The
+    fused threshold differs: containment tests against min(|A|,|B|),
+    and min distributes over the comparison —
+
+        q·c ≥ p·min(|A|,|B|)  ⟺  q·c ≥ p·|A|  OR  q·c ≥ p·|B|
+
+    so the tile test is two in-place f32 compares OR-ed into reused
+    bool buffers. Every scaled operand (q·common ≤ q·nv, p·size) is
+    an exact f32 integer under the _CONTAINMENT_VOCAB_CAP gate; the
+    min > 0 guard (both-empty pairs vacuously pass 0 ≥ 0) moves to
+    the few survivors."""
     import numpy as np
     import pandas as pd
 
     out_schema = "doc_a long, doc_b long, n_common long, containment double"
-    pdf = sh.select("doc_id", "s").toPandas()
-    n = len(pdf)
+    dense = _dense_shingle_matrix(sh, df_cap, _CONTAINMENT_VOCAB_CAP)
+    if dense is None:
+        return None
+    ids, sizes, M = dense
+    n = len(ids)
     if n == 0:
         return spark.createDataFrame([], out_schema)
-    sets = pdf["s"].to_numpy()
-    sizes = np.fromiter((len(s) for s in sets), dtype=np.int64, count=n)
-    flat = np.concatenate(sets) if sizes.sum() else np.array([], dtype=object)
-    codes, uniques = pd.factorize(flat)
-    nv = len(uniques)
-    if n * nv > JACCARD_LOCAL_MAX_CELLS or 2.0 * n * n * nv > JACCARD_LOCAL_MAX_FLOPS:
-        return None
-    if nv > 1 << 24:  # GEMM counts must stay exact in f32
-        return None
-    ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-    M = np.zeros((n, max(nv, 1)), dtype=np.float32)
-    M[np.repeat(np.arange(n), sizes), codes] = 1.0
-    if nv:
-        gram_df = np.bincount(codes, minlength=nv)
-        M[:, gram_df > df_cap] = 0.0
-        sizes = M.sum(axis=1).astype(np.int64)
     out_a, out_b, out_c, out_r = [], [], [], []
+    psizes32 = sizes.astype(np.float32) * np.float32(_CONT_P)
     block = max(1, _JACCARD_SWEEP_CELLS // max(n, 1))
-    col = np.arange(n)
+    nb = min(block, n)
+    common = np.empty((nb, n), dtype=np.float32)
+    cand = np.empty((nb, n), dtype=bool)
+    cand2 = np.empty((nb, n), dtype=bool)
     for start in range(0, n, block):
         stop = min(start + block, n)
-        common = (M[start:stop] @ M.T).astype(np.int64)
-        mins = np.minimum(sizes[start:stop, None], sizes[None, :])
-        # strict upper triangle by INDEX (each unordered pair once);
-        # output orientation is by doc_id VALUE below, matching the
-        # oracle's doc_a < doc_b.
-        mask = (
-            (5 * common >= 4 * mins)
-            & (mins > 0)
-            & (col[None, :] > np.arange(start, stop)[:, None])
-        )
-        ii, jj = np.nonzero(mask)
-        if len(ii) == 0:
-            continue
-        c = common[ii, jj]
-        mn = mins[ii, jj]
-        ia, ib = ids[start + ii], ids[jj]
-        out_a.append(np.minimum(ia, ib))
-        out_b.append(np.maximum(ia, ib))
-        out_c.append(c)
+        cb = common[: stop - start]
+        kb, k2 = cand[: stop - start], cand2[: stop - start]
+        np.matmul(M[start:stop], M.T, out=cb)
+        cb *= np.float32(_CONT_Q)
+        np.greater_equal(cb, psizes32[None, :], out=kb)  # q·c ≥ p·|B|
+        np.greater_equal(cb, psizes32[start:stop, None], out=k2)  # q·c ≥ p·|A|
+        kb |= k2
+        ai, bj = np.nonzero(kb)
+        # each unordered pair once, oriented by doc_id VALUE —
+        # matching the oracle's doc_a < doc_b (the _jaccard_local
+        # convention; both orientations pass the symmetric test).
+        keep = ids[start + ai] < ids[bj]
+        ai, bj = ai[keep], bj[keep]
+        sa, sb = sizes[start + ai], sizes[bj]
+        mn = np.minimum(sa, sb)
+        good = mn > 0
+        ai, bj, mn = ai[good], bj[good], mn[good]
+        # Exact intersection counts for the few survivors only (cb
+        # was scaled in place): binary row dot products, sums ≤ nv
+        # < 2^24 — exact in f32 in any accumulation order.
+        com = np.einsum("ij,ij->i", M[start + ai], M[bj]).astype(np.int64)
+        out_a.append(ids[start + ai])
+        out_b.append(ids[bj])
+        out_c.append(com)
         # the exact ratio_round4 identity (scale 0): identical
         # integers to the oracle's floor((2·10⁴·S + n)/(2n))/10⁴.
-        out_r.append((20000 * c + mn) // (2 * mn) / 1e4)
-    if not out_a:
-        return spark.createDataFrame([], out_schema)
+        out_r.append((20000 * com + mn) // (2 * mn) / 1e4)
     pout = pd.DataFrame(
         {
             "doc_a": np.concatenate(out_a),
@@ -2873,6 +2932,8 @@ def _containment_local(spark: SparkSession, sh: DataFrame, df_cap: int) -> DataF
             "containment": np.concatenate(out_r),
         }
     )
+    if pout.empty:
+        return spark.createDataFrame([], out_schema)
     return spark.createDataFrame(pout, out_schema)
 
 
@@ -2903,7 +2964,7 @@ def _containment_local(spark: SparkSession, sh: DataFrame, df_cap: int) -> DataF
     FROM common
     JOIN sizes sa ON doc_a = sa.doc_id
     JOIN sizes sb ON doc_b = sb.doc_id
-    WHERE 5 * n_common >= 4 * least(sa.n, sb.n)
+    WHERE {_CONT_Q} * n_common >= {_CONT_P} * least(sa.n, sb.n)
     """,
 )
 def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2924,7 +2985,8 @@ def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizing) is the sole hot-key defense. At 100 TB the shuffle key
     is still the shingle and pair aggregation only sees co-gram
     candidates; the threshold filter is the exact integer comparison
-    5·common ≥ 4·min in both regimes and the oracle.
+    q·common ≥ p·min (5·common ≥ 4·min at 80 %), with p/q derived
+    from CONTAINMENT_THRESHOLD_PCT in both regimes and the oracle.
     """
     docs = _docs(spark, sf_dir)
     tok = TX.tokens("text")
@@ -2962,7 +3024,7 @@ def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mn = F.least(F.col("na"), F.col("nb"))
     return (
-        common.filter(F.lit(5) * F.col("n_common") >= F.lit(4) * mn)
+        common.filter(F.lit(_CONT_Q) * F.col("n_common") >= F.lit(_CONT_P) * mn)
         .select(
             "doc_a",
             "doc_b",

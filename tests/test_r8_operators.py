@@ -255,13 +255,23 @@ def test_f32_jaccard_gate_constant_sits_at_the_half_integer_boundary():
     rounded = np.float32(1.5) * np.float32(past)
     assert float(rounded) != 1.5 * past  # half is lost → flip risk
 
-    # and the module gate uses exactly this constant
-    import inspect
-
+    # and the module gate carries exactly this constant, DERIVED from
+    # the threshold rational (review r8: the tile coefficient was
+    # previously hardcoded for t=1/2, silently decoupled from
+    # JACCARD_THRESHOLD) — so is the containment twin's tighter cap.
     from bigdata_riveranalysis_spark.plans import llmdata
 
-    src = inspect.getsource(llmdata._jaccard_local)
-    assert "(1 << 24) // 3" in src
+    assert llmdata.JACCARD_THRESHOLD == (
+        llmdata.JACCARD_THRESHOLD_NUM / llmdata.JACCARD_THRESHOLD_DEN
+    )
+    assert llmdata._JACCARD_TILE_COEF == (
+        llmdata.JACCARD_THRESHOLD_NUM + llmdata.JACCARD_THRESHOLD_DEN
+    )
+    assert llmdata._JACCARD_VOCAB_CAP == gate  # (1 << 24) // 3
+    assert llmdata._CONT_P / llmdata._CONT_Q == (
+        llmdata.CONTAINMENT_THRESHOLD_PCT / 100
+    )
+    assert llmdata._CONTAINMENT_VOCAB_CAP == (1 << 24) // llmdata._CONT_Q
 
 
 # ---------------------------------------------------------------------------
@@ -344,10 +354,14 @@ def test_mode_tie_break_is_lexicographic(spark):
 
 
 def test_rolling_range_frame_is_time_not_rows(spark):
-    """Three events 0/30/61 min apart: the 1-hour RANGE frame holds
-    [1, 2, 2] rows (the third sees only the 30-min neighbor), where a
-    2-row ROWS frame would read [1, 2, 2] for DIFFERENT reasons —
-    pin the time-exclusion of the first event at +61 min."""
+    """Five events 0/30/40/61/150 min apart: the 1-hour RANGE frame
+    counts [1, 2, 3, 3, 1] — a profile NO fixed ROWS frame can
+    reproduce (ROWS -1..0 reads [1,2,2,2,2]; ROWS -2..0 reads
+    [1,2,3,3,3] — the isolated +150 min event pins the time
+    exclusion, the +61 min event pins the expiry of the first). The
+    original 3-event version read [1,2,2] — indistinguishable from a
+    2-row ROWS frame, so the very semantics it claimed to pin were
+    unpinned (review finding r8)."""
     import datetime as dt
 
     from pyspark.sql import Window as W
@@ -357,7 +371,9 @@ def test_rolling_range_frame_is_time_not_rows(spark):
     rows = [
         (1, 7, t0),
         (2, 7, t0 + dt.timedelta(minutes=30)),
-        (3, 7, t0 + dt.timedelta(minutes=61)),
+        (3, 7, t0 + dt.timedelta(minutes=40)),
+        (4, 7, t0 + dt.timedelta(minutes=61)),
+        (5, 7, t0 + dt.timedelta(minutes=150)),
     ]
     ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
     w = (
@@ -369,7 +385,7 @@ def test_rolling_range_frame_is_time_not_rows(spark):
         r["event_id"]: r["n"]
         for r in ev.select("event_id", F.count(F.lit(1)).over(w).alias("n")).collect()
     }
-    assert got == {1: 1, 2: 2, 3: 2}
+    assert got == {1: 1, 2: 2, 3: 3, 4: 3, 5: 1}
 
 
 def test_complete_mode_agg_keeps_late_rows_across_batches(spark, tmp_path):

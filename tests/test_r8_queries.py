@@ -138,18 +138,26 @@ def test_kmeans_matches_independent_numpy_lloyd(spark):
     for r in codes:
         X[idx[r.vec_id], r.dim] = r.code
 
-    cents = X[[idx[v] for v in ids[:KMEANS_K]]].copy()
+    # The engine's update is a groupBy: an empty cluster produces NO
+    # centroid rows and vanishes from the next assignment. The
+    # reference must mirror that (a zeros-row placeholder could win
+    # argmin for low-magnitude codes and diverge spuriously — review
+    # finding r8), so centroids live in a cid-keyed dict and empty
+    # cids are dropped, not zeroed.
+    cents = {c: X[idx[ids[c]]].copy() for c in range(KMEANS_K)}
     for it in range(2):
-        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)  # argmin takes the lowest cid on ties
-        best = d2[np.arange(len(ids)), assign]
+        cids = sorted(cents)  # ascending cid ⇒ argmin = lowest cid on ties
+        C = np.stack([cents[c] for c in cids])
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        pos = d2.argmin(axis=1)
+        assign = np.array([cids[p] for p in pos])
+        best = d2[np.arange(len(ids)), pos]
         if it == 0:
-            new = np.zeros_like(cents)
-            for c in range(KMEANS_K):
-                m = X[assign == c]
-                if len(m):
-                    new[c] = m.sum(axis=0) // len(m)
-            cents = new
+            cents = {
+                c: X[assign == c].sum(axis=0) // (assign == c).sum()
+                for c in cids
+                if (assign == c).any()
+            }
 
     got = {r.vec_id: (r.cid, r.dist2) for r in kmeans_int8_lloyd2(spark, SF_SMOKE).collect()}
     want = {v: (int(assign[idx[v]]), int(best[idx[v]])) for v in ids}
@@ -203,6 +211,35 @@ def test_attribution_matches_pandas_bruteforce(spark):
     }
     assert got == want
     assert got, "the fixture must produce attributable purchases"
+
+
+def test_attribution_touch_count_window_reuses_join_shuffle(spark):
+    """At scale the touch↔purchase join is an SMJ on user_id; the
+    per-purchase touch-count window partitions by (user_id, event_id)
+    precisely so HashPartitioning(user_id) satisfies its distribution
+    and NO second data-sized Exchange appears (partitionBy(event_id)
+    alone would insert one — review finding r8). Pin under forced SMJ
+    (broadcast disabled, the 100 TB shape): the only hash exchanges
+    are the join's two inputs and the constant-size day×type rollup —
+    none on event_id."""
+    import re
+
+    from bigdata_riveranalysis_spark.plans.events import events_attribution_linear
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = events_attribution_linear(spark, SF_SMOKE)
+        df.count()  # executed plan, post-AQE
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    assert "SortMergeJoin" in plan
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    on_event = [e for e in exchanges if "event_id" in e]
+    assert not on_event, f"window re-shuffled on event_id: {on_event}"
+    assert len(exchanges) == 3, exchanges
 
 
 # ---------------------------------------------------------------------------

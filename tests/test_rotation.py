@@ -35,11 +35,16 @@ def test_never_checked_queries_lead_the_window():
     # Never-checked names occupy the first slots AFTER the (capped)
     # red tier (red-first is pinned by its own test), as a SET —
     # within-tier order is _rotation's business. The red tier is
-    # capped at _WINDOW - len(never) so the never tier always fits
-    # (ADVICE r7: an uncapped red wave would push new queries outside
-    # the window and the old hard assertion then deadlocked the
-    # driver out of the round that clears the reds).
-    n_red_head = min(len(red), E._WINDOW - len(never))
+    # capped at _WINDOW - len(never) - len(changed) so BOTH
+    # guaranteed tiers always fit (ADVICE r7: an uncapped red wave
+    # would push new queries outside the window and the old hard
+    # assertion then deadlocked the driver out of the round that
+    # clears the reds; review r8 extended the guarantee to
+    # changed-this-round queries).
+    changed = [
+        n for n in E._CHANGED_THIS_ROUND if n not in never and n not in red
+    ]
+    n_red_head = min(len(red), E._WINDOW - len(never) - len(changed))
     assert sorted(names[n_red_head : n_red_head + len(never)]) == sorted(never)
     assert all(names.index(n) < E._WINDOW for n in never)
 
@@ -139,6 +144,44 @@ def test_red_wave_spills_instead_of_deadlocking(tmp_path, monkeypatch):
     assert sorted(order[cap : cap + 2]) == ["new_a", "new_b"]
     # spilled reds follow immediately (ahead of any green row)
     assert order[cap + 2 : cap + 2 + (n_red - cap)] == sorted(fake)[cap:]
+
+
+def test_red_wave_cannot_push_changed_queries_out(tmp_path, monkeypatch):
+    """Review r8: a systemic red wave must not silently push
+    plan-CHANGED queries outside the window either — a changed plan
+    shipping on a stale green row is the same staleness mode the
+    never tier guards against, and _CHANGED_THIS_ROUND is rewritten
+    next round so a missed row would be forgotten entirely. Changed
+    queries rank behind never but AHEAD of spilled reds."""
+    import json
+
+    import __spark_entry__ as E
+
+    n_red = E._WINDOW + 10
+    fake = {
+        f"red{i:03d}": {"rows_match": True, "schema_match": True,
+                        "hash_match": False, "err": None}
+        for i in range(n_red)
+    }
+    # one GREEN previously-checked query whose plan changed this round
+    fake["tuned"] = {"rows_match": True, "schema_match": True,
+                     "hash_match": True, "err": None}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(fake))
+    monkeypatch.setattr(
+        "os.path.dirname", lambda p_: str(tmp_path), raising=True
+    )
+    monkeypatch.setattr(E, "_CHANGED_THIS_ROUND", ["tuned"])
+    names = sorted(fake) + ["new_a"]
+    order = E._rotation(names)
+    assert sorted(order) == sorted(names)
+    assert order.index("new_a") < E._WINDOW
+    assert order.index("tuned") < E._WINDOW
+    # tier shape: capped reds, never, changed, spilled reds
+    cap = E._WINDOW - 2
+    reds = sorted(n for n in fake if n != "tuned")
+    assert order[:cap] == reds[:cap]
+    assert order[cap : cap + 2] == ["new_a", "tuned"]
+    assert order[cap + 2 : cap + 2 + (n_red - cap)] == reds[cap:]
 
 
 def test_registry_size_keeps_three_round_cadence_arithmetic():
