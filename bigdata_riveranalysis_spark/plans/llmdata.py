@@ -3114,24 +3114,77 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 KMEANS_K = 8
 
 
-def _kmeans_assign(codes: DataFrame, cents: DataFrame) -> DataFrame:
-    """(vec_id, cid, dist2): nearest centroid per vector by exact
-    integer squared distance; ties break to the lowest cid."""
-    j = codes.join(F.broadcast(cents), "dim")
-    d = F.col("c") - F.col("cent")
-    d2 = j.groupBy("vec_id", "cid").agg(F.sum(d * d).alias("dist2"))
-    return (
-        d2.groupBy("vec_id")
-        .agg(F.min(F.struct("dist2", "cid")).alias("m"))
-        .select("vec_id", F.col("m.cid").alias("cid"), F.col("m.dist2").alias("dist2"))
+def _kmeans_vectors(codes: DataFrame) -> DataFrame:
+    """(vec_id, xs): the dim-ordered code vector per embedding — the
+    array form that makes every assignment pass a zero-shuffle
+    map-side operation. Dims are dense 0-based (posexplode output),
+    so array_sort(collect_list(struct(dim, c))) reassembles them in
+    order."""
+    return codes.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))),
+            lambda s: s["c"],
+        ).alias("xs")
     )
 
 
-def _kmeans_update(codes: DataFrame, assign: DataFrame) -> DataFrame:
+def _kmeans_cents_row(cents: DataFrame) -> DataFrame:
+    """ONE broadcastable row — the cid-sorted array of (cid, cs)
+    centroid structs — from the long-format (cid, dim, cent) frame.
+    k·d values total: the gate-free constant-size broadcast class."""
+    arr = cents.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "cent"))),
+            lambda s: s["cent"],
+        ).alias("cs")
+    )
+    return arr.agg(F.array_sort(F.collect_list(F.struct("cid", "cs"))).alias("cents"))
+
+
+def _kmeans_assign(X: DataFrame, cents_row: DataFrame) -> DataFrame:
+    """(vec_id, xs, cid, dist2): nearest centroid per vector by exact
+    integer squared L2; ties break to the lowest cid via the
+    lexicographic struct minimum — F.least over (dist2, cid) structs,
+    identical to the oracle's ORDER BY dist2, cid.
+
+    ZERO-shuffle: the k×d centroid table rides in as one broadcast
+    row (BroadcastNestedLoopJoin against a 1-row frame) and the
+    argmin over the k candidates runs INSIDE a higher-order aggregate
+    per input row. Exactness: dist2 accumulates in LongType (codes
+    are 0..255, so d·255² overflows nothing real); least() skips the
+    null init and compares structs field-wise."""
+    j = X.crossJoin(F.broadcast(cents_row))
+
+    def d2(cs):
+        return F.aggregate(
+            F.zip_with("xs", cs, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    best = F.aggregate(
+        "cents",
+        F.lit(None).cast("struct<dist2:bigint,cid:int>"),
+        lambda m, ct: F.least(
+            m, F.struct(d2(ct["cs"]).alias("dist2"), ct["cid"].alias("cid"))
+        ),
+    )
+    return j.select("vec_id", "xs", best.alias("m")).select(
+        "vec_id",
+        "xs",
+        F.col("m.cid").alias("cid"),
+        F.col("m.dist2").alias("dist2"),
+    )
+
+
+def _kmeans_update(assign: DataFrame) -> DataFrame:
     """(cid, dim, cent): per-cluster integer-mean centroid —
     floor(Σcode / n) via integer `div`, exact in both engines (codes
-    are nonnegative, so floor = truncation on both sides)."""
-    m = codes.join(assign.select("vec_id", "cid"), "vec_id")
+    are nonnegative, so floor = truncation on both sides). The only
+    shuffle per Lloyd iteration (n·d rows keyed by (cid, dim), k·d
+    out); the assignment rides along in the same rows, so no
+    codes↔assignment join exists at all."""
+    m = assign.select("cid", F.posexplode("xs").alias("dim", "c"))
     return m.groupBy("cid", "dim").agg(F.expr("sum(c) div count(*)").alias("cent"))
 
 
@@ -3207,36 +3260,37 @@ def kmeans_int8_lloyd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     textually). Init is deterministic: the {KMEANS_K} smallest
     vec_ids seed the centroids.
 
-    Scale: the codes frame (n·d rows) feeds 2 assign + 1 update
-    passes, so it is localCheckpointed once (on a cluster: one
-    materialization to storage, the standard k-means staging table).
-    Each assignment joins codes to a BROADCAST k×d centroid table
-    (k·d = {KMEANS_K}·64 rows — constant-size, the gate-free
-    broadcast class) and aggregates on (vec_id, cid): linear n·d·k
-    work, shuffle keys vec-sized, never all-pairs. Centroid updates
-    aggregate to k·d rows. Empty clusters simply vanish (no rows join
-    back) — acceptable for a fixed-k witness query; a production
-    trainer would re-seed them.
+    Scale (r8 array-form rewrite): the quantize output is reshaped
+    ONCE into per-vector code arrays (n rows; one n·d shuffle) and
+    localCheckpointed (on a cluster: one materialization to storage,
+    the standard k-means staging table). Each assignment is then a
+    ZERO-SHUFFLE map-side pass: the k×d centroid table rides in as
+    one broadcast row and the (dist2, cid) argmin runs inside a
+    higher-order aggregate — n·d·k integer work, embarrassingly
+    parallel at any n (the first cut broadcast-joined the LONG format
+    and paid two n·k-keyed shuffles per assignment). The one shuffle
+    per Lloyd iteration is the centroid update (n·d rows → k·d).
+    Empty clusters simply vanish (no rows aggregate) — acceptable for
+    a fixed-k witness query; a production trainer would re-seed them.
 
     Output is the final assignment (vec_id, cid, dist2) — one row per
     vector, the strongest checkable granularity.
     """
-    codes = (
-        embedding_quantize_int8(spark, sf_dir)
-        .select("vec_id", "dim", F.col("code").alias("c"))
-        .localCheckpoint()
-    )
+    X = _kmeans_vectors(
+        embedding_quantize_int8(spark, sf_dir).select(
+            "vec_id", "dim", F.col("code").alias("c")
+        )
+    ).localCheckpoint()
     wseed = W.orderBy("vec_id")  # bounded input: k rows after limit
     seed = (
-        codes.select("vec_id")
-        .distinct()
-        .orderBy("vec_id")
+        X.orderBy("vec_id")
         .limit(KMEANS_K)
-        .withColumn("cid", F.row_number().over(wseed) - 1)
+        .select(
+            (F.row_number().over(wseed) - 1).alias("cid"),
+            F.col("xs").alias("cs"),
+        )
     )
-    cents = codes.join(F.broadcast(seed), "vec_id").select(
-        "cid", "dim", F.col("c").alias("cent")
-    )
-    a1 = _kmeans_assign(codes, cents)
-    cents1 = _kmeans_update(codes, a1).localCheckpoint()
-    return _kmeans_assign(codes, cents1)
+    cents0 = seed.agg(F.array_sort(F.collect_list(F.struct("cid", "cs"))).alias("cents"))
+    a1 = _kmeans_assign(X, cents0)
+    cents1 = _kmeans_cents_row(_kmeans_update(a1))
+    return _kmeans_assign(X, cents1).select("vec_id", "cid", "dist2")

@@ -762,3 +762,49 @@ def test_interleave_closed_form_equals_definitional_enumeration(spark, sizes):
                 want[(d, rnd - 1)] = p
         rnd += 1
     assert got == want
+
+
+@SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=0, max_size=12),
+        min_size=1,
+        max_size=10,
+    ),
+    cap=st.integers(1, 10),
+)
+def test_containment_local_matches_set_arithmetic(spark, docs, cap):
+    """_containment_local's shared dense setup + in-place OR-form
+    threshold (q·c ≥ p·|A| OR q·c ≥ p·|B| ⟺ q·c ≥ p·min) must equal
+    plain Python set arithmetic (with the df-cap applied) on
+    arbitrary tiny corpora — including empty sets (the min > 0
+    survivor guard), full duplicates, and caps that zero out every
+    gram. The jaccard twin's property, for the r8 in-place rewrite."""
+    from bigdata_riveranalysis_spark.plans.llmdata import (
+        _CONT_P,
+        _CONT_Q,
+        _containment_local,
+    )
+
+    rows = [(i, sorted(set(d))) for i, d in enumerate(docs)]
+    sh = spark.createDataFrame(rows, "doc_id long, s array<string>")
+    out = _containment_local(spark, sh, cap)
+    assert out is not None  # tiny inputs never exceed the dense gates
+    got = {
+        (r.doc_a, r.doc_b): (r.n_common, r.containment) for r in out.collect()
+    }
+
+    from collections import Counter
+
+    dfc = Counter(g for _, s in rows for g in s)
+    sets = {i: {g for g in s if dfc[g] <= cap} for i, s in rows}
+    want = {}
+    for i in sets:
+        for j in sets:
+            if i < j:
+                mn = min(len(sets[i]), len(sets[j]))
+                c = len(sets[i] & sets[j])
+                if mn > 0 and _CONT_Q * c >= _CONT_P * mn:
+                    # the exact half-up floor identity at scale 0
+                    want[(i, j)] = (c, (20000 * c + mn) // (2 * mn) / 1e4)
+    assert got == want
