@@ -256,6 +256,9 @@ def main() -> None:
         "events_rolling_1h_range",
         "part_frontier_by_brand",
         "customer_order_streaks",
+        "kmeans_int8_lloyd2",
+        "dedup_containment_ngram",
+        "events_attribution_linear",
     ]
     headline = {n: timings[n] for n in headline_names if n in timings}
     # Stdout carries a SUMMARY of the noise samples, not the array:
