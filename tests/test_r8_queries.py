@@ -312,3 +312,25 @@ def test_trend_ols_matches_arbitrary_precision_python(spark):
     }
     assert got == want
     assert got
+
+
+def test_dense_gate_vocab_cap_returns_none_for_both_callers(spark, monkeypatch):
+    """_dense_shingle_matrix must hand the problem BACK to the
+    distributed plan when the caller's f32-exactness vocab cap is
+    exceeded — for both callers, whose caps differ (review r8: the
+    caps derive from each threshold's integer coefficients, so the
+    shared helper must honor the caller's own bound, not a baked-in
+    one)."""
+    from bigdata_riveranalysis_spark.plans import llmdata as LD
+
+    rows = [(1, ["a b", "b c"]), (2, ["b c", "c d"])]
+    sh = spark.createDataFrame(rows, "doc_id long, s array<string>")
+    # generous caps: local paths engage
+    assert LD._containment_local(spark, sh, df_cap=10) is not None
+    assert LD._jaccard_local(spark, sh, df_cap=10) is not None
+    # cap below the 3-gram vocab: both decline and defer
+    assert LD._dense_shingle_matrix(sh, 10, vocab_cap=2) is None
+    monkeypatch.setattr(LD, "_CONTAINMENT_VOCAB_CAP", 2)
+    monkeypatch.setattr(LD, "_JACCARD_VOCAB_CAP", 2)
+    assert LD._containment_local(spark, sh, df_cap=10) is None
+    assert LD._jaccard_local(spark, sh, df_cap=10) is None
