@@ -113,6 +113,13 @@ def _rotation(names: list[str]) -> list[str]:
     # as 'freshly checked' (the r6 embedding_quantize_int8 precedent).
     red = sorted(n for n in names if n in last and not green.get(n, True))
     never = sorted(n for n in names if n not in last)
+    # A changed query whose latest row is ALSO red keeps both
+    # properties: it leads the window ahead of the capped red tier,
+    # uncapped (review r8 second pass: filtering it into the capped
+    # red tier let a systemic red wave spill it outside the window
+    # with no assertion firing — the one hole in the 'changed queries
+    # always get a row' guarantee).
+    changed_red = [n for n in _CHANGED_THIS_ROUND if n in red]
     changed = [
         n for n in _CHANGED_THIS_ROUND if n not in never and n not in red
     ]
@@ -128,22 +135,23 @@ def _rotation(names: list[str]) -> list[str]:
     # behind them (still ahead of every green row) instead of
     # crowding guaranteed rows out of the window — raising there
     # would deadlock the driver out of the very round that clears
-    # the reds (ADVICE r7). A changed query whose latest row is RED
-    # sits in the red tier; if it spills, its red status persists
-    # into next round's red tier, so it cannot be forgotten.
-    if len(never) + len(changed) > _WINDOW:
+    # the reds (ADVICE r7).
+    n_guaranteed = len(never) + len(changed) + len(changed_red)
+    if n_guaranteed > _WINDOW:
         raise AssertionError(
-            f"{len(never)} never-checked + {len(changed)} changed queries "
-            f"exceed the {_WINDOW}-slot window; they cannot all get a row "
-            f"this round"
+            f"{len(never)} never-checked + "
+            f"{len(changed) + len(changed_red)} changed queries exceed "
+            f"the {_WINDOW}-slot window; they cannot all get a row this "
+            f"round"
         )
-    cap = _WINDOW - len(never) - len(changed)
-    red_head, red_spill = red[:cap], red[cap:]
+    cap = _WINDOW - n_guaranteed
+    red_rest = [n for n in red if n not in changed_red]
+    red_head, red_spill = red_rest[:cap], red_rest[cap:]
     head = set(red) | set(never) | set(changed)
     rest = sorted(
         (n for n in names if n not in head), key=lambda n: (last[n], n)
     )
-    return red_head + never + changed + red_spill + rest
+    return changed_red + red_head + never + changed + red_spill + rest
 
 
 def _rotated(catalog: dict) -> dict:

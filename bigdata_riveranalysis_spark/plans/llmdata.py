@@ -673,8 +673,10 @@ def _jaccard_local(spark: SparkSession, sh: DataFrame, df_cap: int) -> DataFrame
     traffic under memory pressure), not in BLAS compute or
     contention. r8 therefore preallocates the two tile buffers and
     runs the threshold in-place in integer-only f32 (see the loop
-    comment), eliminating every per-tile allocation; survivors get an
-    exact einsum recompute. Post-change, same box: first (cold) run
+    comment), eliminating every per-tile allocation; survivor counts
+    are recovered exactly from the tile buffer (post-review — the
+    first cut einsum-recomputed them, O(survivors·vocab) at scalar
+    speed). Post-change, same box: first (cold) run
     3.6 s, then 1.00/1.22/1.06/1.40 s — min 1.00 s and a steady-state
     band of ~1.0-1.4 s vs the pre-change 1.0-5.5 s (the residual
     swing is the Arrow collect, 0.38-1.30 s in the segment profile).
@@ -741,10 +743,16 @@ def _jaccard_local(spark: SparkSession, sh: DataFrame, df_cap: int) -> DataFrame
         sa, sb = sizes[start + ai], sizes[bj]
         good = (sa + sb) > 0
         ai, bj, sa, sb = ai[good], bj[good], sa[good], sb[good]
-        # Exact intersection counts for the few survivors only: row
-        # dot products (binary 0/1, sums ≤ nv < 2^24 — exact in f32
-        # in any accumulation order), then f64 for the final ratio.
-        com = np.einsum("ij,ij->i", M[start + ai], M[bj]).astype(np.float64)
+        # Exact survivor counts recovered FROM the tile buffer (review
+        # r8: an einsum recompute re-did O(survivors·vocab) of the
+        # GEMM at scalar speed — on dup-heavy corpora survivors are
+        # not few): cb holds coef·c − p·|B|, all integer-valued f32
+        # ≤ coef·nv < 2^24, so adding back p·|B| and dividing by the
+        # integer coef is exact (correctly-rounded division of exact
+        # integers whose true quotient is a representable integer).
+        com = (
+            (cb[ai, bj] + psizes32[bj]) / np.float32(_JACCARD_TILE_COEF)
+        ).astype(np.float64)
         uni = (sa + sb).astype(np.float64) - com
         jac = com / uni
         out_a.append(ids[start + ai])
@@ -793,7 +801,8 @@ def _jaccard_local(spark: SparkSession, sh: DataFrame, df_cap: int) -> DataFrame
     FROM common
     JOIN sizes sa ON doc_a = sa.doc_id
     JOIN sizes sb ON doc_b = sb.doc_id
-    WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+    WHERE {JACCARD_THRESHOLD_DEN} * n_common
+          >= {JACCARD_THRESHOLD_NUM} * (sa.n + sb.n - n_common)
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -866,8 +875,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact, and it drops mismatched-size pairs before the pair
     # aggregation (measured ~2.5× on the dense test corpus). Carrying
     # n through the join also removes the two post-join size lookups.
-    ratio_ok = (F.col("a.n") * JACCARD_THRESHOLD <= F.col("b.n")) & (
-        F.col("b.n") * JACCARD_THRESHOLD <= F.col("a.n")
+    # Integer form p·n ≤ q·m (review r8): the float form n·t ≤ m is
+    # identical at the dyadic default t = 1/2, but a non-dyadic
+    # threshold whose double rounds UP would drop boundary pairs the
+    # exact local tile test keeps — the cross-regime desync the
+    # derived-constants refactor exists to prevent.
+    p, q = JACCARD_THRESHOLD_NUM, JACCARD_THRESHOLD_DEN
+    ratio_ok = (F.col("a.n") * p <= F.col("b.n") * q) & (
+        F.col("b.n") * p <= F.col("a.n") * q
     )
     common = (
         a.join(
@@ -884,13 +899,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     uni = F.col("na") + F.col("nb") - F.col("n_common")
-    jac = F.col("n_common") / uni
-    # threshold compares the identical double on both engines (safe);
-    # the EMITTED value goes through the exact ratio identity — raw
+    # Integer threshold q·common ≥ p·union — exact for ANY rational
+    # threshold, in lockstep with the local tile test and the oracle
+    # (review r8; the float compare was identical only at dyadic t).
+    # The EMITTED value goes through the exact ratio identity — raw
     # round() of an int/int quotient flips at 5th-decimal ties when
     # the union size has factor-5 denominators (r6 policy).
     return (
-        common.filter(jac >= JACCARD_THRESHOLD)
+        common.filter(F.col("n_common") * q >= uni * p)
         .select(
             "doc_a",
             "doc_b",
@@ -2914,10 +2930,12 @@ def _containment_local(spark: SparkSession, sh: DataFrame, df_cap: int) -> DataF
         mn = np.minimum(sa, sb)
         good = mn > 0
         ai, bj, mn = ai[good], bj[good], mn[good]
-        # Exact intersection counts for the few survivors only (cb
-        # was scaled in place): binary row dot products, sums ≤ nv
-        # < 2^24 — exact in f32 in any accumulation order.
-        com = np.einsum("ij,ij->i", M[start + ai], M[bj]).astype(np.int64)
+        # Exact survivor counts recovered FROM the tile buffer (the
+        # jaccard twin's move — no einsum recompute): cb holds q·c,
+        # an exact f32 integer ≤ q·nv < 2^24, and dividing by the
+        # integer q is exact (the true quotient is a representable
+        # integer, so correctly-rounded division returns it).
+        com = (cb[ai, bj] / np.float32(_CONT_Q)).astype(np.int64)
         out_a.append(ids[start + ai])
         out_b.append(ids[bj])
         out_c.append(com)

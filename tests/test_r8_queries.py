@@ -230,7 +230,12 @@ def test_attribution_touch_count_window_reuses_join_shuffle(spark):
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try:
         df = events_attribution_linear(spark, SF_SMOKE)
-        df.count()  # executed plan, post-AQE
+        # The STATIC physical plan (initial AdaptiveSparkPlan) is the
+        # right artifact here: exchange insertion for a window's
+        # required ClusteredDistribution is a static-planning
+        # decision — AQE can coalesce/convert exchanges but never
+        # adds one for the window — so pin the static shape without
+        # running a throwaway job.
         plan = df._jdf.queryExecution().executedPlan().toString()
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")

@@ -41,11 +41,13 @@ def test_never_checked_queries_lead_the_window():
     # assertion then deadlocked the driver out of the round that
     # clears the reds; review r8 extended the guarantee to
     # changed-this-round queries).
+    changed_red = [n for n in E._CHANGED_THIS_ROUND if n in red]
     changed = [
         n for n in E._CHANGED_THIS_ROUND if n not in never and n not in red
     ]
-    n_red_head = min(len(red), E._WINDOW - len(never) - len(changed))
-    assert sorted(names[n_red_head : n_red_head + len(never)]) == sorted(never)
+    cap = E._WINDOW - len(never) - len(changed) - len(changed_red)
+    n_head = len(changed_red) + min(len(red) - len(changed_red), cap)
+    assert sorted(names[n_head : n_head + len(never)]) == sorted(never)
     assert all(names.index(n) < E._WINDOW for n in never)
 
 
@@ -151,8 +153,11 @@ def test_red_wave_cannot_push_changed_queries_out(tmp_path, monkeypatch):
     plan-CHANGED queries outside the window either — a changed plan
     shipping on a stale green row is the same staleness mode the
     never tier guards against, and _CHANGED_THIS_ROUND is rewritten
-    next round so a missed row would be forgotten entirely. Changed
-    queries rank behind never but AHEAD of spilled reds."""
+    next round so a missed row would be forgotten entirely. A changed
+    query that is ALSO red keeps both properties: it leads the window
+    ahead of the capped red tier (second-pass review: filtering it
+    into the capped tier let the wave spill it silently). Plain
+    changed queries rank behind never but AHEAD of spilled reds."""
     import json
 
     import __spark_entry__ as E
@@ -163,25 +168,32 @@ def test_red_wave_cannot_push_changed_queries_out(tmp_path, monkeypatch):
                         "hash_match": False, "err": None}
         for i in range(n_red)
     }
-    # one GREEN previously-checked query whose plan changed this round
+    # one GREEN previously-checked query whose plan changed this round,
+    # and one changed query caught in the red wave itself ("zz_" so an
+    # alphabetical red tier would spill it without the guarantee)
     fake["tuned"] = {"rows_match": True, "schema_match": True,
                      "hash_match": True, "err": None}
+    fake["zz_tuned_red"] = {"rows_match": True, "schema_match": True,
+                            "hash_match": False, "err": None}
     (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(fake))
     monkeypatch.setattr(
         "os.path.dirname", lambda p_: str(tmp_path), raising=True
     )
-    monkeypatch.setattr(E, "_CHANGED_THIS_ROUND", ["tuned"])
+    monkeypatch.setattr(E, "_CHANGED_THIS_ROUND", ["tuned", "zz_tuned_red"])
     names = sorted(fake) + ["new_a"]
     order = E._rotation(names)
     assert sorted(order) == sorted(names)
     assert order.index("new_a") < E._WINDOW
     assert order.index("tuned") < E._WINDOW
-    # tier shape: capped reds, never, changed, spilled reds
-    cap = E._WINDOW - 2
-    reds = sorted(n for n in fake if n != "tuned")
-    assert order[:cap] == reds[:cap]
-    assert order[cap : cap + 2] == ["new_a", "tuned"]
-    assert order[cap + 2 : cap + 2 + (n_red - cap)] == reds[cap:]
+    assert order.index("zz_tuned_red") < E._WINDOW
+    # tier shape: changed∩red first, capped reds, never, changed,
+    # spilled reds
+    assert order[0] == "zz_tuned_red"
+    cap = E._WINDOW - 3
+    reds = sorted(n for n in fake if n not in ("tuned", "zz_tuned_red"))
+    assert order[1 : 1 + cap] == reds[:cap]
+    assert order[1 + cap : 3 + cap] == ["new_a", "tuned"]
+    assert order[3 + cap : 3 + cap + (n_red - cap)] == reds[cap:]
 
 
 def test_registry_size_keeps_three_round_cadence_arithmetic():
