@@ -63,6 +63,13 @@ _JACCARD_TILE_COEF = JACCARD_THRESHOLD_NUM + JACCARD_THRESHOLD_DEN
 #: default t = 1/2 this is the ADVICE-r7 2^24/3 = 5_592_405 bound
 #: (boundary pinned in tests/test_r8_operators.py).
 _JACCARD_VOCAB_CAP = (1 << 24) // _JACCARD_TILE_COEF
+#: Minimum signature-agreement count for an LSH candidate to count as
+#: a near-dup: ceil(N · t), the integer form of est_jaccard ≥ t — the
+#: ONE threshold formulation both minhash dedup queries use (review
+#: r8: dedup_minhash_lsh previously float-compared k/8 ≥ t while the
+#: incremental twin used this integer form; identical outcomes for
+#: every t because k/8 is dyadic-exact, but one formulation beats two).
+_MINHASH_MIN_AGREE = _math.ceil(NUM_MINHASHES * JACCARD_THRESHOLD)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -239,13 +246,13 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
         SELECT doc_a, doc_b,
                ({" + ".join(f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(NUM_MINHASHES))})
-                   / {NUM_MINHASHES}.0 AS est_jaccard
+                   AS n_agree
         FROM cand
         JOIN sig sa ON sa.doc_id = doc_a
         JOIN sig sb ON sb.doc_id = doc_b
     )
-    SELECT doc_a, doc_b, round(est_jaccard, 4) AS est_jaccard
-    FROM scored WHERE est_jaccard >= {JACCARD_THRESHOLD}
+    SELECT doc_a, doc_b, round(n_agree / {NUM_MINHASHES}.0, 4) AS est_jaccard
+    FROM scored WHERE n_agree >= {_MINHASH_MIN_AGREE}
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -283,25 +290,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches = F.size(
         F.filter(F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y), lambda v: v)
     )
-    est = matches / F.lit(float(NUM_MINHASHES))
     cand = (
         a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            est.alias("est_jaccard"),
+            matches.alias("n_agree"),
         )
-        .filter(F.col("est_jaccard") >= JACCARD_THRESHOLD)
+        # integer agree-count threshold — the same _MINHASH_MIN_AGREE
+        # formulation the incremental twin uses (no float compare).
+        .filter(F.col("n_agree") >= _MINHASH_MIN_AGREE)
     )
     return cand.groupBy("doc_a", "doc_b").agg(
-        F.round(F.first("est_jaccard"), 4).alias("est_jaccard")
+        F.round(F.first("n_agree") / F.lit(float(NUM_MINHASHES)), 4).alias(
+            "est_jaccard"
+        )
     )
 
 
-#: Minimum signature-agreement count for an LSH candidate to count as
-#: a near-dup: ceil(N · t), the integer form of est_jaccard ≥ t (no
-#: float compare on either engine).
-_MINHASH_MIN_AGREE = _math.ceil(NUM_MINHASHES * JACCARD_THRESHOLD)
 
 
 def _band_rows_sql(src: str) -> str:
