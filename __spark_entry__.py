@@ -45,17 +45,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # so the window accounting can't silently drop a query again.
 _WINDOW = 50
 
-# Queries whose plan or output changed in THIS round (r8).
-# stream_windowed_cms (the r7 red) is NOT listed: its latest driver
-# row is red, so the red tier already pins it to slot 1.
+# Queries whose plan or output changed in THIS round (r9). The three
+# r8 reds (stream_windowed_cms, events_attribution_linear,
+# sensor_trend_ols) are NOT listed: their latest driver rows are red,
+# so the red tier already pins them to the window head. All r9
+# changes share one root cause — tools/strictcheck.py reproduced the
+# driver's pandas-path comparison and the dtype-family rule now bans
+# HUGEINT/DECIMAL final output columns (see SURVEY §5 #6b).
 _CHANGED_THIS_ROUND = [
-    "q20_promo_part_suppliers",  # r8: qty_c long sum → wide_sum (ADVICE)
-    "q21_sole_late_supplier",  # r8: qual broadcast hint dropped (VERDICT #3)
-    "graph_triangle_count",  # r8: degree join byte-gated (VERDICT #4)
-    "graph_pagerank_3iter",  # r8: iteration-k checkpointing (VERDICT #6)
-    "dedup_ngram_jaccard",  # r8: f32 gate tightened to 2^24/3 (ADVICE)
-    "q18_large_volume_customers",  # r8: big-orders broadcast hint dropped
-    "dq_constraint_report",  # r8: customer-key broadcast hint dropped
+    "cms_heavy_hitters",  # r9: cms_bucket_sql result cast to BIGINT
+    "bloom_prefilter_audit",  # r9: same central cms_bucket_sql change
+    "events_rolling_1h_range",  # r9: window sum widened to decimal (ADVICE)
+    "sample_domain_mix",  # r9: weight join → literal map (VERDICT #4/#8)
 ]
 
 

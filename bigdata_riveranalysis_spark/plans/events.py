@@ -501,8 +501,12 @@ def events_rolling_1h_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     is ``unix_micros(ts)`` with a ±3.6e9 µs frame — integer
     microseconds, exactly DuckDB's ``RANGE INTERVAL '1 hour'
     PRECEDING`` bound (both ends inclusive, peer rows = equal
-    timestamps in both engines). Sum stays integer cents (NULL values
-    skipped by both engines' sum, counted by count(*)).
+    timestamps in both engines). The cent sum accumulates in
+    DECIMAL(38,0) inside the frame (wide_sum policy — DuckDB's window
+    sum promotes to HUGEINT where a Spark long sum would wrap
+    silently at extreme per-user-hour volumes; ADVICE r8) and is cast
+    back to long for the output (exact to ~9.2e16 cents per frame;
+    NULL values skipped by both engines' sum, counted by count(*)).
 
     Scale: partitioned by user — millions of independent groups, no
     global window; the frame is evaluated with a sliding two-pointer
@@ -520,7 +524,10 @@ def events_rolling_1h_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.count(F.lit(1)).over(w).alias("n_1h"),
-        F.sum(EX.cents("value")).over(w).alias("sum_value_c"),
+        F.sum(EX.cents("value").cast("decimal(38,0)"))
+        .over(w)
+        .cast("long")
+        .alias("sum_value_c"),
     )
 
 
@@ -687,7 +694,12 @@ ATTR_WINDOW_HOURS = 24
     SELECT strftime(date_trunc('day', pts), '%Y-%m-%d') AS day,
            touch_type,
            count(*) AS n_touches,
-           CAST(sum(1000000 // n_touch) AS HUGEINT) AS credit_micro
+           -- BIGINT, not HUGEINT: a HUGEINT output column reaches a
+           -- pandas-path comparator as float64 ('123.0' vs Spark's
+           -- '123') — the r8 driver red, reproduced by
+           -- tools/strictcheck.py. The sum fits int64 to ~9.2e12
+           -- touches per (day, type) cell.
+           CAST(sum(1000000 // n_touch) AS BIGINT) AS credit_micro
     FROM k GROUP BY 1, 2
     """,
 )
@@ -701,8 +713,13 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: per-touch credit is the integer 1 000 000 // n_touch
     (micro-credits, floor division — identical `div` semantics in
-    both engines for positive operands), summed wide. No floating
-    credit fractions, so the totals hash bit-identically.
+    both engines for positive operands), summed wide INTERNALLY and
+    emitted as long/BIGINT (exact to ~9.2e12 touches per day×type
+    cell — ~1e8 touches/sec for a day, far past any real corpus).
+    The wide sum must NOT surface in the output schema: a
+    DECIMAL/HUGEINT final column degrades asymmetrically under a
+    pandas-path comparator (Decimal object vs float64) — the r8
+    driver red, root-caused in r9 via tools/strictcheck.py.
 
     Scale: the touch↔purchase interval join keys on user_id — the
     skew bound is one user's activity window, the same bound
@@ -743,5 +760,7 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "touch_type",
     ).agg(
         F.count("*").alias("n_touches"),
-        EX.wide_sum(F.expr("1000000 div n_touch")).alias("credit_micro"),
+        EX.wide_sum(F.expr("1000000 div n_touch"))
+        .cast("long")
+        .alias("credit_micro"),
     )

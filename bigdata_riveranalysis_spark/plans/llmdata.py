@@ -33,7 +33,7 @@ from bigdata_riveranalysis_spark.functions import exact as EX
 from bigdata_riveranalysis_spark.functions import text as TX
 from bigdata_riveranalysis_spark.functions import vectors as VX
 from bigdata_riveranalysis_spark.functions.arrays import explode_nonempty
-from bigdata_riveranalysis_spark.plans.registry import query
+from bigdata_riveranalysis_spark.plans.registry import query, retired_query
 from bigdata_riveranalysis_spark.sources.tables import (
     BATCH_CUTOFF_SQL,
     batch_cutoff,
@@ -211,7 +211,7 @@ def _minhash_signature_cte() -> str:
     )"""
 
 
-@query(
+@retired_query(
     "minhash_signatures",
     oracle=f"""
     WITH {_minhash_signature_cte()}
@@ -224,6 +224,11 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     Registered separately from the pair query so the oracle validates
     every signature bit-for-bit even when the corpus has few
     near-duplicates.
+
+    RETIRED r9 (registry at the 150-slot cadence cap; VERDICT r8 #5):
+    the verified surface is subsumed by dedup_minhash_lsh, whose
+    oracle joins these same signatures per-hash on both sides; still
+    oracle-verified every pytest run (tests/test_retired_queries.py).
     """
     return _minhash_signature_df(spark, sf_dir)
 
@@ -1073,7 +1078,7 @@ def _simhash_sig_cte() -> str:
     sig AS (SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes)"""
 
 
-@query(
+@retired_query(
     "simhash_signatures",
     oracle=f"""
     WITH {_simhash_sig_cte()}
@@ -1087,6 +1092,10 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle is n_docs × 21 longs after map-side combine
     (_simhash_frame); agg-only, so the groupBy shuffle provides the
     parallelism — no split-spread Exchange.
+
+    RETIRED r9 (150-slot cadence cap; VERDICT r8 #5): subsumed by
+    dedup_simhash, whose oracle recomputes these signatures on both
+    sides; pytest-verified via tests/test_retired_queries.py.
     """
     return _simhash_frame(load_table(spark, sf_dir, "documents"))
 
@@ -1301,7 +1310,7 @@ def _simhash_pairs_local_tiled(spark: SparkSession, ids, h) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
+@retired_query(
     "embedding_norms",
     oracle=f"""
     SELECT vec_id, label,
@@ -1314,6 +1323,10 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plain array<float> + higher-order functions; no VectorUDT, no
     Python (SURVEY.md §7 watch-list #6).
+
+    RETIRED r9 (150-slot cadence cap; VERDICT r8 #5): the dot/norm
+    primitive is exercised by every registered knn/ann/cosine query;
+    pytest-verified via tests/test_retired_queries.py.
     """
     emb = _embs(spark, sf_dir)
     return emb.select("vec_id", "label", F.round(VX.norm("embedding"), 6).alias("l2_norm"))

@@ -106,8 +106,18 @@ def cms_bucket_sql(key_expr: str, width: int = CMS_WIDTH) -> str:
     and equals the Spark twin bit-for-bit (pinned by the wide-key
     parity test, which runs THIS text). Assumes the seeds CTE is in
     scope with columns (d, a, bb); qualify via ``alias`` when two
-    instances join."""
-    return f"((a * CAST(({key_expr}) AS HUGEINT) + bb) % {CMS_P}) % {width}"
+    instances join.
+
+    The RESULT is cast back to BIGINT (always < width, so exact):
+    leaving it HUGEINT made ``stream_windowed_cms``'s output column
+    ``b`` HUGEINT, which a pandas-path comparator converts to float64
+    ('38.0' vs Spark's long '38') — the r7/r8 driver red, reproduced
+    and pinned by tools/strictcheck.py. HUGEINT stays internal; no
+    final SELECT may emit it (SURVEY §5 dtype-family rule)."""
+    return (
+        f"CAST(((a * CAST(({key_expr}) AS HUGEINT) + bb) "
+        f"% {CMS_P}) % {width} AS BIGINT)"
+    )
 
 
 #: Heavy hitters audited against the sketch.

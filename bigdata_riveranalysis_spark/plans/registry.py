@@ -35,6 +35,18 @@ class Query:
 
 REGISTRY: dict[str, Query] = {}
 
+#: Retired queries — the registry CAPACITY policy (SURVEY §5 #7):
+#: the driver verifies 50 queries/round and the enforced cadence is
+#: 3 rounds, so the registry is hard-capped at 150. At the cap, new
+#: operators displace REDUNDANT demos — queries whose verified
+#: surface is subsumed by a registered sibling (e.g. a signatures
+#: dump subsumed by the dedup query that joins those signatures).
+#: Retired queries keep their Spark plan AND DuckDB oracle and stay
+#: CONTINUOUSLY oracle-verified by tests/test_retired_queries.py
+#: every pytest run — they lose only the per-round external-driver
+#: slot. Reinstating one is a one-word decorator change.
+RETIRED: dict[str, Query] = {}
+
 
 def query(name: str, oracle: str | None = None) -> Callable[[SparkQueryFn], SparkQueryFn]:
     """Decorator: register ``fn`` as engine query ``name``.
@@ -45,12 +57,32 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQueryFn], Spar
     """
 
     def wrap(fn: SparkQueryFn) -> SparkQueryFn:
-        if name in REGISTRY:
+        if name in REGISTRY or name in RETIRED:
             raise ValueError(f"duplicate query name {name!r}")
         REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=(fn.__doc__ or "").strip())
         return fn
 
     return wrap
+
+
+def retired_query(name: str, oracle: str | None = None) -> Callable[[SparkQueryFn], SparkQueryFn]:
+    """Decorator twin of :func:`query` for the RETIRED tier — same
+    record, same oracle contract, pytest-verified instead of
+    driver-verified (see RETIRED)."""
+
+    def wrap(fn: SparkQueryFn) -> SparkQueryFn:
+        if name in REGISTRY or name in RETIRED:
+            raise ValueError(f"duplicate query name {name!r}")
+        RETIRED[name] = Query(name=name, fn=fn, oracle=oracle, doc=(fn.__doc__ or "").strip())
+        return fn
+
+    return wrap
+
+
+def lookup(name: str) -> Query:
+    """A query by name from either tier (tests that exercise retired
+    queries use this instead of REGISTRY[...])."""
+    return REGISTRY.get(name) or RETIRED[name]
 
 
 def query_catalog() -> dict[str, SparkQueryFn]:

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from bigdata_riveranalysis_spark.functions import exact as EX
 from bigdata_riveranalysis_spark.plans import scale as SC
-from bigdata_riveranalysis_spark.plans.registry import query
+from bigdata_riveranalysis_spark.plans.registry import query, retired_query
 from bigdata_riveranalysis_spark.sources.tables import load_table
 
 
@@ -676,7 +676,7 @@ def setop_nations_cust_and_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.intersect(supp)
 
 
-@query(
+@retired_query(
     "setop_nations_cust_only",
     oracle="""
     SELECT c_nationkey AS nationkey FROM customer
@@ -685,7 +685,12 @@ def setop_nations_cust_and_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def setop_nations_cust_only(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT: nations with customers but no suppliers."""
+    """EXCEPT: nations with customers but no suppliers.
+
+    RETIRED r9 (150-slot cadence cap; VERDICT r8 #5): the set-op
+    family stays driver-checked by setop_nations_cust_and_supp
+    (INTERSECT) and setop_union_all_keys (UNION ALL distinct-count);
+    EXCEPT is pytest-verified via tests/test_retired_queries.py."""
     cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     # subtract == EXCEPT DISTINCT (set semantics); exceptAll would be

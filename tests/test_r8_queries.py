@@ -244,7 +244,11 @@ def test_attribution_touch_count_window_reuses_join_shuffle(spark):
     exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     on_event = [e for e in exchanges if "event_id" in e]
     assert not on_event, f"window re-shuffled on event_id: {on_event}"
-    assert len(exchanges) == 3, exchanges
+    # Upper bound, not exact equality (ADVICE r8): the pinned
+    # invariant is "no exchange on event_id" above; the bound only
+    # guards against a wholesale extra data-sized shuffle appearing,
+    # without failing on unrelated planner/partial-agg changes.
+    assert len(exchanges) <= 4, exchanges
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,61 @@
+"""Retired-tier queries stay oracle-verified (registry cap policy).
+
+The registry is hard-capped at 150 (50-slot driver window × enforced
+3-round cadence, tests/test_rotation.py). At the cap, new operators
+displace redundant demos into registry.RETIRED — same Query record,
+same DuckDB oracle, continuously verified HERE on every pytest run
+instead of by the external driver. This test is the teeth of that
+policy (VERDICT r8 #5): retiring a query must never silence its
+differential check.
+"""
+
+from __future__ import annotations
+
+from bigdata_riveranalysis_spark.plans.registry import REGISTRY, RETIRED
+
+from .conftest import SF_ORACLE
+
+
+def _canon(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if v != v:
+            return "NaN"
+        return repr(round(v, 9))
+    return str(v)
+
+
+def _rows(cols, rows) -> list[tuple]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
+
+
+def test_retired_tier_is_the_agreed_headroom():
+    """Headroom ≥ 5 under the 150 cap, and every retired query keeps
+    an oracle (a rows-only retired query would be verified by
+    nothing)."""
+    assert len(REGISTRY) <= 145, (
+        f"{len(REGISTRY)} registered queries leaves < 5 slots of "
+        f"headroom under the 150-slot cadence cap"
+    )
+    assert len(RETIRED) >= 5
+    assert not (set(RETIRED) & set(REGISTRY))
+    missing = [n for n, q in RETIRED.items() if not q.oracle]
+    assert not missing, f"retired queries without an oracle: {missing}"
+
+
+def test_retired_queries_match_their_oracles(spark, duck):
+    """Full differential check (row count + columns + canonical
+    values) for every retired query at sf0.01 — identical rigor to
+    the driver gate, minus only the per-round rotation slot."""
+    for name, q in RETIRED.items():
+        sdf = q.fn(spark, SF_ORACLE)
+        scols = list(sdf.columns)
+        srows = [tuple(r) for r in sdf.collect()]
+        rel = duck.execute(q.oracle)
+        dcols = [d[0] for d in rel.description]
+        drows = rel.fetchall()
+        assert sorted(scols) == sorted(dcols), name
+        assert len(srows) == len(drows), name
+        assert _rows(scols, srows) == _rows(dcols, drows), name
