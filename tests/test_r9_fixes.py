@@ -200,6 +200,21 @@ def test_nanos_oracle_agrees_on_zero_remainder_fixture(spark, tmp_path):
     assert srows == drows and len(srows) > 0
 
 
+def test_sample_domain_mix_has_no_join_stage(spark):
+    """VERDICT r8 #4/#8: the per-call 5-row createDataFrame +
+    broadcast join billed this trivial aggregate at 4.33 s. The
+    weight lookup now rides in the plan as a literal map — the
+    physical plan must contain NO join operator and at most the one
+    aggregate exchange."""
+    df = REGISTRY["sample_domain_mix"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    # One hash exchange (the aggregate). The RoundRobin spread of the
+    # single-file scan from _docs() is deliberate and not a shuffle
+    # this query added.
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
 def test_non_events_nanos_column_rejected_loudly(spark, tmp_path):
     """ADVICE r8 #3: engine sessions pin nanosAsLong=true, which would
     silently hand a foreign NANOS column to plans as LongType. Only
