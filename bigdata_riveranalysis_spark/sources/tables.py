@@ -69,6 +69,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # table); callers mixing in raw spark.read.parquet of foreign
         # nanos files should read them first or in another session.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Only ``ts`` has the truncation treatment below; any OTHER
+        # nanos column in the same file would be returned as a raw
+        # long under the legacy conf and flow silently into plans —
+        # the same failure mode the non-events guard below closes
+        # (review r9: the early return made that guard unreachable
+        # on this path).
+        extra = [c for c in _nanos_ts_cols(f"{sf_dir}/{name}.parquet") if c != "ts"]
+        if extra:
+            raise ValueError(
+                f"events table has TIMESTAMP(NANOS) columns {extra} besides "
+                f"'ts'; only ts has a nanos truncation path — extend "
+                f"load_table deliberately"
+            )
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     # Engine sessions pin spark.sql.legacy.parquet.nanosAsLong=true at

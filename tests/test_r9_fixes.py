@@ -29,43 +29,45 @@ from bigdata_riveranalysis_spark.plans.registry import REGISTRY
 
 from .conftest import SF_SMOKE
 
-#: Queries whose fn EXECUTES eagerly (streaming drains); their final
-#: schemas are covered by the duck-side DESCRIBE gate plus the full
-#: strictcheck sweep, so the lazy Spark-schema gate skips them.
-_STREAMING_PREFIX = "stream_"
 
-
-def test_no_oracle_emits_hugeint_columns(duck):
+def test_no_oracle_emits_hugeint_or_decimal_columns(duck):
     """DuckDB `DESCRIBE <oracle>` (plans without executing): no
-    registered oracle may emit HUGEINT/INT128 in its FINAL schema —
-    a pandas-path comparator converts those to float64, which is the
-    exact r7/r8 driver-red mechanism. Wide arithmetic stays internal
-    (CTEs may use HUGEINT freely)."""
+    registered oracle may emit HUGEINT/INT128 *or DECIMAL* in its
+    FINAL schema — a pandas-path comparator converts both to float64
+    ('5.0' vs Spark's '5', lossy past 2^53), which is the exact r7/r8
+    driver-red mechanism. Wide arithmetic stays internal (CTEs may
+    use HUGEINT/DECIMAL freely). DECIMAL included per review: the
+    'wide decimal sums' policy makes a CAST(... AS DECIMAL(38,0))
+    final the most likely future recurrence of the class."""
     offenders = {}
     for name, q in REGISTRY.items():
         if q.oracle is None:
             continue
         desc = duck.execute(f"DESCRIBE {q.oracle}").fetchall()
-        bad = [(col, typ) for col, typ, *_ in desc
-               if "HUGEINT" in typ.upper() or "INT128" in typ.upper()]
+        bad = [
+            (col, typ) for col, typ, *_ in desc
+            if any(t in typ.upper() for t in ("HUGEINT", "INT128", "DECIMAL"))
+        ]
         if bad:
             offenders[name] = bad
     assert not offenders, (
-        f"oracles with HUGEINT final columns (driver-red class): {offenders}"
+        f"oracles with HUGEINT/DECIMAL final columns (driver-red class): "
+        f"{offenders}"
     )
 
 
-def test_no_batch_query_emits_decimal_columns(spark):
-    """Spark side of the same rule: no batch query's FINAL schema may
-    carry DecimalType — ``toPandas()`` renders it as object-dtype
+def test_no_query_emits_decimal_columns(spark):
+    """Spark side of the same rule: no query's FINAL schema may carry
+    DecimalType — ``toPandas()`` renders it as object-dtype
     ``decimal.Decimal``, which canonicalizes differently from the
-    oracle's int64/float64 under repr-style canons. Lazy schema
-    derivation only (no execution), so this covers all ~140 batch
-    plans in seconds."""
+    oracle's int64/float64 under repr-style canons. Batch plans are
+    lazy (schema analysis only); streaming drains DO execute at
+    SF_SMOKE — a few seconds each, the price of covering the tier the
+    r7 red actually lived in (review: the earlier skip left a
+    streaming DECIMAL final invisible to pytest, backstopped only by
+    the manually-run strictcheck)."""
     offenders = {}
     for name, q in REGISTRY.items():
-        if name.startswith(_STREAMING_PREFIX):
-            continue
         schema = q.fn(spark, SF_SMOKE).schema
         bad = [f.name for f in schema.fields
                if isinstance(f.dataType, T.DecimalType)]

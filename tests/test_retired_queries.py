@@ -12,18 +12,12 @@ differential check.
 from __future__ import annotations
 
 from bigdata_riveranalysis_spark.plans.registry import REGISTRY, RETIRED
+# THE diffcheck canonicalizer, not a fork: two hand-maintained canons
+# that must agree drift apart (review r9) — retired queries are held
+# to the exact rules they were held to while registered.
+from tools.diffcheck import canon as _canon
 
 from .conftest import SF_ORACLE
-
-
-def _canon(v) -> str:
-    if v is None:
-        return "NULL"
-    if isinstance(v, float):
-        if v != v:
-            return "NaN"
-        return repr(round(v, 9))
-    return str(v)
 
 
 def _rows(cols, rows) -> list[tuple]:
