@@ -46,6 +46,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # results match the (UTC-naive) DuckDB oracle everywhere
     # (SURVEY.md §7 watch-list #5).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # ONE footer sniff serves both nanos guards below (review r9
+    # second pass: two hand-maintained sniff+raise sites drift). It
+    # runs BEFORE any conf flip so a rejected load leaves a
+    # caller-provided session untouched — flipping nanosAsLong and
+    # then raising would still poison later raw reads of foreign
+    # nanos files in that session.
+    nanos_cols = _nanos_ts_cols(f"{sf_dir}/{name}.parquet")
+    if name == "events" and [c for c in nanos_cols if c != "ts"]:
+        # Only ``ts`` has the truncation treatment; any OTHER nanos
+        # column would be returned as a raw long under the legacy
+        # conf and flow silently into plans (ADVICE r8 #3).
+        raise ValueError(
+            f"events table has TIMESTAMP(NANOS) columns "
+            f"{[c for c in nanos_cols if c != 'ts']} besides 'ts'; only ts "
+            f"has a nanos truncation path — extend load_table deliberately"
+        )
+    if name != "events" and nanos_cols:
+        # Engine sessions pin spark.sql.legacy.parquet.nanosAsLong=true
+        # at build time (session.py), which would make a NANOS column
+        # in any non-events table silently read as LongType instead of
+        # failing loudly — timestamps would flow into date arithmetic
+        # as raw longs (ADVICE r8 #3).
+        raise ValueError(
+            f"table {name!r} has TIMESTAMP(NANOS) columns {nanos_cols}; "
+            f"only events has a nanos truncation path — regenerate the "
+            f"fixture at micros or extend load_table deliberately"
+        )
     if name == "events" and events_ts_is_nanos(f"{sf_dir}/{name}.parquet"):
         # events.ts as parquet TIMESTAMP(NANOS) (seen in some fixture
         # generations, FIXTURES.md §4) is rejected by Spark's
@@ -69,34 +96,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # table); callers mixing in raw spark.read.parquet of foreign
         # nanos files should read them first or in another session.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # Only ``ts`` has the truncation treatment below; any OTHER
-        # nanos column in the same file would be returned as a raw
-        # long under the legacy conf and flow silently into plans —
-        # the same failure mode the non-events guard below closes
-        # (review r9: the early return made that guard unreachable
-        # on this path).
-        extra = [c for c in _nanos_ts_cols(f"{sf_dir}/{name}.parquet") if c != "ts"]
-        if extra:
-            raise ValueError(
-                f"events table has TIMESTAMP(NANOS) columns {extra} besides "
-                f"'ts'; only ts has a nanos truncation path — extend "
-                f"load_table deliberately"
-            )
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    # Engine sessions pin spark.sql.legacy.parquet.nanosAsLong=true at
-    # build time (session.py), which would make a NANOS column in any
-    # OTHER table silently read as LongType instead of failing loudly
-    # — timestamps would flow into date arithmetic as raw longs
-    # (ADVICE r8 #3). Only events has a nanos read strategy; restore
-    # the loud failure for the rest via the same cached footer sniff.
-    nanos = _nanos_ts_cols(f"{sf_dir}/{name}.parquet")
-    if nanos:
-        raise ValueError(
-            f"table {name!r} has TIMESTAMP(NANOS) columns {nanos}; only "
-            f"events has a nanos truncation path — regenerate the "
-            f"fixture at micros or extend load_table deliberately"
-        )
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # Micros-unit generation: parquet TIMESTAMP(MICROS, ntz) reads

@@ -25,9 +25,15 @@ import pytest
 from pyspark.sql import functions as F  # noqa: F401
 from pyspark.sql import types as T
 
-from bigdata_riveranalysis_spark.plans.registry import REGISTRY
+from bigdata_riveranalysis_spark.plans.registry import REGISTRY, RETIRED
 
 from .conftest import SF_SMOKE
+
+#: Both tiers: retired queries are held to the same dtype-family rule
+#: — they are still differentially verified (test_retired_queries)
+#: and a family mismatch would blind that check the same way it blinded
+#: the driver gate (review r9 second pass).
+_ALL_QUERIES = {**REGISTRY, **RETIRED}
 
 
 def test_no_oracle_emits_hugeint_or_decimal_columns(duck):
@@ -40,7 +46,7 @@ def test_no_oracle_emits_hugeint_or_decimal_columns(duck):
     'wide decimal sums' policy makes a CAST(... AS DECIMAL(38,0))
     final the most likely future recurrence of the class."""
     offenders = {}
-    for name, q in REGISTRY.items():
+    for name, q in _ALL_QUERIES.items():
         if q.oracle is None:
             continue
         desc = duck.execute(f"DESCRIBE {q.oracle}").fetchall()
@@ -67,7 +73,7 @@ def test_no_query_emits_decimal_columns(spark):
     streaming DECIMAL final invisible to pytest, backstopped only by
     the manually-run strictcheck)."""
     offenders = {}
-    for name, q in REGISTRY.items():
+    for name, q in _ALL_QUERIES.items():
         schema = q.fn(spark, SF_SMOKE).schema
         bad = [f.name for f in schema.fields
                if isinstance(f.dataType, T.DecimalType)]
@@ -82,7 +88,7 @@ def test_strict_canon_distinguishes_dtype_families():
     """The strictcheck canonicalizer must NOT collapse 5.0 to '5' —
     that collapse is precisely what made diffcheck blind to the
     HUGEINT->float64 conversion for two rounds."""
-    from tools.strictcheck import canon_strict
+    from tools.canon import canon_strict
 
     assert canon_strict(5.0) != canon_strict(5)
     assert canon_strict(9007199254740993.0) != canon_strict(9007199254740993)
@@ -95,7 +101,7 @@ def test_dtype_family_flags_decimal_and_float_vs_int():
 
     import pandas as pd
 
-    from tools.strictcheck import dtype_family, family_mismatches
+    from tools.canon import dtype_family, family_mismatches
 
     sp = pd.DataFrame(
         {"a": pd.array([1, 2], dtype="int64"),
@@ -215,6 +221,38 @@ def test_sample_domain_mix_has_no_join_stage(spark):
     # single-file scan from _docs() is deliberate and not a shuffle
     # this query added.
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_events_extra_nanos_column_rejected_before_conf_flip(spark, tmp_path):
+    """Review r9 second pass: (a) a nanos events file carrying a
+    SECOND nanos column must be rejected — only ts has the truncation
+    treatment, so the extra column would flow into plans as a raw
+    long; (b) the rejection must fire BEFORE the nanosAsLong conf
+    flip, so a caller-provided session is left untouched by a load
+    that never happened. Uses newSession() with the conf explicitly
+    cleared — the caller-session shape (the engine fixture pins the
+    conf at build time; getOrCreate would just return it)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bigdata_riveranalysis_spark.sources.tables import load_table
+
+    d = str(tmp_path / "sfbad2")
+    os.makedirs(d)
+    tbl = pq.read_table(f"{SF_SMOKE}/events.parquet")
+    ts = tbl.column("ts").cast(pa.timestamp("ns"))
+    idx = tbl.schema.get_field_index("ts")
+    tbl = tbl.set_column(idx, pa.field("ts", pa.timestamp("ns")), ts)
+    tbl = tbl.append_column(pa.field("ingest_ts", pa.timestamp("ns")), ts)
+    pq.write_table(tbl, f"{d}/events.parquet")
+
+    caller = spark.newSession()
+    caller.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    with pytest.raises(ValueError, match="ingest_ts"):
+        load_table(caller, d, "events")
+    assert (
+        caller.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "false"
+    ), "rejected load must not flip the caller session's nanos conf"
 
 
 def test_non_events_nanos_column_rejected_loudly(spark, tmp_path):

@@ -12,10 +12,14 @@ differential check.
 from __future__ import annotations
 
 from bigdata_riveranalysis_spark.plans.registry import REGISTRY, RETIRED
-# THE diffcheck canonicalizer, not a fork: two hand-maintained canons
-# that must agree drift apart (review r9) — retired queries are held
-# to the exact rules they were held to while registered.
-from tools.diffcheck import canon as _canon
+# THE shared canonicalizer, not a fork (review r9): two
+# hand-maintained canons that must agree drift apart. The STRICT form
+# — no integral-float collapse — so a retired query whose Spark side
+# drifts to double against an int64 oracle fails here instead of
+# hiding behind the lenient collapse (review r9 second pass; the
+# collapse is what blinded diffcheck for two rounds). tools.canon is
+# import-side-effect-free, unlike the CLI harness modules.
+from tools.canon import canon_strict as _canon
 
 from .conftest import SF_ORACLE
 

@@ -10,7 +10,6 @@ their string form). Usage:
 
 from __future__ import annotations
 
-import hashlib
 import os
 import sys
 import time
@@ -28,26 +27,10 @@ import duckdb
 from bigdata_riveranalysis_spark.session import get_spark
 from bigdata_riveranalysis_spark.sources.tables import TABLES
 
-
-def canon(v) -> str:
-    if v is None:
-        return "NULL"
-    if isinstance(v, float):
-        if v != v:
-            return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return repr(round(v, 9))
-    if isinstance(v, bool):
-        return str(int(v))
-    return str(v)
-
-
-def table_hash(rows: list[tuple], cols: list[str]) -> tuple[str, int]:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("\x1f".join(canon(r[i]) for i in order) for r in rows)
-    h = hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
-    return h, len(rows)
+# Canonicalization lives in the side-effect-free tools.canon so tests
+# can share THE definitions without importing this CLI module's
+# path/env mutations (review r9 second pass).
+from tools.canon import canon, table_hash  # noqa: E402
 
 
 def main() -> int:

@@ -41,9 +41,7 @@ attributed to engine drift vs oracle drift by diffing hash files.
 
 from __future__ import annotations
 
-import hashlib
 import json
-import math
 import os
 import sys
 import time
@@ -57,73 +55,10 @@ import duckdb
 from bigdata_riveranalysis_spark.session import get_spark
 from bigdata_riveranalysis_spark.sources.tables import TABLES
 
-
-def canon_strict(v) -> str:
-    """Canonicalize one pandas cell WITHOUT the integral-float
-    collapse: float 5.0 stays '5.0', int 5 stays '5'. A dtype-family
-    mismatch between the engines therefore FAILS here even when the
-    values are numerically equal — which is the point."""
-    if v is None:
-        return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return repr(round(v, 9))
-    if isinstance(v, bool):
-        return str(int(v))
-    return str(v)
-
-
-def dtype_family(series) -> str:
-    """Coarse dtype family of a pandas column: two engines' results
-    can only hash identically under EVERY sane canonicalizer if each
-    output column lands in the same family on both sides. 'decimal'
-    (Spark DECIMAL -> object of decimal.Decimal) is flagged even
-    against int64 — values may str() equal today, but a
-    repr()-style driver canon would render Decimal('5') differently,
-    so decimals must be cast to long/double/string before the final
-    SELECT."""
-    import decimal
-
-    import pandas as pd
-
-    k = series.dtype.kind
-    if k in "iu":
-        return "int"
-    if k == "f":
-        return "float"
-    if k == "b":
-        return "bool"
-    if k == "M":
-        return "timestamp"
-    nonnull = series.dropna()
-    if len(nonnull) == 0:
-        return "empty"
-    v = nonnull.iloc[0]
-    if isinstance(v, decimal.Decimal):
-        return "decimal"
-    if isinstance(v, str):
-        return "str"
-    if isinstance(v, bool):
-        return "bool"
-    if isinstance(v, int):
-        return "int"
-    if isinstance(v, float):
-        return "float"
-    return type(v).__name__
-
-
-def family_mismatches(spdf, ddf) -> list[str]:
-    out = []
-    for c in spdf.columns:
-        if c not in ddf.columns:
-            continue
-        sf_, df_ = dtype_family(spdf[c]), dtype_family(ddf[c])
-        if "empty" in (sf_, df_):
-            continue
-        if sf_ != df_:
-            out.append(f"{c}: spark={sf_} duckdb={df_}")
-    return out
+# Canonicalization + dtype-family logic lives in the side-effect-free
+# tools.canon so tests can share THE definitions without importing
+# this CLI module's path/env mutations (review r9 second pass).
+from tools.canon import canon_strict, dtype_family, family_mismatches  # noqa: E402
 
 
 def frame_cells(df) -> tuple[list[str], list[tuple]]:
@@ -142,11 +77,9 @@ def frame_cells(df) -> tuple[list[str], list[tuple]]:
 
 
 def table_hash(rows: list[tuple], cols: list[str]) -> str:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted(
-        "\x1f".join(canon_strict(r[i]) for i in order) for r in rows
-    )
-    return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
+    from tools.canon import table_hash as _th
+
+    return _th(rows, cols, strict=True)[0]
 
 
 def main() -> int:
