@@ -824,10 +824,10 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_stats_corr",
     oracle="""
     SELECT l_returnflag,
-           round(corr(l_quantity, l_extendedprice), 4)       AS qty_price_corr,
-           round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
-           round(var_samp(l_discount), 4)                    AS discount_var,
-           round(skewness(l_quantity), 4)                    AS qty_skew
+           round(corr(l_quantity, l_extendedprice), 4) + 0.0       AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4) + 0.0 AS qty_price_covar,
+           round(var_samp(l_discount), 4) + 0.0                    AS discount_var,
+           round(skewness(l_quantity), 4) + 0.0                    AS qty_skew
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -844,15 +844,25 @@ def agg_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     coin flip). The engine applies the adjustment explicitly so both
     sides estimate the SAME quantity; the residual difference is then
     ulp-level, which round-4 absorbs with ~1e-11 boundary exposure.
+
+    Signed zero (r9, caught by the sf0.001 STRICT sweep): a rounded
+    value of a signed statistic can land on IEEE −0.0 in one engine
+    and +0.0 in the other (here qty_skew: DuckDB −0.0 vs Spark 0.0 at
+    sf0.001 — skew of a symmetric tiny group). ``+ 0.0`` after the
+    round normalizes −0.0 → +0.0 on BOTH sides (IEEE: −0.0 + 0.0 =
+    +0.0), so a repr-style comparator can't see a representation-only
+    difference. Applied to every rounded signed float this query
+    emits.
     """
     li = load_table(spark, sf_dir, "lineitem")
     n = F.count("*")
     g1_to_G1 = F.sqrt(n * (n - F.lit(1))) / (n - F.lit(2))
+    z = F.lit(0.0)
     return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_covar"),
-        F.round(F.var_samp("l_discount"), 4).alias("discount_var"),
-        F.round(F.skewness("l_quantity") * g1_to_G1, 4).alias("qty_skew"),
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 4) + z).alias("qty_price_corr"),
+        (F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4) + z).alias("qty_price_covar"),
+        (F.round(F.var_samp("l_discount"), 4) + z).alias("discount_var"),
+        (F.round(F.skewness("l_quantity") * g1_to_G1, 4) + z).alias("qty_skew"),
     )
 
 

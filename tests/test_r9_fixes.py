@@ -94,6 +94,11 @@ def test_strict_canon_distinguishes_dtype_families():
     assert canon_strict(9007199254740993.0) != canon_strict(9007199254740993)
     assert canon_strict(None) == "NULL"
     assert canon_strict(float("nan")) == "NaN"
+    # Signed zero stays visible: round() of a signed statistic can
+    # land on -0.0 in one engine and +0.0 in the other (agg_stats_corr
+    # qty_skew at sf0.001). Queries normalize with `+ 0.0` after the
+    # round; the canon must KEEP flagging any query that doesn't.
+    assert canon_strict(-0.0) != canon_strict(0.0)
 
 
 def test_dtype_family_flags_decimal_and_float_vs_int():
