@@ -33,10 +33,17 @@ on both sides (the repo rule this tool enforces; SURVEY §5):
 Usage:
     python tools/strictcheck.py [sf_dir] [query ...]
     python tools/strictcheck.py --hashes HASHES_r9.json [sf_dir]
+    python tools/strictcheck.py --vanilla [sf_dir]
 
 --hashes also dumps {query: engine_hash} for the committed per-round
 hash history (VERDICT r8 #7): a future driver red can then be
 attributed to engine drift vs oracle drift by diffing hash files.
+
+--vanilla runs every query on a PLAIN SparkSession (no engine
+configs) — the external driver's shape. A query green under
+get_spark but red here depends on an engine-session conf the driver
+won't have (session timezone, AQE, broadcast threshold, nanosAsLong),
+which is a latent driver red.
 """
 
 from __future__ import annotations
@@ -89,6 +96,9 @@ def main() -> int:
         i = argv.index("--hashes")
         hashes_path = argv[i + 1]
         del argv[i : i + 2]
+    vanilla = "--vanilla" in argv
+    if vanilla:
+        argv.remove("--vanilla")
     sf_dir = argv[0] if argv and "/" in argv[0] else "/root/testdata/sf0.01"
     only = [a for a in argv if "/" not in a]
 
@@ -99,7 +109,18 @@ def main() -> int:
     if unknown:
         print(f"FAIL: unknown query name(s) {unknown}")
         return 2
-    spark = get_spark("strictcheck")
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        n = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        spark = (
+            SparkSession.builder.master(f"local[{n}]")
+            .appName("strictcheck-vanilla")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("WARN")
+    else:
+        spark = get_spark("strictcheck")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
