@@ -58,6 +58,7 @@ _CHANGED_THIS_ROUND = [
     "events_rolling_1h_range",  # r9: window sum widened to decimal (ADVICE)
     "sample_domain_mix",  # r9: weight join → literal map (VERDICT #4/#8)
     "agg_stats_corr",  # r9: signed-zero normalization (+0.0 after round)
+    "stream_ewma_spikes",  # r9: NULL-reading output = SQL NULL both sides
 ]
 
 

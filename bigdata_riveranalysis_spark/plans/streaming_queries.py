@@ -554,9 +554,9 @@ def stream_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM r JOIN s ON s.sensor_id = r.sensor_id AND s.rn = r.rn + 1
     )
     SELECT sensor_id, event_id,
-           CASE WHEN value IS NULL THEN CAST('nan' AS DOUBLE)
-                ELSE value END AS value,
-           ewma, is_spike
+           value,
+           CASE WHEN isnan(ewma) THEN NULL ELSE ewma END AS ewma,
+           is_spike
     FROM r
     """,
 )
@@ -577,10 +577,17 @@ def stream_ewma_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
     round(x, 6) here would reintroduce the half-boundary
     engine-rounding divergence this repo's exact-identity policy
     exists to avoid — caught by the sf0.1 cross-SF sweep). NULL
-    readings surface as NaN in the value column on BOTH sides
-    (Arrow→pandas converts the null before the operator yields; the
-    oracle applies the matching CASE — else a NULL-bearing fixture
-    hashes 'NULL' vs 'NaN'; r7 review).
+    readings surface as SQL NULL on BOTH sides (r9 fixture-fuzz
+    finding, tools/fixturefuzz.py with a planted NULL reading — no
+    real generation has one yet): the operator's pandas NaN becomes
+    an Arrow NULL at the applyInPandasWithState OUTPUT boundary
+    (pa.Array.from_pandas nan_as_null), so the engine emits NULL for
+    the value of a missing reading and for the ewma of a sensor whose
+    first readings were all missing; the oracle passes value through
+    raw and nullifies NaN ewma to match. (The r7-era CASE mapped NULL
+    → NaN instead, which agreed under any pandas-path comparison —
+    NULL and NaN both land as NaN — but diverged 'NULL' vs 'NaN'
+    under the fetchall path.)
     Scale: state is one (double, long) pair per sensor —
     constant; the oracle's recursion depth is max-events-per-sensor,
     fine for the fixture, while the ENGINE side is the thing built

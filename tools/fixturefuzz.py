@@ -1,0 +1,243 @@
+"""Fixture-generation fuzz — parity under data the driver COULD generate.
+
+The driver regenerates the testdata parquet between rounds with fresh
+seeds (FIXTURES.md). The committed fixtures exercise ONE sample of the
+generator's distribution; a query whose Spark plan and DuckDB oracle
+disagree only on knife-edge values (interval-join boundaries, midnight
+window edges, rounding half-boundaries, ties) can be green for rounds
+and red the round a fresh generation lands on the edge. This tool
+manufactures such generations deterministically:
+
+  * keeps every table's KEY columns intact (the generator produces
+    unique keys and referential integrity — breaking those would fuzz
+    outside its domain and produce false alarms);
+  * jitters/resamples non-key attributes (values, prices, discounts,
+    event types, timestamps at µs granularity);
+  * PLANTS adversarial events rows: touch exactly 24 h before a
+    purchase (the attribution boundary), ±1 µs around it, events at
+    exact midnight (day-window edges), pairs exactly 3600 s apart
+    (the rolling-1h RANGE frame boundary, both-ends-inclusive), and
+    exact half-cent values (cents-rounding boundary);
+  * permutes row order (order-insensitivity of every hash).
+
+Usage:
+    python tools/fixturefuzz.py [--seeds N] [--src SF_DIR] [--keep] [--nanos]
+
+--nanos additionally writes events.ts as TIMESTAMP(NANOS) with zero
+sub-µs remainder — the legacy-generation shape sources/tables.py's
+nanosAsLong path exists for — so the FULL registry is differentially
+checked against DuckDB reading the ns-unit parquet natively (the r9
+pytest goldens cover two queries; this covers all of them).
+
+For each seed: write the fuzzed tables to a temp dir, run the full
+diffcheck (fetchall-path) AND strictcheck (pandas-path) registries
+against it, report per-seed failures. Exit 1 on any failure. ~2-4 min
+per seed at sf0.001.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+#: Non-key attribute columns eligible for jitter, per table. Keys,
+#: foreign keys, and categorical join columns stay fixed.
+_JITTER_DOUBLES = {
+    "events": ["value"],
+    "orders": ["o_totalprice"],
+    "lineitem": ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    "customer": ["c_acctbal"],
+    "supplier": ["s_acctbal"],
+    "part": ["p_retailprice"],
+}
+_RESAMPLE_CATEGORICALS = {
+    "events": ["event_type"],
+    "orders": ["o_orderpriority", "o_orderstatus"],
+    "lineitem": ["l_returnflag", "l_linestatus"],
+}
+_JITTER_TS_US = {
+    "events": ["ts"],
+    "orders": ["o_orderdate"],
+    "lineitem": ["l_shipdate"],
+}
+
+#: Day used for planted boundary rows (inside every fixture's range).
+_PLANT_DAY_US = 1_705_363_200_000_000  # 2024-01-16 00:00:00 UTC in µs
+
+
+def _fuzz_table(name: str, tbl: pa.Table, rng: np.random.RandomState) -> pa.Table:
+    n = len(tbl)
+    if n == 0:
+        return tbl
+    cols = {f.name: tbl.column(f.name) for f in tbl.schema}
+    out = tbl
+    for c in _JITTER_DOUBLES.get(name, []):
+        if c not in cols:
+            continue
+        v = cols[c].to_numpy(zero_copy_only=False).astype(np.float64)
+        mask = ~np.isnan(v)
+        # multiplicative jitter ±10% at cent granularity, keeping the
+        # generator's 2-decimal money convention so cents-rounding
+        # identities stay in-domain
+        jit = np.round(v * rng.uniform(0.9, 1.1, size=n) * 100) / 100
+        v = np.where(mask, jit, v)
+        if name == "events" and c == "value":
+            # ~1% NULL readings: the schema is nullable and a fresh
+            # generation may exercise it (found the ewma NULL-vs-NaN
+            # output-boundary divergence, r9). Other tables' money
+            # columns stay non-null — TPC-H-ish generators never
+            # null them.
+            v = np.where(rng.uniform(size=n) < 0.01, np.nan, v)
+        idx = out.schema.get_field_index(c)
+        out = out.set_column(idx, pa.field(c, pa.float64()), pa.array(v, from_pandas=True))
+    for c in _RESAMPLE_CATEGORICALS.get(name, []):
+        if c not in cols:
+            continue
+        vals = cols[c].to_pylist()
+        pool = sorted({x for x in vals if x is not None})
+        if not pool:
+            continue
+        pick = rng.randint(0, len(pool), size=n)
+        new = [vals[i] if vals[i] is None else pool[pick[i]] for i in range(n)]
+        idx = out.schema.get_field_index(c)
+        out = out.set_column(idx, pa.field(c, pa.string()), pa.array(new))
+    for c in _JITTER_TS_US.get(name, []):
+        if c not in cols:
+            continue
+        col = out.column(c)
+        unit = getattr(col.type, "unit", "us")
+        raw = col.cast(pa.int64()).to_numpy(zero_copy_only=False).copy()
+        scale = 1_000 if unit == "ns" else 1
+        # jitter ±1 hour at µs granularity (the generator's grain)
+        raw += rng.randint(-3_600_000_000, 3_600_000_001, size=n) * scale
+        idx = out.schema.get_field_index(c)
+        out = out.set_column(
+            idx, pa.field(c, pa.timestamp(unit)),
+            pa.array(raw, type=pa.int64()).cast(pa.timestamp(unit)),
+        )
+    # permute row order: every comparison must be order-insensitive
+    perm = rng.permutation(n)
+    return out.take(pa.array(perm, type=pa.int64()))
+
+
+def _plant_events(tbl: pa.Table, rng: np.random.RandomState) -> pa.Table:
+    """Append knife-edge rows with fresh unique ids/users."""
+    ids = tbl.column("event_id").to_numpy(zero_copy_only=False)
+    users = tbl.column("user_id").to_numpy(zero_copy_only=False)
+    next_id = int(ids.max()) + 1
+    next_user = int(users.max()) + 1
+    unit = getattr(tbl.column("ts").type, "unit", "us")
+    scale = 1_000 if unit == "ns" else 1
+    day = _PLANT_DAY_US
+    rows = []  # (event_id, ts_us, user_id, event_type, value, props)
+
+    def add(ts_us, user, etype, value):
+        nonlocal next_id
+        rows.append((next_id, ts_us, user, etype, value, "{}"))
+        next_id += 1
+
+    h24 = 24 * 3_600_000_000
+    for k, dlt in enumerate((-1, 0, 1)):  # touch at purchase-24h ±1µs
+        u = next_user + k
+        t_purchase = day + 5 * 3_600_000_000
+        add(t_purchase, u, "purchase", 10.0)
+        add(t_purchase - h24 + dlt, u, "click", 1.0)
+        add(t_purchase - 1, u, "view", 1.0)  # just-inside touch
+    next_user += 3
+    # exact midnight + last-µs-of-day (day-window edges)
+    add(day, next_user, "click", 2.0)
+    add(day - 1, next_user, "click", 2.0)
+    add(day + 86_400_000_000 - 1, next_user, "view", 2.0)
+    next_user += 1
+    # rolling-1h RANGE frame: events exactly 3600 s apart (inclusive
+    # both ends) and 3600 s + 1 µs apart (exclusive)
+    base = day + 12 * 3_600_000_000
+    for k, gap in enumerate((3_600_000_000, 3_600_000_001)):
+        u = next_user + k
+        add(base, u, "click", 3.0)
+        add(base + gap, u, "click", 3.0)
+    next_user += 2
+    # half-cent rounding boundary values (x.005) and a NULL reading
+    add(day + 1_000_000, next_user, "purchase", 1.005)
+    add(day + 2_000_000, next_user, "purchase", 2.675)  # classic fp half-case
+    add(day + 3_000_000, next_user, "view", None)
+
+    arr = {
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] * scale for r in rows], pa.int64()).cast(
+            pa.timestamp(unit)
+        ),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array([r[5] for r in rows], pa.string()),
+    }
+    planted = pa.table({f.name: arr[f.name] for f in tbl.schema})
+    return pa.concat_tables([tbl, planted.cast(tbl.schema)])
+
+
+def fuzz_dir(src: str, dst: str, seed: int, nanos: bool = False) -> None:
+    rng = np.random.RandomState(seed)
+    os.makedirs(dst, exist_ok=True)
+    from bigdata_riveranalysis_spark.sources.tables import TABLES
+
+    for t in TABLES:
+        tbl = pq.read_table(f"{src}/{t}.parquet")
+        tbl = _fuzz_table(t, tbl, rng)
+        if t == "events":
+            tbl = _plant_events(tbl, rng)
+            if nanos:
+                # zero-remainder ns generation: same instants, the
+                # physical unit the nanosAsLong read path exists for
+                idx = tbl.schema.get_field_index("ts")
+                tbl = tbl.set_column(
+                    idx, pa.field("ts", pa.timestamp("ns")),
+                    tbl.column("ts").cast(pa.timestamp("ns")),
+                )
+        pq.write_table(tbl, f"{dst}/{t}.parquet")
+
+
+def main() -> int:
+    argv = sys.argv[1:]
+    seeds = int(argv[argv.index("--seeds") + 1]) if "--seeds" in argv else 3
+    src = argv[argv.index("--src") + 1] if "--src" in argv else "/root/testdata/sf0.001"
+    keep = "--keep" in argv
+    nanos = "--nanos" in argv
+    failures = []
+    for seed in range(1, seeds + 1):
+        dst = tempfile.mkdtemp(prefix=f"fixturefuzz_s{seed}_")
+        print(f"=== seed {seed}: fuzzing {src} -> {dst}"
+              + (" [events.ts -> NANOS]" if nanos else ""))
+        fuzz_dir(src, dst, seed, nanos=nanos)
+        for harness in ("diffcheck", "strictcheck"):
+            r = subprocess.run(
+                [sys.executable, os.path.join(_REPO, "tools", f"{harness}.py"), dst],
+                capture_output=True, text=True, cwd=_REPO,
+            )
+            tail = [ln for ln in r.stdout.splitlines() if ln.startswith(("FAIL", "ok?")) or "failures" in ln]
+            ok = r.returncode == 0
+            print(f"  seed {seed} {harness}: {'OK' if ok else 'FAIL'} | " + " | ".join(tail[-3:]))
+            if not ok:
+                failures.append((seed, harness, tail))
+        if not keep:
+            shutil.rmtree(dst, ignore_errors=True)
+        else:
+            print(f"  kept {dst}")
+    print(f"\n{len(failures)} failing (seed, harness) combos"
+          + (f": {[(s, h) for s, h, _ in failures]}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
