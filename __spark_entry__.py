@@ -59,6 +59,9 @@ _CHANGED_THIS_ROUND = [
     "sample_domain_mix",  # r9: weight join → literal map (VERDICT #4/#8)
     "agg_stats_corr",  # r9: signed-zero normalization (+0.0 after round)
     "stream_ewma_spikes",  # r9: NULL-reading output = SQL NULL both sides
+    "knn_bruteforce_cosine",  # r9: signed-zero normalization on cosine
+    "ann_lsh_bucketed",  # r9: signed-zero normalization on cosine
+    "ann_ivf_cells",  # r9: signed-zero normalization on cosine
 ]
 
 

@@ -1348,7 +1348,7 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
                row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
         FROM pairs
     )
-    SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rnk
+    SELECT query_id, neighbor_id, round(cos, 6) + 0.0 AS cosine, rnk
     FROM ranked WHERE rnk <= 5
     """,
 )
@@ -1374,7 +1374,15 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 5)
-        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rnk")
+        .select(
+            "query_id",
+            "neighbor_id",
+            # + 0.0: a top-k cosine can be a tiny negative that rounds
+            # to IEEE -0.0 in one engine and +0.0 in the other
+            # (signed-zero class, review r9); -0.0 + 0.0 = +0.0
+            (F.round("cos", 6) + F.lit(0.0)).alias("cosine"),
+            "rnk",
+        )
     )
 
 
@@ -1397,7 +1405,7 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
         FROM pairs
     )
-    SELECT query_id, neighbor_id, bucket, round(cos, 6) AS cosine, rnk
+    SELECT query_id, neighbor_id, bucket, round(cos, 6) + 0.0 AS cosine, rnk
     FROM ranked WHERE rnk <= 3
     """,
 )
@@ -1427,7 +1435,14 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
-        .select("query_id", "neighbor_id", "bucket", F.round("cos", 6).alias("cosine"), "rnk")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "bucket",
+            # signed-zero normalization — see knn_bruteforce_cosine
+            (F.round("cos", 6) + F.lit(0.0)).alias("cosine"),
+            "rnk",
+        )
     )
 
 
@@ -2123,7 +2138,7 @@ def _ivf_probe(vecs: DataFrame, cent_arr: DataFrame, nprobe: int) -> DataFrame:
                row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
         FROM pairs
     )
-    SELECT query_id, neighbor_id, cell, round(cos, 6) AS cosine, rnk
+    SELECT query_id, neighbor_id, cell, round(cos, 6) + 0.0 AS cosine, rnk
     FROM ranked WHERE rnk <= 3
     """,
 )
@@ -2180,7 +2195,14 @@ def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
-        .select("query_id", "neighbor_id", "cell", F.round("cos", 6).alias("cosine"), "rnk")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cell",
+            # signed-zero normalization — see knn_bruteforce_cosine
+            (F.round("cos", 6) + F.lit(0.0)).alias("cosine"),
+            "rnk",
+        )
     )
 
 

@@ -530,7 +530,14 @@ def stream_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_ewma_spikes",
     oracle="""
     WITH RECURSIVE s AS (
-        SELECT user_id AS sensor_id, event_id, value,
+        -- a physically-NaN double reading is MISSING exactly like a
+        -- NULL one (the engine's v != v check treats both the same,
+        -- and both leave the Arrow output boundary as null), so
+        -- normalize at the scan: 'value IS NULL' alone would seed the
+        -- recurrence with NaN and poison every later ewma (review r9)
+        SELECT user_id AS sensor_id, event_id,
+               CASE WHEN value IS NULL OR isnan(value) THEN NULL
+                    ELSE value END AS value,
                row_number() OVER (PARTITION BY user_id
                                   ORDER BY ts, event_id) AS rn
         FROM events

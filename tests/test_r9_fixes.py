@@ -213,6 +213,64 @@ def test_nanos_oracle_agrees_on_zero_remainder_fixture(spark, tmp_path):
     assert srows == drows and len(srows) > 0
 
 
+def test_ewma_physical_nan_reading_matches_oracle(spark, tmp_path):
+    """A PHYSICALLY-NaN double reading (non-null NaN — schema-legal in
+    parquet, distinct from NULL) must behave exactly like a NULL one
+    on both sides: the engine's v != v check skips it and the Arrow
+    output boundary nullifies it; the oracle normalizes it at the
+    scan (review r9 — 'value IS NULL' alone would seed the recurrence
+    with NaN and poison every later ewma). Targeted here rather than
+    planted corpus-wide by fixturefuzz because DuckDB raises on
+    CAST(NaN AS BIGINT), which would crash every cents-based oracle
+    on out-of-domain data."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "sfnan")
+    os.makedirs(d)
+    day = 1_705_363_200_000_000  # 2024-01-16 UTC µs
+    rows = [
+        (1, day + 1_000_000, 7, "reading", float("nan")),  # physical NaN first
+        (2, day + 2_000_000, 7, "reading", 10.0),
+        (3, day + 3_000_000, 7, "reading", 100.0),  # spike vs ewma=10
+        (4, day + 1_000_000, 8, "reading", 5.0),
+        (5, day + 2_000_000, 8, "reading", float("nan")),  # mid-stream NaN
+        (6, day + 3_000_000, 8, "reading", 6.0),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            # plain pa.array keeps NaN as a VALUE (from_pandas=True
+            # would nullify it — the whole point is that it doesn't)
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, f"{d}/events.parquet")
+    assert tbl.column("value").null_count == 0  # physically NaN, not null
+
+    q = REGISTRY["stream_ewma_spikes"]
+    srows = sorted(tuple(map(str, r)) for r in q.fn(spark, d).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+    )
+    drows = sorted(tuple(map(str, r)) for r in con.execute(q.oracle).fetchall())
+    assert srows == drows
+    # and the NaN readings surface as SQL NULL, with state unpoisoned
+    # (output schema: sensor_id, event_id, value, ewma, is_spike)
+    by_id = {int(r[1]): r for r in (tuple(x) for x in q.fn(spark, d).collect())}
+    assert by_id[1][2] is None and by_id[1][3] is None  # value, ewma NULL
+    assert by_id[3][4] is True  # spike still detected after the NaN
+    assert by_id[5][3] == 5.0  # mid-stream NaN passes prior ewma through
+
+
 def test_sample_domain_mix_has_no_join_stage(spark):
     """VERDICT r8 #4/#8: the per-call 5-row createDataFrame +
     broadcast join billed this trivial aggregate at 4.33 s. The

@@ -52,22 +52,32 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 #: Non-key attribute columns eligible for jitter, per table. Keys,
-#: foreign keys, and categorical join columns stay fixed.
-_JITTER_DOUBLES = {
+#: foreign keys, and categorical join columns stay fixed. Jitter
+#: respects each column's GENERATOR GRAIN (review r9: sub-grain
+#: jitter — 23:30 order dates, quantity 21.36 — manufactures data no
+#: driver generation can produce, so a divergence found there would
+#: be a false alarm, exactly what this tool's key-preservation rule
+#: exists to avoid).
+_JITTER_DOUBLES = {  # money columns: cent grain
     "events": ["value"],
     "orders": ["o_totalprice"],
-    "lineitem": ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    "lineitem": ["l_extendedprice", "l_discount", "l_tax"],
     "customer": ["c_acctbal"],
     "supplier": ["s_acctbal"],
     "part": ["p_retailprice"],
+}
+_JITTER_WHOLE = {  # whole-unit columns
+    "lineitem": ["l_quantity"],
 }
 _RESAMPLE_CATEGORICALS = {
     "events": ["event_type"],
     "orders": ["o_orderpriority", "o_orderstatus"],
     "lineitem": ["l_returnflag", "l_linestatus"],
 }
-_JITTER_TS_US = {
+_JITTER_TS_US = {  # µs-grain event times
     "events": ["ts"],
+}
+_JITTER_TS_DAYS = {  # day-grain (midnight-aligned) business dates
     "orders": ["o_orderdate"],
     "lineitem": ["l_shipdate"],
 }
@@ -97,8 +107,23 @@ def _fuzz_table(name: str, tbl: pa.Table, rng: np.random.RandomState) -> pa.Tabl
             # generation may exercise it (found the ewma NULL-vs-NaN
             # output-boundary divergence, r9). Other tables' money
             # columns stay non-null — TPC-H-ish generators never
-            # null them.
+            # null them. PHYSICAL NaN (a non-null NaN double) is
+            # deliberately NOT planted corpus-wide: DuckDB raises on
+            # CAST(NaN AS BIGINT), so every cents-based oracle would
+            # crash on data no generator produces; the engine/oracle
+            # NaN parity for the one consumer with per-reading
+            # semantics (stream_ewma_spikes) is pinned by a targeted
+            # test instead (tests/test_r9_fixes.py).
             v = np.where(rng.uniform(size=n) < 0.01, np.nan, v)
+        idx = out.schema.get_field_index(c)
+        out = out.set_column(idx, pa.field(c, pa.float64()), pa.array(v, from_pandas=True))
+    for c in _JITTER_WHOLE.get(name, []):
+        if c not in cols:
+            continue
+        v = cols[c].to_numpy(zero_copy_only=False).astype(np.float64)
+        mask = ~np.isnan(v)
+        jit = np.maximum(1.0, np.round(v * rng.uniform(0.9, 1.1, size=n)))
+        v = np.where(mask, jit, v)
         idx = out.schema.get_field_index(c)
         out = out.set_column(idx, pa.field(c, pa.float64()), pa.array(v, from_pandas=True))
     for c in _RESAMPLE_CATEGORICALS.get(name, []):
@@ -121,6 +146,21 @@ def _fuzz_table(name: str, tbl: pa.Table, rng: np.random.RandomState) -> pa.Tabl
         scale = 1_000 if unit == "ns" else 1
         # jitter ±1 hour at µs granularity (the generator's grain)
         raw += rng.randint(-3_600_000_000, 3_600_000_001, size=n) * scale
+        idx = out.schema.get_field_index(c)
+        out = out.set_column(
+            idx, pa.field(c, pa.timestamp(unit)),
+            pa.array(raw, type=pa.int64()).cast(pa.timestamp(unit)),
+        )
+    for c in _JITTER_TS_DAYS.get(name, []):
+        if c not in cols:
+            continue
+        col = out.column(c)
+        unit = getattr(col.type, "unit", "us")
+        raw = col.cast(pa.int64()).to_numpy(zero_copy_only=False).copy()
+        day = 86_400_000_000 * (1_000 if unit == "ns" else 1)
+        # whole-day jitter ±15 days: business dates stay
+        # midnight-aligned, the generator's grain
+        raw += rng.randint(-15, 16, size=n) * day
         idx = out.schema.get_field_index(c)
         out = out.set_column(
             idx, pa.field(c, pa.timestamp(unit)),
@@ -229,6 +269,12 @@ def main() -> int:
             ok = r.returncode == 0
             print(f"  seed {seed} {harness}: {'OK' if ok else 'FAIL'} | " + " | ".join(tail[-3:]))
             if not ok:
+                if not tail:
+                    # harness died before printing (import error, JVM
+                    # launch failure): surface the traceback instead
+                    # of an undiagnosable empty FAIL (review r9)
+                    for ln in r.stderr.splitlines()[-8:]:
+                        print(f"    stderr: {ln}")
                 failures.append((seed, harness, tail))
         if not keep:
             shutil.rmtree(dst, ignore_errors=True)

@@ -116,6 +116,12 @@ def main() -> int:
         spark = (
             SparkSession.builder.master(f"local[{n}]")
             .appName("strictcheck-vanilla")
+            # RESOURCE conf mirrored from get_spark (a 1g-default heap
+            # OOM would masquerade as conf-dependence — review r9);
+            # every SEMANTIC conf (timezone, AQE, thresholds,
+            # nanosAsLong) stays at Spark defaults, which is the point.
+            .config("spark.driver.memory", "90g")
+            .config("spark.ui.enabled", "false")
             .getOrCreate()
         )
         spark.sparkContext.setLogLevel("WARN")
