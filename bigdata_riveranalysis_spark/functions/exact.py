@@ -201,3 +201,23 @@ def sum2to4_exact(col: Column | str) -> Column:
 
 def sum2to4_exact_sql(expr: str) -> str:
     return sum_round4_sql(cents_sql(expr), 2)
+
+
+def round_pz(col: Column, scale: int) -> Column:
+    """round(col, scale) with the signed zero normalized to +0.0.
+
+    round() of a SIGNED double that lands in (-0.5·10^-scale, 0] can
+    yield IEEE -0.0 in one engine and +0.0 in the other (caught r9:
+    DuckDB round(-1e-9, 6) = -0.0 where Spark emits 0.0) — a
+    representation-only difference that a repr-style comparator reads
+    as a value mismatch. `+ 0.0` after the round maps -0.0 → +0.0
+    (IEEE: -0.0 + 0.0 = +0.0) and is the identity elsewhere,
+    including NULL and NaN. Use this — with :func:`round_pz_sql` as
+    the oracle twin — for every rounded signed float output; the
+    floor-identity round4 family never produces -0.0 and needs no
+    normalization."""
+    return F.round(col, scale) + F.lit(0.0)
+
+
+def round_pz_sql(expr: str, scale: int) -> str:
+    return f"round({expr}, {scale}) + 0.0"

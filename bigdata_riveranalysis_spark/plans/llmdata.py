@@ -1348,7 +1348,7 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
                row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
         FROM pairs
     )
-    SELECT query_id, neighbor_id, round(cos, 6) + 0.0 AS cosine, rnk
+    SELECT query_id, neighbor_id, {EX.round_pz_sql("cos", 6)} AS cosine, rnk
     FROM ranked WHERE rnk <= 5
     """,
 )
@@ -1377,10 +1377,10 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            # + 0.0: a top-k cosine can be a tiny negative that rounds
-            # to IEEE -0.0 in one engine and +0.0 in the other
-            # (signed-zero class, review r9); -0.0 + 0.0 = +0.0
-            (F.round("cos", 6) + F.lit(0.0)).alias("cosine"),
+            # a top-k cosine can be a tiny negative that rounds to
+            # IEEE -0.0 in one engine and +0.0 in the other
+            # (signed-zero class, review r9)
+            EX.round_pz(F.col("cos"), 6).alias("cosine"),
             "rnk",
         )
     )
@@ -1405,7 +1405,7 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
         FROM pairs
     )
-    SELECT query_id, neighbor_id, bucket, round(cos, 6) + 0.0 AS cosine, rnk
+    SELECT query_id, neighbor_id, bucket, {EX.round_pz_sql("cos", 6)} AS cosine, rnk
     FROM ranked WHERE rnk <= 3
     """,
 )
@@ -1439,8 +1439,8 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             "bucket",
-            # signed-zero normalization — see knn_bruteforce_cosine
-            (F.round("cos", 6) + F.lit(0.0)).alias("cosine"),
+            # signed-zero normalization (EX.round_pz docstring)
+            EX.round_pz(F.col("cos"), 6).alias("cosine"),
             "rnk",
         )
     )
@@ -2138,7 +2138,7 @@ def _ivf_probe(vecs: DataFrame, cent_arr: DataFrame, nprobe: int) -> DataFrame:
                row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
         FROM pairs
     )
-    SELECT query_id, neighbor_id, cell, round(cos, 6) + 0.0 AS cosine, rnk
+    SELECT query_id, neighbor_id, cell, {EX.round_pz_sql("cos", 6)} AS cosine, rnk
     FROM ranked WHERE rnk <= 3
     """,
 )
@@ -2199,8 +2199,8 @@ def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             "cell",
-            # signed-zero normalization — see knn_bruteforce_cosine
-            (F.round("cos", 6) + F.lit(0.0)).alias("cosine"),
+            # signed-zero normalization (EX.round_pz docstring)
+            EX.round_pz(F.col("cos"), 6).alias("cosine"),
             "rnk",
         )
     )

@@ -822,12 +822,12 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_stats_corr",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag,
-           round(corr(l_quantity, l_extendedprice), 4) + 0.0       AS qty_price_corr,
-           round(covar_samp(l_quantity, l_extendedprice), 4) + 0.0 AS qty_price_covar,
-           round(var_samp(l_discount), 4) + 0.0                    AS discount_var,
-           round(skewness(l_quantity), 4) + 0.0                    AS qty_skew
+           {EX.round_pz_sql("corr(l_quantity, l_extendedprice)", 4)} AS qty_price_corr,
+           {EX.round_pz_sql("covar_samp(l_quantity, l_extendedprice)", 4)} AS qty_price_covar,
+           {EX.round_pz_sql("var_samp(l_discount)", 4)} AS discount_var,
+           {EX.round_pz_sql("skewness(l_quantity)", 4)} AS qty_skew
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -857,12 +857,11 @@ def agg_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     n = F.count("*")
     g1_to_G1 = F.sqrt(n * (n - F.lit(1))) / (n - F.lit(2))
-    z = F.lit(0.0)
     return li.groupBy("l_returnflag").agg(
-        (F.round(F.corr("l_quantity", "l_extendedprice"), 4) + z).alias("qty_price_corr"),
-        (F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4) + z).alias("qty_price_covar"),
-        (F.round(F.var_samp("l_discount"), 4) + z).alias("discount_var"),
-        (F.round(F.skewness("l_quantity") * g1_to_G1, 4) + z).alias("qty_skew"),
+        EX.round_pz(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        EX.round_pz(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_covar"),
+        EX.round_pz(F.var_samp("l_discount"), 4).alias("discount_var"),
+        EX.round_pz(F.skewness("l_quantity") * g1_to_G1, 4).alias("qty_skew"),
     )
 
 

@@ -256,7 +256,8 @@ def test_ewma_physical_nan_reading_matches_oracle(spark, tmp_path):
     assert tbl.column("value").null_count == 0  # physically NaN, not null
 
     q = REGISTRY["stream_ewma_spikes"]
-    srows = sorted(tuple(map(str, r)) for r in q.fn(spark, d).collect())
+    collected = [tuple(r) for r in q.fn(spark, d).collect()]  # one drain
+    srows = sorted(tuple(map(str, r)) for r in collected)
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
@@ -265,7 +266,7 @@ def test_ewma_physical_nan_reading_matches_oracle(spark, tmp_path):
     assert srows == drows
     # and the NaN readings surface as SQL NULL, with state unpoisoned
     # (output schema: sensor_id, event_id, value, ewma, is_spike)
-    by_id = {int(r[1]): r for r in (tuple(x) for x in q.fn(spark, d).collect())}
+    by_id = {int(r[1]): r for r in collected}
     assert by_id[1][2] is None and by_id[1][3] is None  # value, ewma NULL
     assert by_id[3][4] is True  # spike still detected after the NaN
     assert by_id[5][3] == 5.0  # mid-stream NaN passes prior ewma through

@@ -143,9 +143,15 @@ def _fuzz_table(name: str, tbl: pa.Table, rng: np.random.RandomState) -> pa.Tabl
         col = out.column(c)
         unit = getattr(col.type, "unit", "us")
         raw = col.cast(pa.int64()).to_numpy(zero_copy_only=False).copy()
-        scale = 1_000 if unit == "ns" else 1
-        # jitter ±1 hour at µs granularity (the generator's grain)
-        raw += rng.randint(-3_600_000_000, 3_600_000_001, size=n) * scale
+        # ticks per µs for this column's unit (sub-µs units jitter at
+        # µs grain; coarser units jitter at their own grain)
+        per_us = {"s": None, "ms": None, "us": 1, "ns": 1_000}[unit]
+        if per_us is None:  # s/ms-unit generation: whole-ms jitter
+            hour = 3_600 if unit == "s" else 3_600_000
+            raw += rng.randint(-hour, hour + 1, size=n)
+        else:
+            # jitter ±1 hour at µs granularity (the generator's grain)
+            raw += rng.randint(-3_600_000_000, 3_600_000_001, size=n) * per_us
         idx = out.schema.get_field_index(c)
         out = out.set_column(
             idx, pa.field(c, pa.timestamp(unit)),
@@ -157,7 +163,15 @@ def _fuzz_table(name: str, tbl: pa.Table, rng: np.random.RandomState) -> pa.Tabl
         col = out.column(c)
         unit = getattr(col.type, "unit", "us")
         raw = col.cast(pa.int64()).to_numpy(zero_copy_only=False).copy()
-        day = 86_400_000_000 * (1_000 if unit == "ns" else 1)
+        # day length in the column's own ticks — FIXTURES.md documents
+        # ms-unit generations for business dates, and a us-assuming
+        # constant would turn ±15 days into ±15,000 (review r9)
+        day = {
+            "s": 86_400,
+            "ms": 86_400_000,
+            "us": 86_400_000_000,
+            "ns": 86_400_000_000_000,
+        }[unit]
         # whole-day jitter ±15 days: business dates stay
         # midnight-aligned, the generator's grain
         raw += rng.randint(-15, 16, size=n) * day
@@ -178,7 +192,17 @@ def _plant_events(tbl: pa.Table, rng: np.random.RandomState) -> pa.Table:
     next_id = int(ids.max()) + 1
     next_user = int(users.max()) + 1
     unit = getattr(tbl.column("ts").type, "unit", "us")
-    scale = 1_000 if unit == "ns" else 1
+    # planted timestamps are authored in µs; convert to the column's
+    # own unit (multiply for finer, integer-divide for coarser — all
+    # planted instants are whole seconds ± whole µs, so ms-grain
+    # division is only lossy for the deliberate ±1 µs knife-edge rows,
+    # which a coarser-grain generation genuinely cannot represent)
+    to_unit = {
+        "s": lambda us: us // 1_000_000,
+        "ms": lambda us: us // 1_000,
+        "us": lambda us: us,
+        "ns": lambda us: us * 1_000,
+    }[unit]
     day = _PLANT_DAY_US
     rows = []  # (event_id, ts_us, user_id, event_type, value, props)
 
@@ -215,7 +239,7 @@ def _plant_events(tbl: pa.Table, rng: np.random.RandomState) -> pa.Table:
 
     arr = {
         "event_id": pa.array([r[0] for r in rows], pa.int64()),
-        "ts": pa.array([r[1] * scale for r in rows], pa.int64()).cast(
+        "ts": pa.array([to_unit(r[1]) for r in rows], pa.int64()).cast(
             pa.timestamp(unit)
         ),
         "user_id": pa.array([r[2] for r in rows], pa.int64()),
