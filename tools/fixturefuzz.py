@@ -236,6 +236,26 @@ def _plant_events(tbl: pa.Table, rng: np.random.RandomState) -> pa.Table:
     add(day + 1_000_000, next_user, "purchase", 1.005)
     add(day + 2_000_000, next_user, "purchase", 2.675)  # classic fp half-case
     add(day + 3_000_000, next_user, "view", None)
+    next_user += 1
+    # sessionization gap EXACTLY at the 30-min threshold (gap >
+    # SESSION_GAP_US starts a new session, so == must NOT) and one µs
+    # past it (must)
+    gap = 30 * 60 * 1_000_000
+    for k, g in enumerate((gap, gap + 1)):
+        u = next_user + k
+        add(day + 6 * 3_600_000_000, u, "click", 4.0)
+        add(day + 6 * 3_600_000_000 + g, u, "click", 4.0)
+    next_user += 2
+    # as-of join tie: click at EXACTLY the purchase instant (strict
+    # tts < ts excludes it in both engines) and 1 µs before (included)
+    t_p = day + 7 * 3_600_000_000
+    add(t_p, next_user, "purchase", 5.0)
+    add(t_p, next_user, "click", 5.0)
+    add(t_p - 1, next_user, "click", 5.0)
+    next_user += 1
+    # sliding-window edge: event at an exact 30-min slide-grid line
+    # (belongs to exactly two 1h/30min windows, no more)
+    add(day + 8 * 3_600_000_000 + 30 * 60 * 1_000_000, next_user, "view", 6.0)
 
     arr = {
         "event_id": pa.array([r[0] for r in rows], pa.int64()),
