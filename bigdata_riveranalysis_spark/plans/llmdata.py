@@ -3353,3 +3353,238 @@ def kmeans_int8_lloyd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     a1 = _kmeans_assign(X, cents0)
     cents1 = _kmeans_cents_row(_kmeans_update(a1))
     return _kmeans_assign(X, cents1).select("vec_id", "cid", "dist2")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric distance computation (ADC)
+# ---------------------------------------------------------------------------
+
+#: PQ geometry: M subspaces of SUBDIM dims each over the 64-dim
+#: embeddings; K centroids per subspace (codebook = M·K·SUBDIM ints),
+#: trained with the same 2 deterministic integer Lloyd iterations as
+#: kmeans_int8_lloyd2. Codes compress a vector to M small ints —
+#: 64 f32 dims (256 B) → 4 codes (4 B), the 64× memory cut that makes
+#: billion-vector search RAM-resident (IVF+PQ, the FAISS standard).
+PQ_SUBDIM = 16
+PQ_K = 8
+PQ_TOPK = 5
+PQ_NQUERY = 10
+
+
+def _pq_subvectors(codes: DataFrame) -> DataFrame:
+    """(vec_id, sub, xs): SUBDIM-ordered code subvector per
+    (embedding, subspace) — the PQ analogue of _kmeans_vectors."""
+    sc = codes.select(
+        "vec_id",
+        F.expr(f"dim div {PQ_SUBDIM}").alias("sub"),
+        (F.col("dim") % PQ_SUBDIM).alias("sdim"),
+        "c",
+    )
+    return sc.groupBy("vec_id", "sub").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sdim", "c"))),
+            lambda s: s["c"],
+        ).alias("xs")
+    )
+
+
+def _pq_cents_row(cents: DataFrame) -> DataFrame:
+    """ONE broadcastable row holding every subspace's codebook — the
+    (sub, cid)-sorted array of (sub, cid, cs) structs. M·K·SUBDIM
+    ints total: constant-size, gate-free broadcast."""
+    arr = cents.groupBy("sub", "cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("sdim").alias("dim"), "cent"))),
+            lambda s: s["cent"],
+        ).alias("cs")
+    )
+    return arr.agg(
+        F.array_sort(F.collect_list(F.struct("sub", "cid", "cs"))).alias("cents")
+    )
+
+
+def _pq_d2(cs):
+    """Exact integer squared L2 between the row's xs and a codebook
+    entry (same fold as _kmeans_assign)."""
+    return F.aggregate(
+        F.zip_with("xs", cs, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_assign(Xs: DataFrame, cents_row: DataFrame) -> DataFrame:
+    """(vec_id, sub, xs, cid, dist2): nearest codebook entry per
+    (vector, subspace), ties to the lowest cid — zero-shuffle: the
+    codebook rides in as one broadcast row and each input row argmins
+    over ITS subspace's K entries inside a higher-order aggregate."""
+    j = Xs.crossJoin(F.broadcast(cents_row))
+    mine = F.filter("cents", lambda ct: ct["sub"] == F.col("sub"))
+    best = F.aggregate(
+        mine,
+        F.lit(None).cast("struct<dist2:bigint,cid:int>"),
+        lambda m, ct: F.least(
+            m, F.struct(_pq_d2(ct["cs"]).alias("dist2"), ct["cid"].alias("cid"))
+        ),
+    )
+    return j.select("vec_id", "sub", "xs", best.alias("m")).select(
+        "vec_id", "sub", "xs",
+        F.col("m.cid").alias("cid"),
+        F.col("m.dist2").alias("dist2"),
+    )
+
+
+def _pq_update(assign: DataFrame) -> DataFrame:
+    """(sub, cid, sdim, cent): per-(subspace, cluster) integer
+    floor-mean centroids — one shuffle per Lloyd iteration."""
+    m = assign.select("sub", "cid", F.posexplode("xs").alias("sdim", "c"))
+    return m.groupBy("sub", "cid", "sdim").agg(
+        F.expr("sum(c) div count(*)").alias("cent")
+    )
+
+
+@query(
+    "ann_pq_adc",
+    oracle=f"""
+    WITH codes AS (
+        SELECT vec_id, dim, code AS c FROM ({_quant_oracle()}) qz
+    ),
+    sc AS (
+        SELECT vec_id, dim // {PQ_SUBDIM} AS sub, dim % {PQ_SUBDIM} AS sdim, c
+        FROM codes
+    ),
+    seedids AS (
+        SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+        FROM (SELECT DISTINCT vec_id FROM codes ORDER BY vec_id LIMIT {PQ_K}) s
+    ),
+    cents0 AS (
+        SELECT seedids.cid, sc.sub, sc.sdim, sc.c AS cent
+        FROM sc JOIN seedids ON sc.vec_id = seedids.vec_id
+    ),
+    d1 AS (
+        SELECT sc.vec_id, sc.sub, cents0.cid,
+               sum((sc.c - cents0.cent) * (sc.c - cents0.cent)) AS dist2
+        FROM sc JOIN cents0 ON sc.sub = cents0.sub AND sc.sdim = cents0.sdim
+        GROUP BY 1, 2, 3
+    ),
+    a1 AS (
+        SELECT vec_id, sub, cid FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id, sub ORDER BY dist2, cid
+            ) AS rk FROM d1
+        ) WHERE rk = 1
+    ),
+    cents1 AS (
+        SELECT a1.sub, a1.cid, sc.sdim, sum(sc.c) // count(*) AS cent
+        FROM sc JOIN a1 ON sc.vec_id = a1.vec_id AND sc.sub = a1.sub
+        GROUP BY 1, 2, 3
+    ),
+    d2 AS (
+        SELECT sc.vec_id, sc.sub, cents1.cid,
+               sum((sc.c - cents1.cent) * (sc.c - cents1.cent)) AS dist2
+        FROM sc JOIN cents1 ON sc.sub = cents1.sub AND sc.sdim = cents1.sdim
+        GROUP BY 1, 2, 3
+    ),
+    enc AS (
+        SELECT vec_id, sub, cid FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id, sub ORDER BY dist2, cid
+            ) AS rk FROM d2
+        ) WHERE rk = 1
+    ),
+    qd AS (
+        SELECT vec_id AS qid, sub, cid, dist2 AS d2q
+        FROM d2 WHERE vec_id < {PQ_NQUERY}
+    ),
+    adc AS (
+        SELECT qd.qid, enc.vec_id AS nid, sum(qd.d2q) AS est
+        FROM enc JOIN qd ON qd.sub = enc.sub AND qd.cid = enc.cid
+        WHERE enc.vec_id <> qd.qid
+        GROUP BY 1, 2
+    )
+    SELECT qid AS query_id, nid AS neighbor_id,
+           CAST(est AS BIGINT) AS adc_dist2, rnk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY qid ORDER BY est, nid
+        ) AS rnk FROM adc
+    ) WHERE rnk <= {PQ_TOPK}
+    """,
+)
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    — the third leg of the similarity-search stack (brute-force =
+    exact baseline, sign-LSH/IVF = bucketed candidate pruning, PQ =
+    memory compression): each vector is encoded as 4 codebook
+    ids ({PQ_SUBDIM}-dim subspaces, K={PQ_K} entries trained with the
+    kmeans_int8_lloyd2 discipline — 2 integer Lloyd iterations,
+    deterministic smallest-vec_id seeds), and a query is answered by
+    summing per-subspace lookup-table distances (ADC) instead of
+    touching raw vectors.
+
+    Exactness: everything is integer — SQ8 codes, squared-L2
+    distances, floor-mean centroid updates, tie-breaks on (dist2,
+    cid) / (est, nid) — so both engines walk bit-identical codebooks,
+    encodings, and rankings; adc_dist2 ≤ M·SUBDIM·255² ≈ 4.2e6 sits
+    in int64/BIGINT (dtype-family rule). The ADC estimate for a query
+    IN the corpus uses the query's own d2-to-centroid table (the
+    standard asymmetric trick: the query side stays unquantized
+    against the codebook).
+
+    Scale: training/encoding is the k-means shape per subspace — the
+    codebook is ONE broadcast row (M·K·SUBDIM ints), every assignment
+    a zero-shuffle map-side argmin, the only iteration shuffle the
+    M·K·SUBDIM centroid update; ADC joins the PQ_NQUERY·M·K
+    lookup table (broadcast, constant-size) to the n·M code rows and
+    top-k per query mirrors knn_bruteforce_cosine's accepted window
+    shape. At 100 TB the codes table is the ONLY per-vector state the
+    search touches: 64× smaller than the raw f32 embeddings.
+    """
+    codes = embedding_quantize_int8(spark, sf_dir).select(
+        "vec_id", "dim", F.col("code").alias("c")
+    )
+    Xs = _pq_subvectors(codes).localCheckpoint()
+    seed_ids = (
+        Xs.select("vec_id").distinct().orderBy("vec_id").limit(PQ_K)
+    ).select(
+        "vec_id",
+        (F.row_number().over(W.orderBy("vec_id")) - 1).alias("cid"),
+    )
+    seeds = Xs.join(F.broadcast(seed_ids), "vec_id").select(
+        "sub", "cid", F.posexplode("xs").alias("sdim", "cent")
+    )
+    a1 = _pq_assign(Xs, _pq_cents_row(seeds))
+    cents1 = _pq_update(a1)
+    cents1_row = _pq_cents_row(cents1)
+    a2 = _pq_assign(Xs, cents1_row)
+    enc = a2.select("vec_id", "sub", "cid")
+    # the query-side LUT: d2 of each query subvector to EVERY
+    # codebook entry of its subspace — PQ_NQUERY·M·K rows, broadcast
+    q = Xs.filter(F.col("vec_id") < PQ_NQUERY).crossJoin(
+        F.broadcast(cents1_row)
+    )
+    qd = q.select(
+        F.col("vec_id").alias("qid"),
+        "sub",
+        "xs",
+        F.explode(F.filter("cents", lambda ct: ct["sub"] == F.col("sub"))).alias("ct"),
+    ).select(
+        "qid", "sub", F.col("ct.cid").alias("cid"), _pq_d2(F.col("ct.cs")).alias("d2q")
+    )
+    adc = (
+        enc.join(F.broadcast(qd), ["sub", "cid"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("d2q").alias("est"))
+    )
+    wq = W.partitionBy("qid").orderBy("est", "vec_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= PQ_TOPK)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("est").cast("long").alias("adc_dist2"),
+            "rnk",
+        )
+    )

@@ -621,7 +621,7 @@ def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(
     "scalar_array_functions",
     oracle="""
     SELECT p_partkey,
@@ -641,7 +641,13 @@ def scalar_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort desc + join / array_contains / transform + aggregate) — the
     higher-order-function surface the LLM-data operators build on,
     exercised standalone. All codegen'd JVM expressions; the per-row
-    array work is embarrassingly parallel at any scale."""
+    array work is embarrassingly parallel at any scale.
+
+    RETIRED r9 (150-slot cadence cap; VERDICT r8 #5 policy) to make
+    room for ann_pq_adc: every registered embedding/ANN query runs
+    this higher-order surface (zip_with/aggregate/transform) on its
+    hot path, and the battery stays pytest-verified via
+    tests/test_retired_queries.py."""
     part = load_table(spark, sf_dir, "part")
     parts = F.split(F.trim(F.col("p_name")), r"\s+")
     tok_lens = F.transform(parts, lambda t: F.length(t))

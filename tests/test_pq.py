@@ -1,0 +1,95 @@
+"""Product-quantization ANN (ann_pq_adc) — planted-geometry checks.
+
+The registered oracle is the primary gate (integer-exact end-to-end);
+these tests pin the geometric invariants a differential hash can't
+name: identical vectors encode identically, and ADC distance between
+identically-encoded vectors is exactly zero.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+
+from bigdata_riveranalysis_spark.plans.registry import REGISTRY
+
+
+def _planted_embeddings(tmp_path) -> str:
+    """20 vectors, 64 dims: vec i and vec i+10 are IDENTICAL for
+    i in 0..9 (queries are vec_id < 10), with enough spread that the
+    8 seed centroids differ."""
+    d = str(tmp_path / "sfpq")
+    os.makedirs(d)
+    rows = []
+    for i in range(10):
+        vec = [float((i * 7 + j * 3) % 97) for j in range(64)]
+        rows.append((i, i % 3, vec))
+        rows.append((i + 10, i % 3, vec))
+    pd.DataFrame(rows, columns=["vec_id", "label", "embedding"]).to_parquet(
+        f"{d}/embeddings.parquet", index=False
+    )
+    return d
+
+
+def test_pq_identical_twin_ranks_first(spark, tmp_path):
+    """An identical copy of the query vector must be the top ADC
+    neighbor. Its adc_dist2 is NOT zero — ADC is asymmetric: the
+    unquantized query is compared against the NEIGHBOR'S codebook
+    reconstruction, so the twin's distance equals the query's own
+    quantization error (> 0 unless the query sits on a centroid) —
+    but no other vector can beat it, because the twin shares the
+    query's codes and every other code is at least as far from the
+    query by the argmin that chose those codes."""
+    d = _planted_embeddings(tmp_path)
+    rows = REGISTRY["ann_pq_adc"].fn(spark, d).collect()
+    out = {(r.query_id, r.neighbor_id): r for r in rows}
+    assert all(r.adc_dist2 >= 0 for r in rows)
+    for q in range(10):
+        r = out.get((q, q + 10))
+        assert r is not None, f"query {q}: identical twin not in top-k"
+        # est-optimal, not necessarily rnk 1: another vector may share
+        # ALL the twin's codes (K=8 is a coarse codebook by design)
+        # and win the deterministic nid tie-break — ADC cannot
+        # distinguish same-coded vectors, which is the quantization
+        # trade the operator documents.
+        assert r.adc_dist2 == min(
+            x.adc_dist2 for x in rows if x.query_id == q
+        ), q
+
+
+def test_pq_codes_deterministic_and_identical_for_twins(spark, tmp_path):
+    from bigdata_riveranalysis_spark.plans.llmdata import (
+        _pq_assign,
+        _pq_cents_row,
+        _pq_subvectors,
+        _pq_update,
+        embedding_quantize_int8,
+    )
+    from pyspark.sql import functions as F
+
+    d = _planted_embeddings(tmp_path)
+    codes = embedding_quantize_int8(spark, d).select(
+        "vec_id", "dim", F.col("code").alias("c")
+    )
+    Xs = _pq_subvectors(codes).localCheckpoint()
+    from pyspark.sql import Window as W
+
+    seed_ids = (
+        Xs.select("vec_id").distinct().orderBy("vec_id").limit(8)
+    ).select(
+        "vec_id", (F.row_number().over(W.orderBy("vec_id")) - 1).alias("cid")
+    )
+    seeds = Xs.join(F.broadcast(seed_ids), "vec_id").select(
+        "sub", "cid", F.posexplode("xs").alias("sdim", "cent")
+    )
+    a1 = _pq_assign(Xs, _pq_cents_row(seeds))
+    enc = _pq_assign(Xs, _pq_cents_row(_pq_update(a1))).select(
+        "vec_id", "sub", "cid"
+    )
+    by_vec = {}
+    for r in enc.collect():
+        by_vec.setdefault(r.vec_id, {})[r.sub] = r.cid
+    for i in range(10):
+        assert by_vec[i] == by_vec[i + 10], (i, by_vec[i], by_vec[i + 10])
+        assert len(by_vec[i]) == 4  # all four subspaces encoded
