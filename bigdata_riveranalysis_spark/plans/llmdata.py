@@ -3213,19 +3213,14 @@ def _kmeans_assign(X: DataFrame, cents_row: DataFrame) -> DataFrame:
     are 0..255, so d·255² overflows nothing real); least() skips the
     null init and compares structs field-wise."""
     j = X.crossJoin(F.broadcast(cents_row))
-
-    def d2(cs):
-        return F.aggregate(
-            F.zip_with("xs", cs, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-
+    # ONE definition of the exactness-critical integer fold for both
+    # k-means and PQ (review r9: two hand-maintained copies of the
+    # long-accumulator zip_with drift apart like forked canons)
     best = F.aggregate(
         "cents",
         F.lit(None).cast("struct<dist2:bigint,cid:int>"),
         lambda m, ct: F.least(
-            m, F.struct(d2(ct["cs"]).alias("dist2"), ct["cid"].alias("cid"))
+            m, F.struct(_pq_d2(ct["cs"]).alias("dist2"), ct["cid"].alias("cid"))
         ),
     )
     return j.select("vec_id", "xs", best.alias("m")).select(
@@ -3301,7 +3296,7 @@ def _quant_oracle() -> str:
     """,
 )
 def kmeans_int8_lloyd2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K-means (k = {KMEANS_K}, 2 Lloyd iterations) over the SQ8
+    """K-means (k = 8 = KMEANS_K, 2 Lloyd iterations) over the SQ8
     quantization codes — INTEGER-EXACT clustering, the trick that
     makes an iterative ML algorithm oracle-hashable at all: distances
     are integer squared-L2 over 0-255 codes, centroid updates are
@@ -3316,7 +3311,7 @@ def kmeans_int8_lloyd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Composition: codes come from embedding_quantize_int8 (called as a
     plain function; the oracle embeds that query's registered SQL
-    textually). Init is deterministic: the {KMEANS_K} smallest
+    textually). Init is deterministic: the KMEANS_K smallest
     vec_ids seed the centroids.
 
     Scale (r8 array-form rewrite): the quantize output is reshaped
@@ -3404,8 +3399,9 @@ def _pq_cents_row(cents: DataFrame) -> DataFrame:
 
 
 def _pq_d2(cs):
-    """Exact integer squared L2 between the row's xs and a codebook
-    entry (same fold as _kmeans_assign)."""
+    """Exact integer squared L2 between the row's xs column and a
+    centroid array — THE shared fold for k-means assignment and every
+    PQ distance (one definition; _kmeans_assign calls it too)."""
     return F.aggregate(
         F.zip_with("xs", cs, lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),
@@ -3516,7 +3512,7 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the third leg of the similarity-search stack (brute-force =
     exact baseline, sign-LSH/IVF = bucketed candidate pruning, PQ =
     memory compression): each vector is encoded as 4 codebook
-    ids ({PQ_SUBDIM}-dim subspaces, K={PQ_K} entries trained with the
+    ids (16-dim subspaces, K=8 entries trained with the
     kmeans_int8_lloyd2 discipline — 2 integer Lloyd iterations,
     deterministic smallest-vec_id seeds), and a query is answered by
     summing per-subspace lookup-table distances (ADC) instead of

@@ -12,20 +12,31 @@ import os
 
 import pandas as pd
 
+from bigdata_riveranalysis_spark.plans.llmdata import (
+    PQ_K,
+    PQ_NQUERY,
+    PQ_SUBDIM,
+)
 from bigdata_riveranalysis_spark.plans.registry import REGISTRY
+
+_DIM = 64
+_M = _DIM // PQ_SUBDIM
 
 
 def _planted_embeddings(tmp_path) -> str:
-    """20 vectors, 64 dims: vec i and vec i+10 are IDENTICAL for
-    i in 0..9 (queries are vec_id < 10), with enough spread that the
-    8 seed centroids differ."""
+    """2·PQ_NQUERY vectors, 64 dims: vec i and vec i+PQ_NQUERY are
+    IDENTICAL for i in the query range (queries are
+    vec_id < PQ_NQUERY), with enough spread that the seed centroids
+    differ. Constants are IMPORTED, not restated — a PQ_K change must
+    not silently desync this codebook from the operator's (the r8
+    Jaccard-coefficient decoupling class)."""
     d = str(tmp_path / "sfpq")
     os.makedirs(d)
     rows = []
-    for i in range(10):
-        vec = [float((i * 7 + j * 3) % 97) for j in range(64)]
+    for i in range(PQ_NQUERY):
+        vec = [float((i * 7 + j * 3) % 97) for j in range(_DIM)]
         rows.append((i, i % 3, vec))
-        rows.append((i + 10, i % 3, vec))
+        rows.append((i + PQ_NQUERY, i % 3, vec))
     pd.DataFrame(rows, columns=["vec_id", "label", "embedding"]).to_parquet(
         f"{d}/embeddings.parquet", index=False
     )
@@ -45,17 +56,23 @@ def test_pq_identical_twin_ranks_first(spark, tmp_path):
     rows = REGISTRY["ann_pq_adc"].fn(spark, d).collect()
     out = {(r.query_id, r.neighbor_id): r for r in rows}
     assert all(r.adc_dist2 >= 0 for r in rows)
-    for q in range(10):
-        r = out.get((q, q + 10))
-        assert r is not None, f"query {q}: identical twin not in top-k"
-        # est-optimal, not necessarily rnk 1: another vector may share
-        # ALL the twin's codes (K=8 is a coarse codebook by design)
-        # and win the deterministic nid tie-break — ADC cannot
-        # distinguish same-coded vectors, which is the quantization
-        # trade the operator documents.
-        assert r.adc_dist2 == min(
-            x.adc_dist2 for x in rows if x.query_id == q
-        ), q
+    for q in range(PQ_NQUERY):
+        m = min(x.adc_dist2 for x in rows if x.query_id == q)
+        r = out.get((q, q + PQ_NQUERY))
+        if r is not None:
+            # est-optimal, not necessarily rnk 1: another vector may
+            # share ALL the twin's codes (the codebook is coarse by
+            # design) and win the deterministic nid tie-break — ADC
+            # cannot distinguish same-coded vectors.
+            assert r.adc_dist2 == m, q
+        else:
+            # the twin can even be EVICTED from top-k by >= k
+            # same-coded smaller-nid vectors; eviction is only
+            # possible via ties at the minimum, so every returned row
+            # must then sit exactly at the twin's (minimal) distance.
+            assert all(
+                x.adc_dist2 == m for x in rows if x.query_id == q
+            ), q
 
 
 def test_pq_codes_deterministic_and_identical_for_twins(spark, tmp_path):
@@ -76,7 +93,7 @@ def test_pq_codes_deterministic_and_identical_for_twins(spark, tmp_path):
     from pyspark.sql import Window as W
 
     seed_ids = (
-        Xs.select("vec_id").distinct().orderBy("vec_id").limit(8)
+        Xs.select("vec_id").distinct().orderBy("vec_id").limit(PQ_K)
     ).select(
         "vec_id", (F.row_number().over(W.orderBy("vec_id")) - 1).alias("cid")
     )
@@ -90,6 +107,6 @@ def test_pq_codes_deterministic_and_identical_for_twins(spark, tmp_path):
     by_vec = {}
     for r in enc.collect():
         by_vec.setdefault(r.vec_id, {})[r.sub] = r.cid
-    for i in range(10):
-        assert by_vec[i] == by_vec[i + 10], (i, by_vec[i], by_vec[i + 10])
-        assert len(by_vec[i]) == 4  # all four subspaces encoded
+    for i in range(PQ_NQUERY):
+        assert by_vec[i] == by_vec[i + PQ_NQUERY], (i, by_vec[i])
+        assert len(by_vec[i]) == _M  # every subspace encoded
