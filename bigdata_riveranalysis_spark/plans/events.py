@@ -507,6 +507,11 @@ def events_rolling_1h_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     silently at extreme per-user-hour volumes; ADVICE r8) and is cast
     back to long for the output (exact to ~9.2e16 cents per frame;
     NULL values skipped by both engines' sum, counted by count(*)).
+    Beyond that bound the engines diverge by design of their casts:
+    Spark's non-ANSI decimal→long cast yields NULL while DuckDB's
+    HUGEINT→BIGINT cast raises — a frame sum past ±2^63 cents would
+    therefore show up as a loud oracle error, not a silent mismatch
+    (unreachable at any test SF; documented per ADVICE r9).
 
     Scale: partitioned by user — millions of independent groups, no
     global window; the frame is evaluated with a sliding two-pointer

@@ -3296,7 +3296,7 @@ def _quant_oracle() -> str:
     """,
 )
 def kmeans_int8_lloyd2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K-means (k = 8 = KMEANS_K, 2 Lloyd iterations) over the SQ8
+    """K-means (k = KMEANS_K, 2 Lloyd iterations) over the SQ8
     quantization codes — INTEGER-EXACT clustering, the trick that
     makes an iterative ML algorithm oracle-hashable at all: distances
     are integer squared-L2 over 0-255 codes, centroid updates are

@@ -41,11 +41,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan of one table from a scale-factor directory."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    # Engine queries format timestamps for output; pin the session to
-    # UTC even when running under a caller-provided SparkSession so
-    # results match the (UTC-naive) DuckDB oracle everywhere
-    # (SURVEY.md §7 watch-list #5).
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     # ONE footer sniff serves both nanos guards below (review r9
     # second pass: two hand-maintained sniff+raise sites drift). It
     # runs BEFORE any conf flip so a rejected load leaves a
@@ -73,6 +68,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             f"only events has a nanos truncation path — regenerate the "
             f"fixture at micros or extend load_table deliberately"
         )
+    # Engine queries format timestamps for output; pin the session to
+    # UTC even when running under a caller-provided SparkSession so
+    # results match the (UTC-naive) DuckDB oracle everywhere
+    # (SURVEY.md §7 watch-list #5). Set only AFTER the nanos guards
+    # above so a rejected load leaves the caller session untouched
+    # (ADVICE r9: the set used to precede the sniff, contradicting the
+    # no-conf-flip-before-reject comment).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events" and events_ts_is_nanos(f"{sf_dir}/{name}.parquet"):
         # events.ts as parquet TIMESTAMP(NANOS) (seen in some fixture
         # generations, FIXTURES.md §4) is rejected by Spark's

@@ -30,6 +30,8 @@ def canon(v) -> str:
     if isinstance(v, float):
         if v != v:
             return "NaN"
+        if math.isinf(v):
+            return "Infinity" if v > 0 else "-Infinity"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return repr(round(v, 9))

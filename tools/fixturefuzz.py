@@ -48,7 +48,6 @@ sys.path.insert(0, _REPO)
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 #: Non-key attribute columns eligible for jitter, per table. Keys,
@@ -185,7 +184,7 @@ def _fuzz_table(name: str, tbl: pa.Table, rng: np.random.RandomState) -> pa.Tabl
     return out.take(pa.array(perm, type=pa.int64()))
 
 
-def _plant_events(tbl: pa.Table, rng: np.random.RandomState) -> pa.Table:
+def _plant_events(tbl: pa.Table) -> pa.Table:
     """Append knife-edge rows with fresh unique ids/users."""
     ids = tbl.column("event_id").to_numpy(zero_copy_only=False)
     users = tbl.column("user_id").to_numpy(zero_copy_only=False)
@@ -280,7 +279,7 @@ def fuzz_dir(src: str, dst: str, seed: int, nanos: bool = False) -> None:
         tbl = pq.read_table(f"{src}/{t}.parquet")
         tbl = _fuzz_table(t, tbl, rng)
         if t == "events":
-            tbl = _plant_events(tbl, rng)
+            tbl = _plant_events(tbl)
             if nanos:
                 # zero-remainder ns generation: same instants, the
                 # physical unit the nanosAsLong read path exists for
