@@ -45,23 +45,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # so the window accounting can't silently drop a query again.
 _WINDOW = 50
 
-# Queries whose plan or output changed in THIS round (r9). The three
-# r8 reds (stream_windowed_cms, events_attribution_linear,
-# sensor_trend_ols) are NOT listed: their latest driver rows are red,
-# so the red tier already pins them to the window head. All r9
-# changes share one root cause — tools/strictcheck.py reproduced the
-# driver's pandas-path comparison and the dtype-family rule now bans
-# HUGEINT/DECIMAL final output columns (see SURVEY §5 #6b).
+# Queries whose plan or output changed in THIS round (r11; every r9
+# entry earned a green r10 row and rotated out). The r11 additions
+# (ann_ivf_pq, ann_ivf_pq_recall, ann_pq_adc_sampled) are NOT listed:
+# never-checked queries already lead the window unconditionally. The
+# r11 retirements (ann_pq_adc, ann_ivf_recall_nprobe2,
+# embedding_quantize_int8) left the registry for the pytest-verified
+# RETIRED tier, so they cannot be listed (the KeyError guard below).
 _CHANGED_THIS_ROUND = [
-    "cms_heavy_hitters",  # r9: cms_bucket_sql result cast to BIGINT
-    "bloom_prefilter_audit",  # r9: same central cms_bucket_sql change
-    "events_rolling_1h_range",  # r9: window sum widened to decimal (ADVICE)
-    "sample_domain_mix",  # r9: weight join → literal map (VERDICT #4/#8)
-    "agg_stats_corr",  # r9: signed-zero normalization (+0.0 after round)
-    "stream_ewma_spikes",  # r9: NULL-reading output = SQL NULL both sides
-    "knn_bruteforce_cosine",  # r9: signed-zero normalization on cosine
-    "ann_lsh_bucketed",  # r9: signed-zero normalization on cosine
-    "ann_ivf_cells",  # r9: signed-zero normalization on cosine
+    "setop_union_all_keys",  # r11: EXCEPT/EXCEPT ALL arms folded in (VERDICT #5)
+    "bpe_pair_merges",  # r11: single first merge -> k unrolled merge rounds
 ]
 
 

@@ -2206,7 +2206,11 @@ def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(
+    # RETIRED r11: subsumed by ann_ivf_pq_recall — the same recall
+    # harness (nprobe=2 _ivf_probe, broadcast exact-KNN baseline,
+    # hits accounting) audits the COMPOSED IVF×PQ serving path, a
+    # strict superset of the IVF-only machinery this query exercises.
     "ann_ivf_recall_nprobe2",
     oracle=f"""
     WITH ex AS (
@@ -2487,7 +2491,11 @@ def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(
+    # RETIRED r11: its oracle is textually embedded (_quant_oracle)
+    # in every PQ / k-means oracle, so each of those driver rows
+    # re-verifies the SQ8 quantization end-to-end; the standalone
+    # dump adds no verified surface beyond its registered consumers.
     "embedding_quantize_int8",
     oracle="""
     WITH ex AS (
@@ -3245,9 +3253,9 @@ def _kmeans_update(assign: DataFrame) -> DataFrame:
 def _quant_oracle() -> str:
     """The registered embedding_quantize_int8 oracle as a subquery —
     k-means clusters the SAME codes, textually."""
-    from bigdata_riveranalysis_spark.plans.registry import REGISTRY
+    from bigdata_riveranalysis_spark.plans.registry import REGISTRY, RETIRED
 
-    return REGISTRY["embedding_quantize_int8"].oracle
+    return (REGISTRY | RETIRED)["embedding_quantize_int8"].oracle
 
 
 @query(
@@ -3439,28 +3447,56 @@ def _pq_update(assign: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "ann_pq_adc",
-    oracle=f"""
-    WITH codes AS (
+#: Sampled-codebook trainer: vec_ids hashing to bucket 0 of
+#: PQ_TRAIN_MOD train the codebook (~1/MOD of the corpus); the FULL
+#: corpus is still encoded and searched. At 100 TB a trainer never
+#: sees every vector — this is the split_train_val_hash machinery
+#: (deterministic Carter-Wegman-style bucket, stable under re-runs
+#: and corpus growth) applied to codebook training (VERDICT r9 #6).
+PQ_TRAIN_MOD = 2
+
+
+def _pq_train_pred() -> "F.Column":
+    """Spark side of the deterministic training-sample predicate."""
+    return TX.hash32(F.col("vec_id").cast("string")) % PQ_TRAIN_MOD == 0
+
+
+def _pq_train_pred_sql() -> str:
+    return f"{TX.hash32_sql('CAST(vec_id AS VARCHAR)')} % {PQ_TRAIN_MOD} = 0"
+
+
+def _pq_train_ctes(train_pred: str = "TRUE") -> str:
+    """The PQ codebook pipeline as oracle CTE text — ONE definition
+    shared by every PQ oracle (ann_pq_adc, its sampled-trainer
+    variant, ann_ivf_pq), parameterized by the training predicate:
+    ``codes`` is always the FULL corpus; only the Lloyd side (seeds,
+    first assignment, centroid update) restricts to ``tr`` rows
+    matching ``train_pred``. The final distances (``d2``), encodings
+    (``enc``), and query LUT (``qd``) always cover the full corpus.
+    With the default TRUE this is textually-reorganized but
+    semantically identical to the original inline ann_pq_adc oracle
+    (r9), whose driver row is green.
+    """
+    return f"""codes AS (
         SELECT vec_id, dim, code AS c FROM ({_quant_oracle()}) qz
     ),
     sc AS (
         SELECT vec_id, dim // {PQ_SUBDIM} AS sub, dim % {PQ_SUBDIM} AS sdim, c
         FROM codes
     ),
+    tr AS (SELECT * FROM sc WHERE {train_pred}),
     seedids AS (
         SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
-        FROM (SELECT DISTINCT vec_id FROM codes ORDER BY vec_id LIMIT {PQ_K}) s
+        FROM (SELECT DISTINCT vec_id FROM tr ORDER BY vec_id LIMIT {PQ_K}) s
     ),
     cents0 AS (
-        SELECT seedids.cid, sc.sub, sc.sdim, sc.c AS cent
-        FROM sc JOIN seedids ON sc.vec_id = seedids.vec_id
+        SELECT seedids.cid, tr.sub, tr.sdim, tr.c AS cent
+        FROM tr JOIN seedids ON tr.vec_id = seedids.vec_id
     ),
     d1 AS (
-        SELECT sc.vec_id, sc.sub, cents0.cid,
-               sum((sc.c - cents0.cent) * (sc.c - cents0.cent)) AS dist2
-        FROM sc JOIN cents0 ON sc.sub = cents0.sub AND sc.sdim = cents0.sdim
+        SELECT tr.vec_id, tr.sub, cents0.cid,
+               sum((tr.c - cents0.cent) * (tr.c - cents0.cent)) AS dist2
+        FROM tr JOIN cents0 ON tr.sub = cents0.sub AND tr.sdim = cents0.sdim
         GROUP BY 1, 2, 3
     ),
     a1 AS (
@@ -3471,8 +3507,8 @@ def _pq_update(assign: DataFrame) -> DataFrame:
         ) WHERE rk = 1
     ),
     cents1 AS (
-        SELECT a1.sub, a1.cid, sc.sdim, sum(sc.c) // count(*) AS cent
-        FROM sc JOIN a1 ON sc.vec_id = a1.vec_id AND sc.sub = a1.sub
+        SELECT a1.sub, a1.cid, tr.sdim, sum(tr.c) // count(*) AS cent
+        FROM tr JOIN a1 ON tr.vec_id = a1.vec_id AND tr.sub = a1.sub
         GROUP BY 1, 2, 3
     ),
     d2 AS (
@@ -3491,7 +3527,13 @@ def _pq_update(assign: DataFrame) -> DataFrame:
     qd AS (
         SELECT vec_id AS qid, sub, cid, dist2 AS d2q
         FROM d2 WHERE vec_id < {PQ_NQUERY}
-    ),
+    )"""
+
+
+#: Shared ADC-search oracle tail: sum the query's per-(sub, cid)
+#: distance table over each candidate's code, top-PQ_TOPK per query
+#: on (est, nid).
+_PQ_ADC_TAIL = f""",
     adc AS (
         SELECT qd.qid, enc.vec_id AS nid, sum(qd.d2q) AS est
         FROM enc JOIN qd ON qd.sub = enc.sub AND qd.cid = enc.cid
@@ -3504,7 +3546,84 @@ def _pq_update(assign: DataFrame) -> DataFrame:
         SELECT *, row_number() OVER (
             PARTITION BY qid ORDER BY est, nid
         ) AS rnk FROM adc
-    ) WHERE rnk <= {PQ_TOPK}
+    ) WHERE rnk <= {PQ_TOPK}"""
+
+
+def _pq_codes_xs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """localCheckpointed (vec_id, sub, xs) subvector table — the PQ
+    staging frame every trainer/encoder/search branch reuses (on a
+    cluster: one materialization instead of re-deriving the quantize
+    chain per branch)."""
+    codes = embedding_quantize_int8(spark, sf_dir).select(
+        "vec_id", "dim", F.col("code").alias("c")
+    )
+    return _pq_subvectors(codes).localCheckpoint()
+
+
+def _pq_train(Xs: DataFrame) -> DataFrame:
+    """Train the PQ codebook over ``Xs`` (pass a filtered frame for
+    the sampled trainer): 2 deterministic integer Lloyd iterations,
+    seeded by the PQ_K smallest vec_ids present. Returns the ONE
+    broadcastable codebook row (_pq_cents_row shape)."""
+    seed_ids = (
+        Xs.select("vec_id").distinct().orderBy("vec_id").limit(PQ_K)
+    ).select(
+        "vec_id",
+        (F.row_number().over(W.orderBy("vec_id")) - 1).alias("cid"),
+    )
+    seeds = Xs.join(F.broadcast(seed_ids), "vec_id").select(
+        "sub", "cid", F.posexplode("xs").alias("sdim", "cent")
+    )
+    a1 = _pq_assign(Xs, _pq_cents_row(seeds))
+    return _pq_cents_row(_pq_update(a1))
+
+
+def _pq_lut(Xs: DataFrame, cents_row: DataFrame) -> DataFrame:
+    """(qid, sub, cid, d2q): the asymmetric query-side lookup table —
+    exact integer d2 of each query subvector to EVERY codebook entry
+    of its subspace. PQ_NQUERY·M·K rows: constant-size, broadcast."""
+    q = Xs.filter(F.col("vec_id") < PQ_NQUERY).crossJoin(F.broadcast(cents_row))
+    return q.select(
+        F.col("vec_id").alias("qid"),
+        "sub",
+        "xs",
+        F.explode(F.filter("cents", lambda ct: ct["sub"] == F.col("sub"))).alias("ct"),
+    ).select(
+        "qid", "sub", F.col("ct.cid").alias("cid"), _pq_d2(F.col("ct.cs")).alias("d2q")
+    )
+
+
+def _pq_adc_topk(enc: DataFrame, qd: DataFrame) -> DataFrame:
+    """ADC search over the WHOLE encoded corpus: broadcast the LUT
+    into the n·M code scan, sum per (query, candidate), window
+    top-PQ_TOPK on (est, nid)."""
+    adc = (
+        enc.join(F.broadcast(qd), ["sub", "cid"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("d2q").alias("est"))
+    )
+    wq = W.partitionBy("qid").orderBy("est", "vec_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= PQ_TOPK)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("est").cast("long").alias("adc_dist2"),
+            "rnk",
+        )
+    )
+
+
+@retired_query(
+    # RETIRED r11: the whole-corpus-trained ADC search is covered by
+    # its two registered siblings built from the SAME helpers —
+    # ann_ivf_pq (full-corpus codebook + ADC, cell-gated) and
+    # ann_pq_adc_sampled (identical ungated search, sampled trainer).
+    "ann_pq_adc",
+    oracle=f"""
+    WITH {_pq_train_ctes()}{_PQ_ADC_TAIL}
     """,
 )
 def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3534,53 +3653,275 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     lookup table (broadcast, constant-size) to the n·M code rows and
     top-k per query mirrors knn_bruteforce_cosine's accepted window
     shape. At 100 TB the codes table is the ONLY per-vector state the
-    search touches: 64× smaller than the raw f32 embeddings.
+    search touches: 64× smaller than the raw f32 embeddings. This
+    variant trains over the full corpus (the strongest checkable
+    setting at test SF); ann_pq_adc_sampled is the production-trainer
+    twin, and ann_ivf_pq composes these codes with IVF cell gating.
     """
-    codes = embedding_quantize_int8(spark, sf_dir).select(
-        "vec_id", "dim", F.col("code").alias("c")
+    Xs = _pq_codes_xs(spark, sf_dir)
+    cents1_row = _pq_train(Xs)
+    enc = _pq_assign(Xs, cents1_row).select("vec_id", "sub", "cid")
+    return _pq_adc_topk(enc, _pq_lut(Xs, cents1_row))
+
+
+@query(
+    "ann_pq_adc_sampled",
+    oracle=f"""
+    WITH {_pq_train_ctes(_pq_train_pred_sql())}{_PQ_ADC_TAIL}
+    """,
+)
+def ann_pq_adc_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_pq_adc with the PRODUCTION trainer: the codebook trains on
+    a deterministic ~1/PQ_TRAIN_MOD hash-sample of the corpus
+    (bucket 0 of hash32(vec_id), the split_train_val_hash machinery),
+    then the FULL corpus is encoded and searched with it. At 100 TB a
+    codebook trainer never scans every vector — it samples, trains,
+    persists, and the encode pass is the only full scan; this query
+    pins that split exactly (VERDICT r9 #6: sampled-codebook
+    decision). The sample is a pure function of vec_id — stable under
+    re-runs, repartitioning, and corpus growth, unlike rand().
+
+    Exactness: unchanged from ann_pq_adc — the sample predicate is
+    integer/md5 arithmetic both engines reproduce bit-identically,
+    and everything downstream is the same integer Lloyd/ADC pipeline
+    (training on fewer rows changes the codebook VALUES, not the
+    determinism). Output shape identical; rankings legitimately
+    differ from the full trainer's — that delta IS the trainer-
+    sampling effect, visible by diffing the two queries' rows.
+    """
+    Xs = _pq_codes_xs(spark, sf_dir)
+    cents1_row = _pq_train(Xs.filter(_pq_train_pred()))
+    enc = _pq_assign(Xs, cents1_row).select("vec_id", "sub", "cid")
+    return _pq_adc_topk(enc, _pq_lut(Xs, cents1_row))
+
+
+# ---------------------------------------------------------------------------
+# IVF × PQ: coarse cells gating ADC lookups (the production ANN shape)
+# ---------------------------------------------------------------------------
+
+#: Cells probed per query in the composed IVF-PQ search.
+IVFPQ_NPROBE = 2
+
+
+def _ivf_oracle_ctes(nprobe: int) -> str:
+    """The IVF coarse-quantizer pipeline as oracle CTE text (per-label
+    dim-mean centroids, cosine cell assignment, top-``nprobe`` probe
+    list for the PQ_NQUERY query vectors) — the same computation the
+    ann_ivf_cells / ann_ivf_recall_nprobe2 oracles inline."""
+    return f"""ex AS (
+        SELECT label, u.dim - 1 AS dim, u.v
+        FROM embeddings,
+             LATERAL (SELECT unnest(embedding) AS v,
+                             generate_subscripts(embedding, 1) AS dim) u
+    ),
+    cents AS (
+        SELECT label AS cell, list(mu ORDER BY dim) AS c
+        FROM (SELECT label, dim, avg(CAST(v AS DOUBLE)) AS mu
+              FROM ex GROUP BY label, dim)
+        GROUP BY label
+    ),
+    scored AS (
+        SELECT e.vec_id, e.embedding, c.cell,
+               {VX.cosine_sql("e.embedding", "c.c")} AS cc
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    assign AS (
+        SELECT vec_id, cell
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY cc DESC, cell) AS rn
+              FROM scored)
+        WHERE rn = 1
+    ),
+    qprobe AS (
+        SELECT vec_id AS qid, cell
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY cc DESC, cell) AS rn
+              FROM scored WHERE vec_id < {PQ_NQUERY})
+        WHERE rn <= {nprobe}
+    )"""
+
+
+@query(
+    "ann_ivf_pq",
+    oracle=f"""
+    WITH {_ivf_oracle_ctes(IVFPQ_NPROBE)},
+    {_pq_train_ctes()},
+    adcp AS (
+        SELECT qp.qid, a.vec_id AS nid, a.cell, sum(qd.d2q) AS est
+        FROM qprobe qp
+        JOIN assign a ON a.cell = qp.cell AND a.vec_id <> qp.qid
+        JOIN enc ON enc.vec_id = a.vec_id
+        JOIN qd ON qd.qid = qp.qid AND qd.sub = enc.sub AND qd.cid = enc.cid
+        GROUP BY 1, 2, 3
     )
-    Xs = _pq_subvectors(codes).localCheckpoint()
-    seed_ids = (
-        Xs.select("vec_id").distinct().orderBy("vec_id").limit(PQ_K)
-    ).select(
-        "vec_id",
-        (F.row_number().over(W.orderBy("vec_id")) - 1).alias("cid"),
-    )
-    seeds = Xs.join(F.broadcast(seed_ids), "vec_id").select(
-        "sub", "cid", F.posexplode("xs").alias("sdim", "cent")
-    )
-    a1 = _pq_assign(Xs, _pq_cents_row(seeds))
-    cents1 = _pq_update(a1)
-    cents1_row = _pq_cents_row(cents1)
-    a2 = _pq_assign(Xs, cents1_row)
-    enc = a2.select("vec_id", "sub", "cid")
-    # the query-side LUT: d2 of each query subvector to EVERY
-    # codebook entry of its subspace — PQ_NQUERY·M·K rows, broadcast
-    q = Xs.filter(F.col("vec_id") < PQ_NQUERY).crossJoin(
-        F.broadcast(cents1_row)
-    )
-    qd = q.select(
-        F.col("vec_id").alias("qid"),
-        "sub",
-        "xs",
-        F.explode(F.filter("cents", lambda ct: ct["sub"] == F.col("sub"))).alias("ct"),
-    ).select(
-        "qid", "sub", F.col("ct.cid").alias("cid"), _pq_d2(F.col("ct.cs")).alias("d2q")
+    SELECT qid AS query_id, nid AS neighbor_id, cell,
+           CAST(est AS BIGINT) AS adc_dist2, rnk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY qid ORDER BY est, nid
+        ) AS rnk FROM adcp
+    ) WHERE rnk <= {PQ_TOPK}
+    """,
+)
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF×PQ — the composition production ANN actually runs (the
+    FAISS IVFPQ shape, and the one search the stack's separate legs
+    implied but didn't ship until r11): an IVF coarse quantizer
+    restricts each query to its IVFPQ_NPROBE nearest cells, and
+    within those cells distance is the PQ/ADC lookup-table estimate
+    over compressed codes — so a query touches ~nprobe·n/k candidates
+    (IVF invariant) at 4 bytes each (PQ invariant) instead of n raw
+    float vectors.
+
+    Index build (amortized across query batches, exactly what gets
+    persisted in production): the coarse assignment (zero-Exchange
+    map-side argmin over the broadcast centroid row, _ivf_assign) is
+    joined ONCE with the PQ encodings on vec_id — the one build
+    shuffle, producing the (cell, vec_id, sub, cid) table that a real
+    deployment writes partitioned BY CELL so probing is partition
+    pruning. Search: the probe list (PQ_NQUERY·nprobe rows) and the
+    ADC LUT (PQ_NQUERY·M·K rows) both broadcast into a single scan of
+    that index — no shuffle grows with the corpus; the only
+    aggregation is per-(query, candidate) over the gated candidates.
+
+    Exactness: cell assignment/probing reuse the driver-green IVF
+    cosine argmin (ties on cell id; same measure-zero ulp caveat as
+    ann_ivf_cells), and everything after the gate is the integer
+    ADC pipeline (codebooks, encodings, (est, nid) tie-breaks) —
+    bit-identical across engines. Candidate sets are identical by
+    construction: a corpus vector lives in exactly one cell, so the
+    nprobe cells contribute disjoint candidates. Recall is measured,
+    not implied: ann_ivf_pq_recall scores this exact output against
+    brute-force cosine.
+    """
+    emb = _embs(spark, sf_dir)
+    cent_arr = _ivf_cent_arr(spark, sf_dir)
+    cells = _ivf_assign(emb, cent_arr).select("vec_id", "cell")
+    probes = _ivf_probe(
+        emb.filter(F.col("vec_id") < PQ_NQUERY), cent_arr, IVFPQ_NPROBE
+    ).select("query_id", "cell")
+    Xs = _pq_codes_xs(spark, sf_dir)
+    cents1_row = _pq_train(Xs)
+    enc = _pq_assign(Xs, cents1_row).select("vec_id", "sub", "cid")
+    index = cells.join(enc, ["vec_id"])
+    qd = _pq_lut(Xs, cents1_row).withColumnRenamed("qid", "query_id")
+    hits = index.join(F.broadcast(probes), ["cell"]).filter(
+        F.col("vec_id") != F.col("query_id")
     )
     adc = (
-        enc.join(F.broadcast(qd), ["sub", "cid"])
-        .filter(F.col("vec_id") != F.col("qid"))
-        .groupBy("qid", "vec_id")
+        hits.join(F.broadcast(qd), ["query_id", "sub", "cid"])
+        .groupBy("query_id", "vec_id", "cell")
         .agg(F.sum("d2q").alias("est"))
     )
-    wq = W.partitionBy("qid").orderBy("est", "vec_id")
+    wq = W.partitionBy("query_id").orderBy("est", "vec_id")
     return (
         adc.withColumn("rnk", F.row_number().over(wq))
         .filter(F.col("rnk") <= PQ_TOPK)
         .select(
-            F.col("qid").alias("query_id"),
+            "query_id",
             F.col("vec_id").alias("neighbor_id"),
+            "cell",
             F.col("est").cast("long").alias("adc_dist2"),
             "rnk",
+        )
+    )
+
+
+def _ivfpq_oracle() -> str:
+    """The registered ann_ivf_pq oracle as a subquery — the recall
+    audit scores the SAME search, textually (the _quant_oracle
+    pattern)."""
+    from bigdata_riveranalysis_spark.plans.registry import REGISTRY
+
+    return REGISTRY["ann_ivf_pq"].oracle
+
+
+@query(
+    "ann_ivf_pq_recall",
+    oracle=f"""
+    WITH ipq AS (
+        SELECT query_id, neighbor_id FROM ({_ivfpq_oracle()}) x
+    ),
+    exact_pairs AS (
+        SELECT q.vec_id AS qid, a.vec_id AS nid,
+               {VX.cosine_sql("q.embedding", "a.embedding")} AS cos
+        FROM embeddings q JOIN embeddings a
+          ON q.vec_id < {PQ_NQUERY} AND a.vec_id <> q.vec_id
+    ),
+    exactk AS (
+        SELECT qid, nid
+        FROM (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                                                  ORDER BY cos DESC, nid) AS rnk
+              FROM exact_pairs)
+        WHERE rnk <= {PQ_TOPK}
+    ),
+    hits AS (
+        SELECT i.query_id AS qid, count(*) AS n_hits
+        FROM ipq i JOIN exactk e ON i.query_id = e.qid AND i.neighbor_id = e.nid
+        GROUP BY 1
+    )
+    SELECT q.qid AS query_id,
+           CAST({IVFPQ_NPROBE} AS INTEGER) AS n_probed_cells,
+           coalesce(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+           round(coalesce(h.n_hits, 0) / {PQ_TOPK}.0, 6) AS recall_at_{PQ_TOPK}
+    FROM (SELECT DISTINCT vec_id AS qid FROM embeddings
+          WHERE vec_id < {PQ_NQUERY}) q
+    LEFT JOIN hits h ON q.qid = h.qid
+    """,
+)
+def ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall witness for the composed IVF×PQ search: its top-PQ_TOPK
+    per query (by ADC estimate, within nprobe cells) scored against
+    the EXACT cosine top-PQ_TOPK over the whole corpus — the
+    ann_ivf_recall_nprobe2 discipline applied to the composition, so
+    the two approximation sources (cell gating AND code compression)
+    are audited together, which is the number a deployment actually
+    tunes nprobe/M/K against.
+
+    Scale: the IVF×PQ side is the serving path (see ann_ivf_pq); the
+    exact side brute-forces only the PQ_NQUERY-query sample against
+    the corpus (broadcast queries, one map-side scan + a top-k
+    window) — the standard recall-audit harness at 100 TB.
+    """
+    ipq = ann_ivf_pq(spark, sf_dir).select("query_id", "neighbor_id")
+    emb = _embs(spark, sf_dir)
+    qvecs = emb.filter(F.col("vec_id") < PQ_NQUERY)
+    exact_pairs = (
+        emb.join(
+            F.broadcast(
+                qvecs.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("qe"),
+                )
+            ),
+            F.col("vec_id") != F.col("query_id"),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            VX.cosine(F.col("qe"), F.col("embedding")).alias("cos"),
+        )
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    exactk = (
+        exact_pairs.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= PQ_TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    hits = (
+        ipq.join(F.broadcast(exactk), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        qvecs.select(F.col("vec_id").alias("query_id"))
+        .join(F.broadcast(hits), ["query_id"], "left")
+        .select(
+            "query_id",
+            F.lit(IVFPQ_NPROBE).cast("int").alias("n_probed_cells"),
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("bigint")).alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / float(PQ_TOPK), 6
+            ).alias(f"recall_at_{PQ_TOPK}"),
         )
     )

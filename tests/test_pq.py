@@ -17,7 +17,7 @@ from bigdata_riveranalysis_spark.plans.llmdata import (
     PQ_NQUERY,
     PQ_SUBDIM,
 )
-from bigdata_riveranalysis_spark.plans.registry import REGISTRY
+from bigdata_riveranalysis_spark.plans.registry import REGISTRY, RETIRED
 
 _DIM = 64
 _M = _DIM // PQ_SUBDIM
@@ -53,7 +53,7 @@ def test_pq_identical_twin_ranks_first(spark, tmp_path):
     query's codes and every other code is at least as far from the
     query by the argmin that chose those codes."""
     d = _planted_embeddings(tmp_path)
-    rows = REGISTRY["ann_pq_adc"].fn(spark, d).collect()
+    rows = (REGISTRY | RETIRED)["ann_pq_adc"].fn(spark, d).collect()
     out = {(r.query_id, r.neighbor_id): r for r in rows}
     assert all(r.adc_dist2 >= 0 for r in rows)
     for q in range(PQ_NQUERY):
@@ -110,3 +110,76 @@ def test_pq_codes_deterministic_and_identical_for_twins(spark, tmp_path):
     for i in range(PQ_NQUERY):
         assert by_vec[i] == by_vec[i + PQ_NQUERY], (i, by_vec[i])
         assert len(by_vec[i]) == _M  # every subspace encoded
+
+
+def test_ivf_pq_twin_est_optimal_and_gated(spark, tmp_path):
+    """The IVF gate cannot exclude an identical twin (same vector →
+    same cell → always a candidate), and the composed search keeps
+    the ann_pq_adc distance semantics: the twin's ADC distance is the
+    per-query minimum (ties/eviction logic identical to the
+    ann_pq_adc twin test, since ADC cannot split same-coded
+    vectors)."""
+    from bigdata_riveranalysis_spark.plans.llmdata import IVFPQ_NPROBE
+
+    d = _planted_embeddings(tmp_path)
+    rows = REGISTRY["ann_ivf_pq"].fn(spark, d).collect()
+    out = {(r.query_id, r.neighbor_id): r for r in rows}
+    assert all(r.adc_dist2 >= 0 for r in rows)
+    for q in range(PQ_NQUERY):
+        per_q = [x for x in rows if x.query_id == q]
+        assert per_q, q  # the twin guarantees >=1 candidate
+        m = min(x.adc_dist2 for x in per_q)
+        r = out.get((q, q + PQ_NQUERY))
+        if r is not None:
+            assert r.adc_dist2 == m, q
+        else:
+            assert all(x.adc_dist2 == m for x in per_q), q
+
+
+def test_ivf_pq_common_pairs_match_full_adc(spark, tmp_path):
+    """Cell gating changes WHICH candidates are scored, never the
+    score: any (query, neighbor) pair present in both ann_ivf_pq and
+    ann_pq_adc output carries the identical adc_dist2 (both searches
+    share the full-corpus codebook)."""
+    d = _planted_embeddings(tmp_path)
+    ivf = {
+        (r.query_id, r.neighbor_id): r.adc_dist2
+        for r in REGISTRY["ann_ivf_pq"].fn(spark, d).collect()
+    }
+    full = {
+        (r.query_id, r.neighbor_id): r.adc_dist2
+        for r in (REGISTRY | RETIRED)["ann_pq_adc"].fn(spark, d).collect()
+    }
+    common = set(ivf) & set(full)
+    assert common  # twins guarantee overlap
+    assert all(ivf[k] == full[k] for k in common)
+
+
+def test_ivf_pq_recall_accounting(spark, tmp_path):
+    """One row per query; n_probed_cells pins the IVFPQ_NPROBE
+    constant into the output; n_hits bounded by PQ_TOPK and the
+    recall column is exactly its /PQ_TOPK ratio."""
+    from bigdata_riveranalysis_spark.plans.llmdata import IVFPQ_NPROBE, PQ_TOPK
+
+    d = _planted_embeddings(tmp_path)
+    rows = REGISTRY["ann_ivf_pq_recall"].fn(spark, d).collect()
+    assert sorted(r.query_id for r in rows) == list(range(PQ_NQUERY))
+    for r in rows:
+        assert r.n_probed_cells == IVFPQ_NPROBE
+        assert 0 <= r.n_hits <= PQ_TOPK
+        assert abs(getattr(r, f"recall_at_{PQ_TOPK}") - round(r.n_hits / PQ_TOPK, 6)) < 1e-12
+
+
+def test_pq_sampled_trainer_deterministic_same_shape(spark, tmp_path):
+    """The hash-sampled trainer is a pure function of vec_id: two
+    invocations produce identical rows (rand()-style sampling would
+    not), and the output schema matches ann_pq_adc's exactly."""
+    d = _planted_embeddings(tmp_path)
+    fn = REGISTRY["ann_pq_adc_sampled"].fn
+    a = sorted(map(tuple, fn(spark, d).collect()))
+    b = sorted(map(tuple, fn(spark, d).collect()))
+    assert a == b and len(a) > 0
+    assert (
+        fn(spark, d).schema.simpleString()
+        == (REGISTRY | RETIRED)["ann_pq_adc"].fn(spark, d).schema.simpleString()
+    )
