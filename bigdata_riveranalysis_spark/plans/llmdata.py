@@ -2657,58 +2657,165 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 # BPE pair statistics + corpus-relative surprisal (r7)
 # ---------------------------------------------------------------------------
 
-#: Top-k byte-pair merges reported (the first BPE training step).
-BPE_TOPK = 30
+#: Unrolled BPE merge rounds trained (the tokenizer-training loop).
+BPE_MERGES = 4
 
 
-@query(
-    "bpe_pair_merges",
-    oracle=f"""
-    WITH toks AS (
-        SELECT unnest({TX.TOKENS_SQL.format(c="text")}) AS t FROM documents
-    ),
-    pairs AS (
-        SELECT unnest(list_transform(
-                   range(1, length(t)),
-                   i -> substr(t, CAST(i AS INT), 2))) AS pair
-        FROM toks WHERE length(t) >= 2
+def _bpe_pairs(t: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair occurrences of one BPE round, weighted by
+    word frequency: split the space-joined symbol string, emit
+    s[i] || ' ' || s[i+1] per position (overlaps counted, as BPE
+    does) carrying the word's corpus count ``w``. Single-symbol words
+    are filtered BEFORE the sequence() so it never sees a descending
+    range."""
+    return (
+        t.select(F.split("t", " ").alias("s"), "w")
+        .filter(F.size("s") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(s)-1),"
+                    " i -> concat(element_at(s, i), ' ', element_at(s, i+1)))"
+                )
+            ).alias("pair"),
+            "w",
+        )
     )
-    SELECT pair, count(*) AS n
-    FROM pairs GROUP BY pair
-    ORDER BY n DESC, pair LIMIT {BPE_TOPK}
-    """,
-)
-def bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The first BPE tokenizer-training step: corpus-wide adjacent
-    character-pair frequencies (every occurrence counted, as BPE
-    does), top-{BPE_TOPK} merge candidates with a deterministic
-    (count desc, pair asc) tie-break.
 
-    Scale: tokenize → per-token pair expansion is all higher-order
-    built-ins (transform over sequence — whole-stage codegen, no
-    Python); the count shuffles once on the pair key with map-side
-    partials over a ~|alphabet|² key space, and the top-k is
-    TakeOrderedAndProject (each task keeps {BPE_TOPK} rows — no
-    global sort). Successive BPE rounds re-run this with the merged
-    vocabulary applied; the per-round plan is identical.
+
+def _bpe_winner(t: DataFrame) -> DataFrame:
+    """The round's merge: the (count DESC, pair ASC) argmax pair —
+    ONE row, localCheckpointed because two branches consume it (the
+    merge-table output and the next round's rewrite)."""
+    return (
+        _bpe_pairs(t)
+        .groupBy("pair")
+        .agg(F.sum("w").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(1)
+        .localCheckpoint()
+    )
+
+
+def _bpe_apply(t: DataFrame, w: DataFrame) -> DataFrame:
+    """Re-tokenize the corpus under the new merge: SQL replace() is
+    left-to-right non-overlapping in BOTH engines, which is exactly
+    BPE's greedy-left merge order (for winner 'a a' the run 'a a a'
+    becomes 'aa a', never 'a aa')."""
+    return t.crossJoin(F.broadcast(w.select(F.col("pair").alias("_p")))).select(
+        F.expr("replace(t, _p, replace(_p, ' ', ''))").alias("t"), "w"
+    )
+
+
+def _bpe_oracle() -> str:
+    """The unrolled BPE_MERGES-round training loop as DuckDB CTEs —
+    the graph_pagerank_3iter fixed-point discipline applied to
+    tokenizer training (one CTE trio per round, textually unrolled so
+    the oracle stays pure SQL)."""
+    tokens = TX.TOKENS_SQL.format(c="text")
+    parts = [
+        f"""wf AS (
+        SELECT t, count(*) AS w
+        FROM (SELECT unnest({tokens}) AS t FROM documents) u
+        WHERE length(t) >= 2 GROUP BY t
+    )""",
+        """t1 AS (
+        SELECT array_to_string(list_transform(range(1, length(t) + 1),
+                   i -> substr(t, CAST(i AS INT), 1)), ' ') AS t, w
+        FROM wf
+    )""",
+    ]
+    sels = []
+    for r in range(1, BPE_MERGES + 1):
+        parts.append(f"""p{r} AS (
+        SELECT unnest(list_transform(range(1, len(s)),
+                   i -> s[i] || ' ' || s[i + 1])) AS pair, w
+        FROM (SELECT string_split(t, ' ') AS s, w FROM t{r}) v
+        WHERE len(s) >= 2
+    )""")
+        parts.append(f"""w{r} AS (
+        SELECT pair, sum(w) AS n FROM p{r}
+        GROUP BY pair ORDER BY n DESC, pair LIMIT 1
+    )""")
+        if r < BPE_MERGES:
+            parts.append(f"""t{r + 1} AS (
+        SELECT replace(t{r}.t, w{r}.pair, replace(w{r}.pair, ' ', '')) AS t, w
+        FROM t{r}, w{r}
+    )""")
+        sels.append(
+            f"SELECT CAST({r} AS INTEGER) AS merge_round,"
+            f" split_part(pair, ' ', 1) AS left_sym,"
+            f" split_part(pair, ' ', 2) AS right_sym,"
+            f" CAST(n AS BIGINT) AS n FROM w{r}"
+        )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + "\n    UNION ALL ".join(sels)
+
+
+@query("bpe_pair_merges", oracle=_bpe_oracle())
+def bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING, BPE_MERGES unrolled merge rounds with
+    corpus re-tokenization between rounds (r11; the r7 version
+    reported only round 1's pair statistics): each round counts
+    corpus-wide adjacent-symbol pairs (every occurrence, as BPE
+    does), selects the (count DESC, pair ASC) argmax as the round's
+    merge, rewrites the corpus under it, and repeats. Output is the
+    merge TABLE — (merge_round, left_sym, right_sym, n) — the
+    merges.txt artifact a BPE tokenizer ships; the space-separated
+    pair encoding is that file's own notation (symbols are
+    whitespace-free by construction of TX.tokens, so ' ' is a safe
+    separator).
+
+    Exactness: counts are integers, winner selection is a
+    deterministic total order (string comparison is binary in both
+    engines), and the rewrite uses SQL replace(), whose
+    left-to-right non-overlapping semantics both engines share and
+    which IS BPE's greedy-left merge — so the engines walk
+    bit-identical vocabularies through every round.
+
+    Scale: training state is the DISTINCT-WORD frequency table (how
+    real BPE trainers run — pair counts are word-count-weighted sums,
+    identical to counting raw occurrences), so after the one
+    tokenize+groupBy scan every round operates on a Zipf-bounded
+    vocabulary (~50k rows at any corpus size), not the corpus: pair
+    expansion is higher-order built-ins inside codegen, the weighted
+    pair count shuffles on a tiny key space, and the winner is a
+    1-row TakeOrderedAndProject broadcast into the next round's
+    map-side rewrite. The per-round state is localCheckpointed (the
+    pagerank iteration discipline), vocabulary-sized and cheap.
     """
     docs = _docs(spark, sf_dir)
     tok = explode_nonempty(TX.tokens("text")).alias("t")
-    pairs = (
+    t = (
         docs.select(tok)
         .filter(F.length("t") >= 2)
+        .groupBy("t")
+        .agg(F.count("*").alias("w"))
         .select(
-            F.explode(
-                F.expr("transform(sequence(1, length(t)-1), i -> substring(t, i, 2))")
-            ).alias("pair")
+            F.array_join(
+                F.expr("transform(sequence(1, length(t)), i -> substring(t, i, 1))"),
+                " ",
+            ).alias("t"),
+            "w",
         )
+        .localCheckpoint()
     )
-    return (
-        pairs.groupBy("pair")
-        .agg(F.count("*").alias("n"))
-        .orderBy(F.desc("n"), F.asc("pair"))
-        .limit(BPE_TOPK)
-    )
+    out = []
+    for r in range(1, BPE_MERGES + 1):
+        w = _bpe_winner(t)
+        out.append(
+            w.select(
+                F.lit(r).cast("int").alias("merge_round"),
+                F.expr("split_part(pair, ' ', 1)").alias("left_sym"),
+                F.expr("split_part(pair, ' ', 2)").alias("right_sym"),
+                F.col("n").cast("long").alias("n"),
+            )
+        )
+        if r < BPE_MERGES:
+            t = _bpe_apply(t, w).localCheckpoint()
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res
 
 
 @query(
