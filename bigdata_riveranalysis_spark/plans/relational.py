@@ -707,20 +707,72 @@ def setop_nations_cust_only(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "setop_union_all_keys",
     oracle="""
-    SELECT nationkey, count(*) AS n
-    FROM (
+    WITH ua AS (
+        SELECT nationkey, count(*) AS n_all FROM (
+            SELECT c_nationkey AS nationkey FROM customer
+            UNION ALL
+            SELECT s_nationkey AS nationkey FROM supplier
+        ) GROUP BY nationkey
+    ),
+    co AS (
         SELECT c_nationkey AS nationkey FROM customer
-        UNION ALL
+        EXCEPT
         SELECT s_nationkey AS nationkey FROM supplier
+    ),
+    ea AS (
+        SELECT nationkey, count(*) AS n_excess FROM (
+            SELECT c_nationkey AS nationkey FROM customer
+            EXCEPT ALL
+            SELECT s_nationkey AS nationkey FROM supplier
+        ) GROUP BY nationkey
     )
-    GROUP BY nationkey
+    SELECT ua.nationkey, ua.n_all,
+           (co.nationkey IS NOT NULL) AS cust_only,
+           CAST(coalesce(ea.n_excess, 0) AS BIGINT) AS n_cust_excess
+    FROM ua LEFT JOIN co ON ua.nationkey = co.nationkey
+            LEFT JOIN ea ON ua.nationkey = ea.nationkey
     """,
 )
 def setop_union_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION ALL + agg: combined customer/supplier presence per nation."""
-    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return cust.unionByName(supp).groupBy("nationkey").agg(F.count("*").alias("n"))
+    """Set-op triptych per nation key: UNION ALL presence counts,
+    EXCEPT (set semantics — nations with customers but NO suppliers,
+    the genuine ``subtract`` operator), and EXCEPT ALL (bag semantics
+    — each nation's surplus of customer rows over supplier rows, the
+    genuine ``exceptAll`` operator). Folding all three into one
+    driver row restores a driver-checked EXCEPT without spending a
+    registry slot (VERDICT r9/r10 task #5; EXCEPT had been
+    pytest-tier-only since setop_nations_cust_only retired in r9).
+
+    The operators are the REAL set-op plan nodes, not agg rewrites —
+    the point is exercising Spark's EXCEPT [ALL] execution: subtract
+    plans a left-anti aggregate, exceptAll a replicated union trick;
+    both shuffle on the full row (here: the key), same as the UNION
+    ALL count. The three legs then meet in two left joins on a
+    nation-cardinality frame — broadcast-sized at any SF.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    n_all = cust.unionByName(supp).groupBy("nationkey").agg(
+        F.count("*").alias("n_all")
+    )
+    cust_only = cust.subtract(supp).withColumn("cust_only", F.lit(True))
+    n_excess = cust.exceptAll(supp).groupBy("nationkey").agg(
+        F.count("*").alias("n_excess")
+    )
+    return (
+        n_all.join(cust_only, ["nationkey"], "left")
+        .join(n_excess, ["nationkey"], "left")
+        .select(
+            "nationkey",
+            "n_all",
+            F.coalesce(F.col("cust_only"), F.lit(False)).alias("cust_only"),
+            F.coalesce(F.col("n_excess"), F.lit(0)).cast("long").alias("n_cust_excess"),
+        )
+    )
 
 
 # --------------------------------------------------------------------------

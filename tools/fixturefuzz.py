@@ -270,6 +270,63 @@ def _plant_events(tbl: pa.Table) -> pa.Table:
     return pa.concat_tables([tbl, planted.cast(tbl.schema)])
 
 
+def _plant_embeddings(tbl: pa.Table) -> pa.Table:
+    """Append the ANN tie cohort: 8 clones of the smallest-vec_id
+    QUERY vector under fresh ids — identical embeddings share cells,
+    buckets, and PQ codes, so cosine and ADC scores tie EXACTLY at
+    and past every top-k boundary and both engines must resolve the
+    K-th slot purely by the (score, neighbor_id) tie-break (VERDICT
+    r9 #4: the K-th-smallest-vec_id tie class no sweep had
+    planted)."""
+    ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
+    i = int(ids.argmin())
+    base = int(ids.max()) + 1
+    one = tbl.slice(i, 1)
+    emb = one.column("embedding").to_pylist()[0]
+    lab = one.column("label").to_pylist()[0]
+    n_clones = 8  # > PQ_TOPK(5): ties both fill and overflow top-k
+    arr = {
+        "vec_id": pa.array(
+            [base + k for k in range(n_clones)], tbl.schema.field("vec_id").type
+        ),
+        "embedding": pa.array(
+            [emb] * n_clones, tbl.schema.field("embedding").type
+        ),
+        "label": pa.array([lab] * n_clones, tbl.schema.field("label").type),
+    }
+    planted = pa.table({f.name: arr[f.name] for f in tbl.schema})
+    return pa.concat_tables([tbl, planted.cast(tbl.schema)])
+
+
+def _plant_documents(tbl: pa.Table) -> pa.Table:
+    """Append the containment knife-edge (VERDICT r9 #4): two doc
+    pairs with corpus-unique tokens and distinct-bigram sets of size
+    5 sharing exactly 4 (C = 4/5 = the inclusive 0.8 threshold —
+    5·common ≥ 4·min holds with equality) and exactly 3 (C = 0.6,
+    the nearest excludable step below at this set size)."""
+    ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+    base = int(ids.max()) + 1
+    texts = [
+        "cqza cqzb cqzc cqzd cqze cqzf",
+        "cqza cqzb cqzc cqzd cqze zzqx",
+        "dqza dqzb dqzc dqzd dqze dqzf",
+        "dqza dqzb dqzc dqzd xxqy yyqz",
+    ]
+    arr = {
+        "doc_id": pa.array(
+            [base + k for k in range(len(texts))], tbl.schema.field("doc_id").type
+        ),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["plant"] * len(texts), pa.string()),
+        "n_chars": pa.array(
+            [len(t) for t in texts], tbl.schema.field("n_chars").type
+        ),
+    }
+    planted = pa.table({f.name: arr[f.name] for f in tbl.schema})
+    return pa.concat_tables([tbl, planted.cast(tbl.schema)])
+
+
 def fuzz_dir(src: str, dst: str, seed: int, nanos: bool = False) -> None:
     rng = np.random.RandomState(seed)
     os.makedirs(dst, exist_ok=True)
@@ -278,6 +335,10 @@ def fuzz_dir(src: str, dst: str, seed: int, nanos: bool = False) -> None:
     for t in TABLES:
         tbl = pq.read_table(f"{src}/{t}.parquet")
         tbl = _fuzz_table(t, tbl, rng)
+        if t == "documents":
+            tbl = _plant_documents(tbl)
+        if t == "embeddings":
+            tbl = _plant_embeddings(tbl)
         if t == "events":
             tbl = _plant_events(tbl)
             if nanos:
