@@ -2552,12 +2552,22 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle of vectors, no Python). The top code is clamped (x = max
     → 255) so the range is exactly [0, 255].
     """
+    return (
+        _sq8_codes_array(spark, sf_dir)
+        .select("vec_id", F.posexplode("xs").alias("dim", "code"))
+    )
+
+
+def _sq8_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE row (mns, mxs): the per-dimension min/max calibration
+    arrays — a 64-value result from any corpus size, broadcast into
+    the code pass."""
     emb = _embs(spark, sf_dir)
     ex = emb.select(F.posexplode("embedding").alias("dim", "v"))
     d = ex.groupBy("dim").agg(
         F.min("v").cast("double").alias("mn"), F.max("v").cast("double").alias("mx")
     )
-    stats = d.agg(
+    return d.agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("dim", "mn"))), lambda s: s.mn
         ).alias("mns"),
@@ -2566,15 +2576,32 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mxs"),
     )
 
-    def code(x, i):
-        mn = F.element_at("mns", i + 1)
-        mx = F.element_at("mxs", i + 1)
-        q = F.floor((x.cast("double") - mn) / (mx - mn) * 256).cast("long")
-        return F.when(mx == mn, F.lit(0).cast("long")).otherwise(F.least(F.lit(255), q))
 
+def _sq8_code(x, i):
+    """The SQ8 bucket arithmetic — ONE definition for the exploded
+    query output and the array form (drift here would silently
+    desync every PQ/k-means consumer from the registered oracle)."""
+    mn = F.element_at("mns", i + 1)
+    mx = F.element_at("mxs", i + 1)
+    q = F.floor((x.cast("double") - mn) / (mx - mn) * 256).cast("long")
+    return F.when(mx == mn, F.lit(0).cast("long")).otherwise(F.least(F.lit(255), q))
+
+
+def _sq8_codes_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, xs): the full d-dim SQ8 code vector per embedding —
+    the ZERO-SHUFFLE array form (r11). Every PQ/k-means consumer used
+    to take the registered EXPLODED output (n·d scalar rows, kept for
+    the driver's pandas canonicalizer) and shuffle it straight back
+    into arrays; at 20× the sf0.1 corpus that explode→regroup round
+    trip dominated the whole PQ pipeline. Codes are now computed
+    inside one transform against the broadcast calibration row and
+    never leave array form: scan → broadcast join → map, no Exchange.
+    The exploded query output is a posexplode OF this form, so both
+    shapes share _sq8_code bit-for-bit."""
+    emb = _embs(spark, sf_dir)
     return (
-        emb.crossJoin(F.broadcast(stats))
-        .select("vec_id", F.posexplode(F.transform("embedding", code)).alias("dim", "code"))
+        emb.crossJoin(F.broadcast(_sq8_stats(spark, sf_dir)))
+        .select("vec_id", F.transform("embedding", _sq8_code).alias("xs"))
     )
 
 
@@ -3288,20 +3315,6 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 KMEANS_K = 8
 
 
-def _kmeans_vectors(codes: DataFrame) -> DataFrame:
-    """(vec_id, xs): the dim-ordered code vector per embedding — the
-    array form that makes every assignment pass a zero-shuffle
-    map-side operation. Dims are dense 0-based (posexplode output),
-    so array_sort(collect_list(struct(dim, c))) reassembles them in
-    order."""
-    return codes.groupBy("vec_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "c"))),
-            lambda s: s["c"],
-        ).alias("xs")
-    )
-
-
 def _kmeans_cents_row(cents: DataFrame) -> DataFrame:
     """ONE broadcastable row — the cid-sorted array of (cid, cs)
     centroid structs — from the long-format (cid, dim, cent) frame.
@@ -3445,11 +3458,7 @@ def kmeans_int8_lloyd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output is the final assignment (vec_id, cid, dist2) — one row per
     vector, the strongest checkable granularity.
     """
-    X = _kmeans_vectors(
-        embedding_quantize_int8(spark, sf_dir).select(
-            "vec_id", "dim", F.col("code").alias("c")
-        )
-    ).localCheckpoint()
+    X = _sq8_codes_array(spark, sf_dir).localCheckpoint()
     wseed = W.orderBy("vec_id")  # bounded input: k rows after limit
     seed = (
         X.orderBy("vec_id")
@@ -3479,23 +3488,6 @@ PQ_SUBDIM = 16
 PQ_K = 8
 PQ_TOPK = 5
 PQ_NQUERY = 10
-
-
-def _pq_subvectors(codes: DataFrame) -> DataFrame:
-    """(vec_id, sub, xs): SUBDIM-ordered code subvector per
-    (embedding, subspace) — the PQ analogue of _kmeans_vectors."""
-    sc = codes.select(
-        "vec_id",
-        F.expr(f"dim div {PQ_SUBDIM}").alias("sub"),
-        (F.col("dim") % PQ_SUBDIM).alias("sdim"),
-        "c",
-    )
-    return sc.groupBy("vec_id", "sub").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("sdim", "c"))),
-            lambda s: s["c"],
-        ).alias("xs")
-    )
 
 
 def _pq_cents_row(cents: DataFrame) -> DataFrame:
@@ -3660,11 +3652,17 @@ def _pq_codes_xs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """localCheckpointed (vec_id, sub, xs) subvector table — the PQ
     staging frame every trainer/encoder/search branch reuses (on a
     cluster: one materialization instead of re-deriving the quantize
-    chain per branch)."""
-    codes = embedding_quantize_int8(spark, sf_dir).select(
-        "vec_id", "dim", F.col("code").alias("c")
+    chain per branch). r11: built by SLICING the zero-shuffle
+    _sq8_codes_array form — a 1→M row-local fan-out, no Exchange
+    (the previous explode→regroup path shuffled n·d scalar rows)."""
+    arr = _sq8_codes_array(spark, sf_dir)
+    sub_slices = F.expr(
+        f"transform(sequence(0, size(xs) div {PQ_SUBDIM} - 1),"
+        f" s -> slice(xs, s * {PQ_SUBDIM} + 1, {PQ_SUBDIM}))"
     )
-    return _pq_subvectors(codes).localCheckpoint()
+    return arr.select(
+        "vec_id", F.posexplode(sub_slices).alias("sub", "xs")
+    ).localCheckpoint()
 
 
 def _pq_train(Xs: DataFrame) -> DataFrame:

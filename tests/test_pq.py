@@ -79,17 +79,13 @@ def test_pq_codes_deterministic_and_identical_for_twins(spark, tmp_path):
     from bigdata_riveranalysis_spark.plans.llmdata import (
         _pq_assign,
         _pq_cents_row,
-        _pq_subvectors,
+        _pq_codes_xs,
         _pq_update,
-        embedding_quantize_int8,
     )
     from pyspark.sql import functions as F
 
     d = _planted_embeddings(tmp_path)
-    codes = embedding_quantize_int8(spark, d).select(
-        "vec_id", "dim", F.col("code").alias("c")
-    )
-    Xs = _pq_subvectors(codes).localCheckpoint()
+    Xs = _pq_codes_xs(spark, d)
     from pyspark.sql import Window as W
 
     seed_ids = (
