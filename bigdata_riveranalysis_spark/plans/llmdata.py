@@ -2099,10 +2099,16 @@ def _ivf_probe(vecs: DataFrame, cent_arr: DataFrame, nprobe: int) -> DataFrame:
     )
 
 
-@query(
-    "ann_ivf_cells",
-    oracle=f"""
-    WITH ex AS (
+def _ivf_oracle_ctes(nprobe: int, nquery: int) -> str:
+    """The IVF coarse-quantizer pipeline as oracle CTE text — ONE
+    definition for every IVF oracle (ann_ivf_cells, the retired
+    ann_ivf_recall_nprobe2, ann_ivf_pq; review r11: the same SQL
+    existed three times and a tie-break fix to one copy would desync
+    the others' cell assignments): per-label dim-mean centroids,
+    cosine cell assignment for the corpus (``assign``: vec_id,
+    embedding, cell), and the top-``nprobe`` probe list for the
+    ``nquery`` query vectors (``qprobe``: qid, qe, cell)."""
+    return f"""ex AS (
         SELECT label, u.dim - 1 AS dim, u.v
         FROM embeddings,
              LATERAL (SELECT unnest(embedding) AS v,
@@ -2126,12 +2132,23 @@ def _ivf_probe(vecs: DataFrame, cent_arr: DataFrame, nprobe: int) -> DataFrame:
               FROM scored)
         WHERE rn = 1
     ),
-    q AS (SELECT vec_id AS qid, embedding AS qe, cell
-          FROM assign WHERE vec_id < 10),
+    qprobe AS (
+        SELECT vec_id AS qid, embedding AS qe, cell
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY cc DESC, cell) AS rn
+              FROM scored WHERE vec_id < {nquery})
+        WHERE rn <= {nprobe}
+    )"""
+
+
+@query(
+    "ann_ivf_cells",
+    oracle=f"""
+    WITH {_ivf_oracle_ctes(1, 10)},
     pairs AS (
         SELECT q.qid, a.vec_id AS nid, q.cell,
                {VX.cosine_sql("q.qe", "a.embedding")} AS cos
-        FROM q JOIN assign a ON q.cell = a.cell AND a.vec_id <> q.qid
+        FROM qprobe q JOIN assign a ON q.cell = a.cell AND a.vec_id <> q.qid
     ),
     ranked AS (
         SELECT qid AS query_id, nid AS neighbor_id, cell, cos,
@@ -2213,37 +2230,7 @@ def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     # strict superset of the IVF-only machinery this query exercises.
     "ann_ivf_recall_nprobe2",
     oracle=f"""
-    WITH ex AS (
-        SELECT label, u.dim - 1 AS dim, u.v
-        FROM embeddings,
-             LATERAL (SELECT unnest(embedding) AS v,
-                             generate_subscripts(embedding, 1) AS dim) u
-    ),
-    cents AS (
-        SELECT label AS cell, list(mu ORDER BY dim) AS c
-        FROM (SELECT label, dim, avg(CAST(v AS DOUBLE)) AS mu
-              FROM ex GROUP BY label, dim)
-        GROUP BY label
-    ),
-    scored AS (
-        SELECT e.vec_id, e.embedding, c.cell,
-               {VX.cosine_sql("e.embedding", "c.c")} AS cc
-        FROM embeddings e CROSS JOIN cents c
-    ),
-    assign AS (
-        SELECT vec_id, embedding, cell
-        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
-                                           ORDER BY cc DESC, cell) AS rn
-              FROM scored)
-        WHERE rn = 1
-    ),
-    qprobe AS (
-        SELECT vec_id AS qid, embedding AS qe, cell
-        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
-                                           ORDER BY cc DESC, cell) AS rn
-              FROM scored WHERE vec_id < 10)
-        WHERE rn <= 2
-    ),
+    WITH {_ivf_oracle_ctes(2, 10)},
     ivf_pairs AS (
         SELECT q.qid, a.vec_id AS nid,
                {VX.cosine_sql("q.qe", "a.embedding")} AS cos
@@ -2725,13 +2712,35 @@ def _bpe_winner(t: DataFrame) -> DataFrame:
 
 
 def _bpe_apply(t: DataFrame, w: DataFrame) -> DataFrame:
-    """Re-tokenize the corpus under the new merge: SQL replace() is
-    left-to-right non-overlapping in BOTH engines, which is exactly
-    BPE's greedy-left merge order (for winner 'a a' the run 'a a a'
-    becomes 'aa a', never 'a aa')."""
-    return t.crossJoin(F.broadcast(w.select(F.col("pair").alias("_p")))).select(
-        F.expr("replace(t, _p, replace(_p, ' ', ''))").alias("t"), "w"
+    """Re-tokenize under the new merge with a SYMBOL-level greedy-left
+    fold: split to symbols, then fold left appending each symbol —
+    gluing it (no separator) exactly when the accumulator's LAST
+    symbol equals the winner's left and the incoming symbol equals
+    its right. Greedy non-overlap falls out structurally: a just-
+    merged tail is left||right, which can never equal left again
+    (right is nonempty), so 'a a a' under winner (a, a) becomes
+    'aa a', never 'a aa' or 'aaa'. A raw string replace() of the
+    space-joined pair is WRONG here — it can match ACROSS a symbol
+    boundary (in 'b an an a' the winner (n, a) matches the trailing
+    n of one 'an' plus the leading a of the next, fabricating a
+    non-BPE merge; caught by the r11 self-review's simulation and
+    pinned by test_r11_fixes' banana corpus)."""
+    wr = w.select(
+        F.expr("split_part(pair, ' ', 1)").alias("_l"),
+        F.expr("split_part(pair, ' ', 2)").alias("_r"),
     )
+    j = t.crossJoin(F.broadcast(wr)).withColumn("_s", F.split("t", " "))
+    folded = F.aggregate(
+        F.slice(F.col("_s"), F.lit(2), F.size("_s") - 1),
+        F.element_at("_s", 1),
+        lambda acc, x: F.when(
+            ((acc == F.col("_l"))
+             | acc.endswith(F.concat(F.lit(" "), F.col("_l"))))
+            & (x == F.col("_r")),
+            F.concat(acc, x),
+        ).otherwise(F.concat(acc, F.lit(" "), x)),
+    )
+    return j.select(folded.alias("t"), "w")
 
 
 def _bpe_oracle() -> str:
@@ -2761,12 +2770,22 @@ def _bpe_oracle() -> str:
         WHERE len(s) >= 2
     )""")
         parts.append(f"""w{r} AS (
-        SELECT pair, sum(w) AS n FROM p{r}
-        GROUP BY pair ORDER BY n DESC, pair LIMIT 1
+        SELECT pair, split_part(pair, ' ', 1) AS l,
+               split_part(pair, ' ', 2) AS r, sum(w) AS n
+        FROM p{r} GROUP BY pair ORDER BY n DESC, pair LIMIT 1
     )""")
         if r < BPE_MERGES:
+            # symbol-level greedy-left fold (see _bpe_apply: a raw
+            # string replace can merge ACROSS symbol boundaries)
             parts.append(f"""t{r + 1} AS (
-        SELECT replace(t{r}.t, w{r}.pair, replace(w{r}.pair, ' ', '')) AS t, w
+        SELECT list_reduce(
+                   string_split(t{r}.t, ' '),
+                   (acc, x) -> CASE
+                       WHEN (acc = w{r}.l OR ends_with(acc, ' ' || w{r}.l))
+                            AND x = w{r}.r
+                       THEN acc || x
+                       ELSE acc || ' ' || x END
+               ) AS t, w
         FROM t{r}, w{r}
     )""")
         sels.append(
@@ -2794,9 +2813,9 @@ def bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: counts are integers, winner selection is a
     deterministic total order (string comparison is binary in both
-    engines), and the rewrite uses SQL replace(), whose
-    left-to-right non-overlapping semantics both engines share and
-    which IS BPE's greedy-left merge — so the engines walk
+    engines), and the rewrite is a symbol-level greedy-left fold
+    (Spark aggregate / DuckDB list_reduce — see _bpe_apply for why a
+    raw string replace() is subtly wrong) — so the engines walk
     bit-identical vocabularies through every round.
 
     Scale: training state is the DISTINCT-WORD frequency table (how
@@ -3656,8 +3675,14 @@ def _pq_codes_xs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _sq8_codes_array form — a 1→M row-local fan-out, no Exchange
     (the previous explode→regroup path shuffled n·d scalar rows)."""
     arr = _sq8_codes_array(spark, sf_dir)
+    # ceil(d / SUBDIM) subspaces: the LAST slice is allowed to be
+    # partial, exactly the oracle's `dim // SUBDIM` grouping (review
+    # r11: a floor-based count silently DROPPED trailing dims when d
+    # is not a SUBDIM multiple, and d < SUBDIM produced a descending
+    # sequence). slice() truncates at the array end, so the tail
+    # subvector carries the remainder dims on both sides.
     sub_slices = F.expr(
-        f"transform(sequence(0, size(xs) div {PQ_SUBDIM} - 1),"
+        f"transform(sequence(0, (size(xs) + {PQ_SUBDIM - 1}) div {PQ_SUBDIM} - 1),"
         f" s -> slice(xs, s * {PQ_SUBDIM} + 1, {PQ_SUBDIM}))"
     )
     return arr.select(
@@ -3698,16 +3723,16 @@ def _pq_lut(Xs: DataFrame, cents_row: DataFrame) -> DataFrame:
     )
 
 
-def _pq_adc_topk(enc: DataFrame, qd: DataFrame) -> DataFrame:
-    """ADC search over the WHOLE encoded corpus: broadcast the LUT
-    into the n·M code scan, sum per (query, candidate), window
-    top-PQ_TOPK on (est, nid)."""
-    adc = (
-        enc.join(F.broadcast(qd), ["sub", "cid"])
-        .filter(F.col("vec_id") != F.col("qid"))
-        .groupBy("qid", "vec_id")
-        .agg(F.sum("d2q").alias("est"))
-    )
+def _pq_adc_topk(lookups: DataFrame, extra: tuple = ()) -> DataFrame:
+    """The ADC ranking tail — ONE definition for the ungated searches
+    AND the IVF-gated composition (review r11: an inline twin would
+    let the (est, nid) tie-break or the long cast drift between the
+    two): ``lookups`` holds one (qid, vec_id, d2q[, *extra]) row per
+    matched (candidate, subspace) LUT entry; sum to the ADC estimate,
+    window top-PQ_TOPK on (est, nid). ``extra`` columns (e.g. the
+    IVF cell) are constant per candidate and ride through the
+    group-by into the output."""
+    adc = lookups.groupBy("qid", "vec_id", *extra).agg(F.sum("d2q").alias("est"))
     wq = W.partitionBy("qid").orderBy("est", "vec_id")
     return (
         adc.withColumn("rnk", F.row_number().over(wq))
@@ -3715,9 +3740,17 @@ def _pq_adc_topk(enc: DataFrame, qd: DataFrame) -> DataFrame:
         .select(
             F.col("qid").alias("query_id"),
             F.col("vec_id").alias("neighbor_id"),
+            *extra,
             F.col("est").cast("long").alias("adc_dist2"),
             "rnk",
         )
+    )
+
+
+def _pq_adc_lookups(enc: DataFrame, qd: DataFrame) -> DataFrame:
+    """Ungated lookups: broadcast the LUT into the n·M code scan."""
+    return enc.join(F.broadcast(qd), ["sub", "cid"]).filter(
+        F.col("vec_id") != F.col("qid")
     )
 
 
@@ -3766,7 +3799,7 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Xs = _pq_codes_xs(spark, sf_dir)
     cents1_row = _pq_train(Xs)
     enc = _pq_assign(Xs, cents1_row).select("vec_id", "sub", "cid")
-    return _pq_adc_topk(enc, _pq_lut(Xs, cents1_row))
+    return _pq_adc_topk(_pq_adc_lookups(enc, _pq_lut(Xs, cents1_row)))
 
 
 @query(
@@ -3797,7 +3830,7 @@ def ann_pq_adc_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     Xs = _pq_codes_xs(spark, sf_dir)
     cents1_row = _pq_train(Xs.filter(_pq_train_pred()))
     enc = _pq_assign(Xs, cents1_row).select("vec_id", "sub", "cid")
-    return _pq_adc_topk(enc, _pq_lut(Xs, cents1_row))
+    return _pq_adc_topk(_pq_adc_lookups(enc, _pq_lut(Xs, cents1_row)))
 
 
 # ---------------------------------------------------------------------------
@@ -3808,48 +3841,10 @@ def ann_pq_adc_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVFPQ_NPROBE = 2
 
 
-def _ivf_oracle_ctes(nprobe: int) -> str:
-    """The IVF coarse-quantizer pipeline as oracle CTE text (per-label
-    dim-mean centroids, cosine cell assignment, top-``nprobe`` probe
-    list for the PQ_NQUERY query vectors) — the same computation the
-    ann_ivf_cells / ann_ivf_recall_nprobe2 oracles inline."""
-    return f"""ex AS (
-        SELECT label, u.dim - 1 AS dim, u.v
-        FROM embeddings,
-             LATERAL (SELECT unnest(embedding) AS v,
-                             generate_subscripts(embedding, 1) AS dim) u
-    ),
-    cents AS (
-        SELECT label AS cell, list(mu ORDER BY dim) AS c
-        FROM (SELECT label, dim, avg(CAST(v AS DOUBLE)) AS mu
-              FROM ex GROUP BY label, dim)
-        GROUP BY label
-    ),
-    scored AS (
-        SELECT e.vec_id, e.embedding, c.cell,
-               {VX.cosine_sql("e.embedding", "c.c")} AS cc
-        FROM embeddings e CROSS JOIN cents c
-    ),
-    assign AS (
-        SELECT vec_id, cell
-        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
-                                           ORDER BY cc DESC, cell) AS rn
-              FROM scored)
-        WHERE rn = 1
-    ),
-    qprobe AS (
-        SELECT vec_id AS qid, cell
-        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
-                                           ORDER BY cc DESC, cell) AS rn
-              FROM scored WHERE vec_id < {PQ_NQUERY})
-        WHERE rn <= {nprobe}
-    )"""
-
-
 @query(
     "ann_ivf_pq",
     oracle=f"""
-    WITH {_ivf_oracle_ctes(IVFPQ_NPROBE)},
+    WITH {_ivf_oracle_ctes(IVFPQ_NPROBE, PQ_NQUERY)},
     {_pq_train_ctes()},
     adcp AS (
         SELECT qp.qid, a.vec_id AS nid, a.cell, sum(qd.d2q) AS est
@@ -3909,27 +3904,12 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents1_row = _pq_train(Xs)
     enc = _pq_assign(Xs, cents1_row).select("vec_id", "sub", "cid")
     index = cells.join(enc, ["vec_id"])
-    qd = _pq_lut(Xs, cents1_row).withColumnRenamed("qid", "query_id")
-    hits = index.join(F.broadcast(probes), ["cell"]).filter(
-        F.col("vec_id") != F.col("query_id")
-    )
-    adc = (
-        hits.join(F.broadcast(qd), ["query_id", "sub", "cid"])
-        .groupBy("query_id", "vec_id", "cell")
-        .agg(F.sum("d2q").alias("est"))
-    )
-    wq = W.partitionBy("query_id").orderBy("est", "vec_id")
-    return (
-        adc.withColumn("rnk", F.row_number().over(wq))
-        .filter(F.col("rnk") <= PQ_TOPK)
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            "cell",
-            F.col("est").cast("long").alias("adc_dist2"),
-            "rnk",
-        )
-    )
+    qd = _pq_lut(Xs, cents1_row)
+    hits = index.join(
+        F.broadcast(probes.withColumnRenamed("query_id", "qid")), ["cell"]
+    ).filter(F.col("vec_id") != F.col("qid"))
+    lookups = hits.join(F.broadcast(qd), ["qid", "sub", "cid"])
+    return _pq_adc_topk(lookups, extra=("cell",))
 
 
 def _ivfpq_oracle() -> str:

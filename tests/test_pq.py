@@ -115,8 +115,6 @@ def test_ivf_pq_twin_est_optimal_and_gated(spark, tmp_path):
     per-query minimum (ties/eviction logic identical to the
     ann_pq_adc twin test, since ADC cannot split same-coded
     vectors)."""
-    from bigdata_riveranalysis_spark.plans.llmdata import IVFPQ_NPROBE
-
     d = _planted_embeddings(tmp_path)
     rows = REGISTRY["ann_ivf_pq"].fn(spark, d).collect()
     out = {(r.query_id, r.neighbor_id): r for r in rows}
@@ -172,10 +170,11 @@ def test_pq_sampled_trainer_deterministic_same_shape(spark, tmp_path):
     not), and the output schema matches ann_pq_adc's exactly."""
     d = _planted_embeddings(tmp_path)
     fn = REGISTRY["ann_pq_adc_sampled"].fn
-    a = sorted(map(tuple, fn(spark, d).collect()))
-    b = sorted(map(tuple, fn(spark, d).collect()))
+    df_a, df_b = fn(spark, d), fn(spark, d)
+    a = sorted(map(tuple, df_a.collect()))
+    b = sorted(map(tuple, df_b.collect()))
     assert a == b and len(a) > 0
     assert (
-        fn(spark, d).schema.simpleString()
+        df_a.schema.simpleString()
         == (REGISTRY | RETIRED)["ann_pq_adc"].fn(spark, d).schema.simpleString()
     )

@@ -155,6 +155,25 @@ def test_bpe_multi_merge_matches_reference_trainer(spark, tmp_path):
     assert len(got) == BPE_MERGES >= 3  # the multi-merge contract
 
 
+def test_bpe_rewrite_never_merges_across_symbol_boundaries(spark, tmp_path):
+    """The r11 self-review's adversarial corpus: after round 1 merges
+    (a, n), 'banana' is symbols [b, an, an, a]; a later (n, a) winner
+    must merge NOTHING there — a raw string replace of 'n a' would
+    match the trailing n of one 'an' plus the leading a of the next
+    and fabricate a non-BPE merge (verified divergence pre-fix)."""
+    from bigdata_riveranalysis_spark.plans.llmdata import BPE_MERGES
+    from bigdata_riveranalysis_spark.plans.registry import REGISTRY
+
+    texts = ["banana", "an an an an an", "na na na na"]
+    d = _bpe_fixture(tmp_path, texts)
+    got = sorted(
+        map(tuple, REGISTRY["bpe_pair_merges"].fn(spark, d).collect())
+    )
+    want = _ref_bpe(texts, BPE_MERGES)
+    assert got == want, (got, want)
+    assert len(got) == BPE_MERGES >= 3  # the multi-merge contract
+
+
 def test_bpe_merge_rounds_change_the_vocabulary(spark, tmp_path):
     """Round r's winning pair must be impossible under round r-1's
     vocabulary or differ from its winner — i.e. re-tokenization
