@@ -2442,7 +2442,11 @@ HIST_NB = 10
 HIST_HI = 600
 
 
-@query(
+@retired_query(
+    # RETIRED r11: subsumed by dq_drift_report, which computes the
+    # SAME integer-division length buckets over the same documents
+    # table (corpus side) plus the batch-vs-corpus drift witness —
+    # the standalone histogram adds no verified surface.
     "docs_length_histogram",
     oracle=f"""
     SELECT least({HIST_NB - 1}, n_chars * {HIST_NB} // {HIST_HI}) AS bucket,
@@ -2743,11 +2747,13 @@ def _bpe_apply(t: DataFrame, w: DataFrame) -> DataFrame:
     return j.select(folded.alias("t"), "w")
 
 
-def _bpe_oracle() -> str:
-    """The unrolled BPE_MERGES-round training loop as DuckDB CTEs —
-    the graph_pagerank_3iter fixed-point discipline applied to
-    tokenizer training (one CTE trio per round, textually unrolled so
-    the oracle stays pure SQL)."""
+def _bpe_ctes(full_state: bool = False) -> tuple:
+    """(parts, sels): the unrolled BPE_MERGES-round training loop as
+    DuckDB CTEs — the graph_pagerank_3iter fixed-point discipline
+    applied to tokenizer training (one CTE trio per round, textually
+    unrolled so the oracles stay pure SQL). With ``full_state`` the
+    LAST round's merge is also applied, yielding t{BPE_MERGES + 1} =
+    the fully-trained symbol state (the encode oracle's input)."""
     tokens = TX.TOKENS_SQL.format(c="text")
     parts = [
         f"""wf AS (
@@ -2774,7 +2780,7 @@ def _bpe_oracle() -> str:
                split_part(pair, ' ', 2) AS r, sum(w) AS n
         FROM p{r} GROUP BY pair ORDER BY n DESC, pair LIMIT 1
     )""")
-        if r < BPE_MERGES:
+        if r < BPE_MERGES or full_state:
             # symbol-level greedy-left fold (see _bpe_apply: a raw
             # string replace can merge ACROSS symbol boundaries)
             parts.append(f"""t{r + 1} AS (
@@ -2794,7 +2800,74 @@ def _bpe_oracle() -> str:
             f" split_part(pair, ' ', 2) AS right_sym,"
             f" CAST(n AS BIGINT) AS n FROM w{r}"
         )
+    return parts, sels
+
+
+def _bpe_oracle() -> str:
+    parts, sels = _bpe_ctes()
     return "WITH " + ",\n    ".join(parts) + "\n    " + "\n    UNION ALL ".join(sels)
+
+
+def _bpe_encode_oracle() -> str:
+    """Encode the whole corpus under the trained merges: every word's
+    token count is the symbol count of its fully-merged state row
+    (word reconstructs as replace(t, ' ', '') — symbols concatenate
+    back to the original characters), length-1 words encode as one
+    token (they never train or merge), and per-source sums stay
+    integer with the exact ratio identity for chars/token."""
+    parts, _sels = _bpe_ctes(full_state=True)
+    tokens = TX.TOKENS_SQL.format(c="text")
+    parts.append(f"""occ AS (
+        SELECT source, t
+        FROM (SELECT source, unnest({tokens}) AS t FROM documents) u
+        WHERE t <> ''
+    )""")
+    parts.append(f"""vocab AS (
+        SELECT replace(t, ' ', '') AS t,
+               len(string_split(t, ' ')) AS n_syms
+        FROM t{BPE_MERGES + 1}
+    )""")
+    tail = f"""
+    SELECT occ.source,
+           count(*) AS n_words,
+           CAST(sum(coalesce(v.n_syms, 1)) AS BIGINT) AS n_tokens,
+           CAST(sum(length(occ.t)) AS BIGINT) AS n_chars,
+           {EX.ratio_round4_sql("sum(length(occ.t))", "sum(coalesce(v.n_syms, 1))", 0)} AS chars_per_token
+    FROM occ LEFT JOIN vocab v ON occ.t = v.t
+    GROUP BY occ.source"""
+    return "WITH " + ",\n    ".join(parts) + tail
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """(final_state, winners): the BPE_MERGES-round training loop —
+    distinct-word frequency table in, per-round winner rows and the
+    FULLY-merged symbol state out (every round's merge applied,
+    including the last — bpe_pair_merges reads the winners,
+    bpe_encode_stats reads the state). Each round's state is
+    localCheckpointed (pagerank iteration discipline), vocabulary-
+    sized and cheap."""
+    docs = _docs(spark, sf_dir)
+    tok = explode_nonempty(TX.tokens("text")).alias("t")
+    t = (
+        docs.select(tok)
+        .filter(F.length("t") >= 2)
+        .groupBy("t")
+        .agg(F.count("*").alias("w"))
+        .select(
+            F.array_join(
+                F.expr("transform(sequence(1, length(t)), i -> substring(t, i, 1))"),
+                " ",
+            ).alias("t"),
+            "w",
+        )
+        .localCheckpoint()
+    )
+    winners = []
+    for _r in range(1, BPE_MERGES + 1):
+        w = _bpe_winner(t)
+        winners.append(w)
+        t = _bpe_apply(t, w).localCheckpoint()
+    return t, winners
 
 
 @query("bpe_pair_merges", oracle=_bpe_oracle())
@@ -2829,39 +2902,61 @@ def bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side rewrite. The per-round state is localCheckpointed (the
     pagerank iteration discipline), vocabulary-sized and cheap.
     """
-    docs = _docs(spark, sf_dir)
-    tok = explode_nonempty(TX.tokens("text")).alias("t")
-    t = (
-        docs.select(tok)
-        .filter(F.length("t") >= 2)
-        .groupBy("t")
-        .agg(F.count("*").alias("w"))
-        .select(
-            F.array_join(
-                F.expr("transform(sequence(1, length(t)), i -> substring(t, i, 1))"),
-                " ",
-            ).alias("t"),
-            "w",
+    _state, winners = _bpe_train(spark, sf_dir)
+    out = [
+        w.select(
+            F.lit(r).cast("int").alias("merge_round"),
+            F.expr("split_part(pair, ' ', 1)").alias("left_sym"),
+            F.expr("split_part(pair, ' ', 2)").alias("right_sym"),
+            F.col("n").cast("long").alias("n"),
         )
-        .localCheckpoint()
-    )
-    out = []
-    for r in range(1, BPE_MERGES + 1):
-        w = _bpe_winner(t)
-        out.append(
-            w.select(
-                F.lit(r).cast("int").alias("merge_round"),
-                F.expr("split_part(pair, ' ', 1)").alias("left_sym"),
-                F.expr("split_part(pair, ' ', 2)").alias("right_sym"),
-                F.col("n").cast("long").alias("n"),
-            )
-        )
-        if r < BPE_MERGES:
-            t = _bpe_apply(t, w).localCheckpoint()
+        for r, w in enumerate(winners, start=1)
+    ]
     res = out[0]
     for df in out[1:]:
         res = res.unionByName(df)
     return res
+
+
+@query("bpe_encode_stats", oracle=_bpe_encode_oracle())
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the TRAINED BPE merges to the corpus — the operational
+    payoff of bpe_pair_merges, and the token count that actually
+    matters for an LLM pipeline (token_count_regex counts words;
+    training-data budgeting counts TOKENIZER tokens): per source,
+    word/token/char totals under the BPE_MERGES-round vocabulary and
+    the exact chars-per-token compression ratio.
+
+    A word's token count is the symbol count of its fully-merged
+    state row; the state's key reconstructs as replace(t, ' ', '')
+    since symbols concatenate back to exactly the original
+    characters. Length-1 words never train or merge and encode as
+    one token (the LEFT JOIN's coalesce covers exactly those —
+    the vocabulary is built from this same corpus, so nothing else
+    can miss).
+
+    Scale: training is the shared _bpe_train loop (Zipf-bounded
+    word-frequency state, see bpe_pair_merges); encoding joins the
+    per-occurrence token stream to that vocabulary-sized table on
+    the word key — the vocab side is an aggregate output small
+    enough for AQE's broadcast gate at any corpus, and the output is
+    one row per source.
+    """
+    state, _winners = _bpe_train(spark, sf_dir)
+    vocab = state.select(
+        F.expr("replace(t, ' ', '')").alias("t"),
+        F.size(F.split("t", " ")).alias("n_syms"),
+    )
+    docs = _docs(spark, sf_dir)
+    occ = docs.select("source", explode_nonempty(TX.tokens("text")).alias("t"))
+    enc = occ.join(vocab, ["t"], "left")
+    n_toks = F.sum(F.coalesce(F.col("n_syms"), F.lit(1)))
+    return enc.groupBy("source").agg(
+        F.count("*").alias("n_words"),
+        n_toks.cast("long").alias("n_tokens"),
+        F.sum(F.length("t")).cast("long").alias("n_chars"),
+        EX.ratio_round4(F.sum(F.length("t")), n_toks, 0).alias("chars_per_token"),
+    )
 
 
 @query(

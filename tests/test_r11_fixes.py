@@ -191,3 +191,56 @@ def test_bpe_merge_rounds_change_the_vocabulary(spark, tmp_path):
     # round 1 must merge the dominant ('x','y'); later rounds build on it
     assert pairs[0] == ("x", "y")
     assert any("xy" in a or "xy" in b for a, b in pairs[1:])
+
+
+def _ref_bpe_encode(texts, k):
+    """Token counts per word under the reference trainer's merged
+    vocabulary (1-char words = 1 token)."""
+    from collections import Counter
+
+    wf = Counter()
+    for x in texts:
+        for t in x.lower().split():
+            if len(t) >= 2:
+                wf[t] += 1
+    words = {t: list(t) for t in wf}
+    for r in range(k):
+        pc = Counter()
+        for t, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += wf[t]
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1]))[0]
+        for t, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[t] = out
+    return {t: len(syms) for t, syms in words.items()}
+
+
+def test_bpe_encode_stats_matches_reference_encoder(spark, tmp_path):
+    """Per-source totals under the trained vocabulary equal the
+    reference trainer's encoding, including 1-char words (1 token)
+    and the exact chars/token ratio."""
+    from bigdata_riveranalysis_spark.plans.llmdata import BPE_MERGES
+    from bigdata_riveranalysis_spark.plans.registry import REGISTRY
+
+    texts = ["banana a b an and band", "an an an na na bandana x"]
+    d = _bpe_fixture(tmp_path, texts)
+    rows = {r.source: r for r in REGISTRY["bpe_encode_stats"].fn(spark, d).collect()}
+    ntok = _ref_bpe_encode(texts, BPE_MERGES)
+    all_words = [t for x in texts for t in x.lower().split()]
+    want_tokens = sum(ntok.get(t, 1) for t in all_words)
+    want_chars = sum(len(t) for t in all_words)
+    r = rows["plant"]
+    assert r.n_words == len(all_words)
+    assert r.n_tokens == want_tokens, (r.n_tokens, want_tokens)
+    assert r.n_chars == want_chars
+    assert r.n_tokens < want_chars  # merges actually compressed something
