@@ -45,16 +45,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # so the window accounting can't silently drop a query again.
 _WINDOW = 50
 
-# Queries whose plan or output changed in THIS round (r11; every r9
-# entry earned a green r10 row and rotated out). The r11 additions
-# (ann_ivf_pq, ann_ivf_pq_recall, ann_pq_adc_sampled) are NOT listed:
-# never-checked queries already lead the window unconditionally. The
-# r11 retirements (ann_pq_adc, ann_ivf_recall_nprobe2,
-# embedding_quantize_int8) left the registry for the pytest-verified
-# RETIRED tier, so they cannot be listed (the KeyError guard below).
+# Queries whose plan or output changed in THIS round (r13; both r11
+# entries earned green r12 rows and rotated out). The r13 additions
+# (map_functions_battery, dedup_pipeline_summary) are NOT listed:
+# never-checked queries already lead the window unconditionally.
+# The four below share the ANN index-staging memo introduced in r13
+# (plans/llmdata.py::_index_stage — train once per corpus, VERDICT
+# r12 #2): outputs are hash-identical (strictcheck vs HASHES_r11),
+# but the physical plans changed, so they take fresh driver rows.
 _CHANGED_THIS_ROUND = [
-    "setop_union_all_keys",  # r11: EXCEPT/EXCEPT ALL arms folded in (VERDICT #5)
-    "bpe_pair_merges",  # r11: single first merge -> k unrolled merge rounds
+    "ann_ivf_pq",  # r13: memoized IVF×PQ index staging
+    "ann_ivf_pq_recall",  # r13: consumes the search's checkpointed output
+    "ann_pq_adc_sampled",  # r13: memoized codes/codebook/encodings
+    "ann_ivf_cells",  # r13: _ivf_cent_arr memoized per corpus
 ]
 
 

@@ -22,13 +22,21 @@ line is written to the saved real stdout at the end, and duplicated
 to BENCH.json next to this script.
 
 r2/r3 post-mortem: the driver stores only the LAST 2000 characters of
-stdout and parses the JSON out of that tail. The full 79-query dict
+stdout and parses the JSON out of that tail. The full per-query dict
 is ~4000 chars, so the tail began mid-line and could never parse.
 The stdout line therefore carries a HEADLINE subset of per-query
-timings (one per operator family, ~900 chars — comfortably inside the
-2000-char window) while "value" stays the total over ALL queries; the
-complete per-query dict still lands in BENCH.json for humans and the
-judge.
+timings (one per operator family) while "value" stays the total over
+ALL queries; the complete per-query dict still lands in BENCH.json.
+
+r13 (VERDICT r12 #4): the payload now SAYS all of that about itself —
+"queries_is_headline_subset": true, "queries_full_in": "BENCH.json",
+and "bench_json_sha256_16" pinning the exact BENCH.json whose
+"queries" is the canonical full map — so the archived BENCH_r{N}.json
+the driver writes from this line is internally consistent as-parsed
+and never needs the hand-backfill it got in r10/r11/r12.
+tools/normalize_bench.py exists for anyone who wants the full map
+inlined into an archived artifact: it verifies the hash and the
+overlap before attaching a separate, labeled "queries_full" key.
 """
 
 from __future__ import annotations
@@ -259,6 +267,9 @@ def main() -> None:
         "kmeans_int8_lloyd2",
         "dedup_containment_ngram",
         "events_attribution_linear",
+        "ann_ivf_pq",
+        "map_functions_battery",
+        "dedup_pipeline_summary",
     ]
     headline = {n: timings[n] for n in headline_names if n in timings}
     # Stdout carries a SUMMARY of the noise samples, not the array:
@@ -273,6 +284,22 @@ def main() -> None:
         "probe_min": min(s["probe_sec"] for s in noise),
         "probe_max": max(s["probe_sec"] for s in noise),
     }
+    # The stdout payload is SELF-DESCRIBING about its coverage (r13,
+    # VERDICT r12 #4): "queries" (a driver-contract key, so it keeps
+    # its name) carrying the headline subset next to the full
+    # n_queries count read as "this is the complete map, truncated",
+    # and the archived BENCH_rN.json was hand-backfilled three rounds
+    # running. The payload now states the subsetting outright
+    # ("queries_is_headline_subset"), DECLARES where the canonical
+    # full map lives, and pins WHICH BENCH.json that is by sha256 of
+    # the exact bytes just written — so the archived artifact needs
+    # no post-hoc edit, and any inline backfill someone still wants
+    # is provenance-checked by tools/normalize_bench.py against that
+    # hash instead of trusted.
+    import hashlib
+
+    with open(os.path.join(_REPO, "BENCH.json"), "rb") as fh:
+        bench_sha = hashlib.sha256(fh.read()).hexdigest()[:16]
     payload = json.dumps(
         {
             "metric": "engine_total_query_wall",
@@ -280,6 +307,9 @@ def main() -> None:
             "unit": "sec",
             "n_queries": len(timings),
             "queries": headline,
+            "queries_is_headline_subset": True,
+            "queries_full_in": "BENCH.json",
+            "bench_json_sha256_16": bench_sha,
             "total_last": total_last,
             "noise": noise_summary,
             "sf": sf_val,
@@ -293,6 +323,9 @@ def main() -> None:
                 "unit": "sec",
                 "n_queries": len(timings),
                 "queries": {},
+                "queries_is_headline_subset": True,
+                "queries_full_in": "BENCH.json",
+                "bench_json_sha256_16": bench_sha,
                 "sf": sf_val,
             }
         )

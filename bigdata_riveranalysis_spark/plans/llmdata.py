@@ -3473,6 +3473,76 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_pipeline_summary",
+    oracle=f"""
+    WITH comp AS ({_components_oracle()}),
+    s AS (
+        SELECT count(*) AS n_clustered_docs,
+               count(DISTINCT canonical_id) AS n_clusters,
+               CAST(coalesce(max(component_size), 0) AS BIGINT) AS max_cluster
+        FROM comp
+    ),
+    d AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT d.n_docs,
+           s.n_clustered_docs,
+           s.n_clusters,
+           s.n_clustered_docs - s.n_clusters AS n_dropped,
+           d.n_docs - (s.n_clustered_docs - s.n_clusters) AS n_kept,
+           s.max_cluster AS max_cluster_size,
+           {EX.ratio_round4_sql("d.n_docs - (s.n_clustered_docs - s.n_clusters)", "d.n_docs", 0)}
+               AS kept_ratio
+    FROM d, s
+    """,
+)
+def dedup_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup-pipeline acceptance report — the ONE-row
+    accounting a training-data pipeline signs off on after running
+    the whole near-dup stack (MinHash-LSH candidates → connected
+    components → keep-one-per-cluster): corpus size in, how many docs
+    sit in duplicate clusters, how many clusters, how many copies get
+    dropped, the surviving corpus size, the largest cluster (the skew
+    / pathological-template alarm), and the kept ratio. Registered as
+    the composition query (VERDICT r12 #7): the per-stage queries
+    verify each operator; THIS row is what the pipeline's run report
+    actually contains, derived by invoking the stack exactly as a
+    deployment does — one function call, one shared LSH+components
+    materialization.
+
+    Exactness: pure integer counts off the SAME components labeling
+    the registered dedup_cluster_components produces (the oracle
+    embeds that oracle textually); the kept ratio goes through the
+    shared exact-rational half-up rounding, never a raw double
+    divide.
+
+    Scale: everything after the components stage is a constant-size
+    aggregate — two single-row frames cross-joined. The heavy lifting
+    (banded LSH, min-label propagation) is the already-audited
+    components path; the summary adds one count over cluster rows
+    (≪ corpus) and one over the corpus scan's row-group metadata.
+    """
+    comp = dedup_cluster_components(spark, sf_dir)
+    s = comp.agg(
+        F.count("*").alias("n_clustered_docs"),
+        F.countDistinct("canonical_id").alias("n_clusters"),
+        F.coalesce(F.max("component_size"), F.lit(0).cast("long")).alias(
+            "max_cluster"
+        ),
+    )
+    d = _docs(spark, sf_dir).agg(F.count("*").alias("n_docs"))
+    dropped = F.col("n_clustered_docs") - F.col("n_clusters")
+    kept = F.col("n_docs") - dropped
+    return d.crossJoin(s).select(
+        "n_docs",
+        "n_clustered_docs",
+        "n_clusters",
+        dropped.alias("n_dropped"),
+        kept.alias("n_kept"),
+        F.col("max_cluster").alias("max_cluster_size"),
+        EX.ratio_round4(kept, F.col("n_docs"), 0).alias("kept_ratio"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Integer-exact k-means over SQ8 codes
 # ---------------------------------------------------------------------------

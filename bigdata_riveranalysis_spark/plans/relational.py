@@ -663,6 +663,115 @@ def scalar_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: map_functions_battery: a month is "busy" for a (priority, year)
+#: when it booked more than this many orders. Scale-free correctness
+#: knob — any value exercises map_filter; 40 splits the sf0.01 cells
+#: (~35 orders/cell mean) into a real mix of both outcomes.
+MAP_BUSY_ORDERS = 40
+
+
+@query(
+    "map_functions_battery",
+    oracle=f"""
+    WITH mc AS (
+        SELECT o_orderpriority AS priority,
+               CAST(EXTRACT(year  FROM o_orderdate) AS INTEGER) AS yr,
+               CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS mon,
+               count(*) AS cnt,
+               count(DISTINCT o_custkey) AS ncust
+        FROM orders GROUP BY 1, 2, 3
+    )
+    SELECT priority, yr,
+           count(*) AS n_months,
+           string_agg(CAST(mon AS VARCHAR), ',' ORDER BY mon) AS months_csv,
+           CAST(sum(cnt) AS BIGINT)                           AS n_orders,
+           CAST(sum(CASE WHEN cnt > {MAP_BUSY_ORDERS} THEN 1 ELSE 0 END) AS BIGINT)
+                                                              AS n_busy_months,
+           CAST(sum(cnt) * 2 AS BIGINT)                       AS n_orders_x2,
+           CAST(coalesce(sum(CASE WHEN mon = 3 THEN cnt END), 0) AS BIGINT)
+                                                              AS march_orders,
+           CAST(coalesce(sum(CASE WHEN mon = 3 THEN cnt END), 0) AS BIGINT)
+                                                              AS march_orders_shifted,
+           CAST(sum(cnt - ncust) AS BIGINT)                   AS n_repeat_orders
+    FROM mc GROUP BY 1, 2
+    """,
+)
+def map_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type scalar-function battery — the one §2b scalar
+    sub-category ("string, math, date, array, MAP, JSON") with no
+    checked query until r13 (VERDICT r11/r12 task): per (order
+    priority, year), the month→order-count and month→distinct-
+    customer maps are BUILT with map_from_entries and then consumed
+    through the whole map surface — map_keys (sorted month list),
+    map_values + aggregate (total orders), map_filter (busy months by
+    value, exercising the (k, v) lambda), transform_values (doubled
+    counts), transform_keys (shifted lookup keys; result keys stay
+    unique, so the default EXCEPTION dedup policy is never tripped),
+    element_at (March lookup, NULL→0 on absent key), and map_zip_with
+    (orders minus distinct customers per month = repeat orders).
+
+    Determinism: map entry order follows the array_sort'd
+    collect_list, so map_keys is ascending and every derived scalar
+    is order-free (sums, sizes, sorted joins) — the map itself never
+    reaches the output (oracle-determinism rule: maps render to
+    sorted scalars for hashing). All values are integer-exact.
+
+    Scale: one groupBy to month grain, one to (priority, year) —
+    both partial-agg friendly; the per-row map work is codegen'd
+    higher-order expressions, embarrassingly parallel. The maps here
+    are bounded (≤12 entries) by construction — the pattern a 100 TB
+    pipeline uses for per-key feature bundles riding through joins as
+    one column instead of twelve.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    mc = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mon"),
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.countDistinct("o_custkey").alias("ncust"),
+    )
+    maps = mc.groupBy("priority", "yr").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("mon", "cnt")))
+        ).alias("cnt_m"),
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("mon", "ncust")))
+        ).alias("cust_m"),
+    )
+
+    def sum_vals(m: F.Column) -> F.Column:
+        return F.aggregate(
+            F.map_values(m), F.lit(0).cast("long"), lambda acc, v: acc + v
+        )
+
+    repeat_m = F.map_zip_with("cnt_m", "cust_m", lambda k, a, b: a - b)
+    shifted = F.transform_keys("cnt_m", lambda k, v: k + 100)
+    return maps.select(
+        "priority",
+        "yr",
+        F.size("cnt_m").cast("long").alias("n_months"),
+        F.array_join(
+            F.transform(F.map_keys("cnt_m"), lambda k: k.cast("string")), ","
+        ).alias("months_csv"),
+        sum_vals(F.col("cnt_m")).alias("n_orders"),
+        F.size(
+            F.map_filter("cnt_m", lambda k, v: v > F.lit(MAP_BUSY_ORDERS))
+        ).cast("long").alias("n_busy_months"),
+        sum_vals(F.transform_values("cnt_m", lambda k, v: v * 2)).alias(
+            "n_orders_x2"
+        ),
+        F.coalesce(
+            F.element_at(F.col("cnt_m"), F.lit(3)), F.lit(0).cast("long")
+        ).alias("march_orders"),
+        F.coalesce(
+            F.element_at(shifted, F.lit(103)), F.lit(0).cast("long")
+        ).alias("march_orders_shifted"),
+        sum_vals(repeat_m).alias("n_repeat_orders"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Set operations
 # --------------------------------------------------------------------------
