@@ -327,6 +327,61 @@ def _plant_documents(tbl: pa.Table) -> pa.Table:
     return pa.concat_tables([tbl, planted.cast(tbl.schema)])
 
 
+def _plant_bpe_ties(tbl: pa.Table) -> pa.Table:
+    """Append the BPE tie cohort (VERDICT r12 #6): four docs, each one
+    two-letter word repeated _BPE_TIE_REPS times — 'vk', 'vq', 'zk',
+    'zq'. Word-internal pair counts for (v,k), (v,q), (z,k), (z,q)
+    then tie at _BPE_TIE_REPS each, far above any natural English
+    pair at test SF, so EVERY one of the BPE_MERGES=4 training
+    rounds' winners is decided purely by the (count DESC, pair ASC)
+    tie-break: round 1 merges 'v k', which removes that pair and
+    leaves the remaining three still tied for round 2, and so on —
+    a cascade of pure tie-break decisions under whatever jitter the
+    seed applied to the rest of the corpus. Both engines must walk
+    the identical v k → v q → z k → z q merge order or the
+    bpe_pair_merges / bpe_encode_stats differentials go red.
+
+    The repetitions are corpus-ADAPTIVE and EQUALIZED so the plant
+    binds at any SF: natural word-internal pair counts are computed
+    here with the engines' own tokenization grain (lowercased
+    whitespace tokens — TX.tokens; occurrence counting ≡ the
+    trainer's word-frequency weighting), the tie target is set 1000
+    above the corpus max, and each planted word contributes exactly
+    (target − its pair's natural count) occurrences — so the four
+    TOTALS tie exactly even when the rest of the corpus (including
+    the containment plant's 'zzqx') already contains a planted pair."""
+    import collections
+
+    ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+    base = int(ids.max()) + 1
+    words: collections.Counter = collections.Counter()
+    for t in tbl.column("text").to_pylist():
+        if t:
+            words.update(t.lower().split())
+    pairs: collections.Counter = collections.Counter()
+    for w, c in words.items():
+        for i in range(len(w) - 1):
+            pairs[(w[i], w[i + 1])] += c
+    target = (max(pairs.values()) if pairs else 0) + 1000
+    texts = [
+        " ".join([w] * (target - pairs[(w[0], w[1])]))
+        for w in ("vk", "vq", "zk", "zq")
+    ]
+    arr = {
+        "doc_id": pa.array(
+            [base + k for k in range(len(texts))], tbl.schema.field("doc_id").type
+        ),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["plant"] * len(texts), pa.string()),
+        "n_chars": pa.array(
+            [len(t) for t in texts], tbl.schema.field("n_chars").type
+        ),
+    }
+    planted = pa.table({f.name: arr[f.name] for f in tbl.schema})
+    return pa.concat_tables([tbl, planted.cast(tbl.schema)])
+
+
 def fuzz_dir(src: str, dst: str, seed: int, nanos: bool = False) -> None:
     rng = np.random.RandomState(seed)
     os.makedirs(dst, exist_ok=True)
@@ -337,6 +392,7 @@ def fuzz_dir(src: str, dst: str, seed: int, nanos: bool = False) -> None:
         tbl = _fuzz_table(t, tbl, rng)
         if t == "documents":
             tbl = _plant_documents(tbl)
+            tbl = _plant_bpe_ties(tbl)
         if t == "embeddings":
             tbl = _plant_embeddings(tbl)
         if t == "events":
