@@ -3,12 +3,21 @@
 The band (QUIET_BAND.json, rendered into PLANS.md by planaudit) is
 the per-query min-of-3 reference future rounds adjudicate load-vs-
 regression against, so it may only be recorded from a bench run that
-was actually quiet: every noise sample's 1-min loadavg under
---max-load (default 6 — the box's own 3 interleaved bench passes at
-32 threads keep short load spikes of the run itself in frame; the
-EXTERNAL-contention read is the dgemm probe) and every dgemm probe
-under --max-probe seconds (default 0.1; idle ≈ 0.025, neighbor-load
-stalls push it past 0.5). Refuses to record otherwise — a band taken
+was actually quiet. QUIET means free of EXTERNAL contention: the
+bench's own 32 worker threads legitimately push the 1-min loadavg
+well past the ambient reading between passes, so loadavg alone can't
+discriminate self-load from neighbors — the dgemm probe can (it
+competes for the same cores the neighbors would hold, but runs while
+the bench is between queries). Gates: the MEDIAN dgemm probe under --max-probe seconds (default
+0.05; idle ≈ 0.025-0.035, sustained neighbor load holds it past 0.1
+for most samples — median, not max, because isolated spikes are
+self-inflicted and unavoidable: the first probe pays BLAS thread-pool
+cold start ~0.17 s, and a probe landing in a JVM GC/cleanup window
+reads the bench's own tail, both observed on a verified-idle box),
+a hard cap on the max probe (--max-probe-peak, default 0.5 — a real
+neighbor stall exceeds it), and a loose loadavg sanity cap
+--max-load (default 12; self-load from 3 interleaved 32-thread
+passes peaks ~6-10). Refuses to record otherwise — a band taken
 under contention would mislabel every future honest number as a
 regression.
 
@@ -27,9 +36,14 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> int:
     argv = sys.argv[1:]
-    max_load = float(argv[argv.index("--max-load") + 1]) if "--max-load" in argv else 6.0
+    max_load = float(argv[argv.index("--max-load") + 1]) if "--max-load" in argv else 12.0
     max_probe = (
-        float(argv[argv.index("--max-probe") + 1]) if "--max-probe" in argv else 0.1
+        float(argv[argv.index("--max-probe") + 1]) if "--max-probe" in argv else 0.05
+    )
+    max_probe_peak = (
+        float(argv[argv.index("--max-probe-peak") + 1])
+        if "--max-probe-peak" in argv
+        else 0.5
     )
     label = next((a for a in argv if not a.startswith("--")), "r13")
 
@@ -41,11 +55,14 @@ def main() -> int:
         return 1
     loads = [s["loadavg_1m"] for s in noise]
     probes = [s["probe_sec"] for s in noise]
+    med_probe = sorted(probes)[len(probes) // 2]
     bad = []
     if max(loads) > max_load:
         bad.append(f"loadavg_1m peaked at {max(loads)} > {max_load}")
-    if max(probes) > max_probe:
-        bad.append(f"dgemm probe peaked at {max(probes)}s > {max_probe}s")
+    if med_probe > max_probe:
+        bad.append(f"median dgemm probe {med_probe}s > {max_probe}s")
+    if max(probes) > max_probe_peak:
+        bad.append(f"dgemm probe peaked at {max(probes)}s > {max_probe_peak}s")
     if bench.get("errors"):
         bad.append(f"run had errors: {sorted(bench['errors'])}")
     if bad:
@@ -61,9 +78,11 @@ def main() -> int:
         "loadavg_min": min(loads),
         "loadavg_max": max(loads),
         "probe_min": min(probes),
+        "probe_median": med_probe,
         "probe_max": max(probes),
         "source": f"BENCH.json run recorded as BENCH_{label}; "
-        f"qualification max_load={max_load}, max_probe={max_probe}",
+        f"qualification max_load={max_load}, median max_probe={max_probe}, "
+        f"peak cap {max_probe_peak}",
         "queries": {
             n: {"min": t, "loadavg_at_min": lam.get(n)}
             for n, t in bench["queries"].items()
