@@ -300,35 +300,35 @@ def main() -> None:
 
     with open(os.path.join(_REPO, "BENCH.json"), "rb") as fh:
         bench_sha = hashlib.sha256(fh.read()).hexdigest()[:16]
-    payload = json.dumps(
-        {
-            "metric": "engine_total_query_wall",
-            "value": total,
-            "unit": "sec",
-            "n_queries": len(timings),
-            "queries": headline,
-            "queries_is_headline_subset": True,
-            "queries_full_in": "BENCH.json",
-            "bench_json_sha256_16": bench_sha,
-            "total_last": total_last,
-            "noise": noise_summary,
-            "sf": sf_val,
-        }
-    )
-    if len(payload) > 1800:  # never regress the tail contract again
-        payload = json.dumps(
+    def _payload(hl: dict[str, float]) -> str:
+        return json.dumps(
             {
                 "metric": "engine_total_query_wall",
                 "value": total,
                 "unit": "sec",
                 "n_queries": len(timings),
-                "queries": {},
+                "queries": hl,
                 "queries_is_headline_subset": True,
                 "queries_full_in": "BENCH.json",
                 "bench_json_sha256_16": bench_sha,
+                "total_last": total_last,
+                "noise": noise_summary,
                 "sf": sf_val,
             }
         )
+
+    # Never regress the tail contract — but degrade GRACEFULLY: trim
+    # headline entries from the tail of the list until the payload
+    # fits, instead of the old all-or-nothing {} fallback (review r13:
+    # the payload sits ~70 chars under the cap, so the next headline
+    # addition would have silently shipped a query-less artifact —
+    # the exact defect this file just fixed). A trim is loud on
+    # stderr so the margin shrinkage is seen, not discovered.
+    payload = _payload(headline)
+    while len(payload) > 1800 and headline:
+        dropped, _ = headline.popitem()
+        print(f"bench: stdout payload over budget; dropped headline entry {dropped}")
+        payload = _payload(headline)
     os.write(real_stdout, (payload + "\n").encode())
 
 

@@ -64,6 +64,13 @@ def normalize(artifact_path: str, bench_path: str) -> str:
     full = bench.get("queries")
     if not isinstance(full, dict) or not full:
         raise SystemExit(f"{bench_path}: no queries map")
+    # None == None must not slip past the equality gates below and
+    # crash later with a bare KeyError (review r13): refuse missing
+    # totals by name first.
+    if not isinstance(parsed.get("value"), (int, float)):
+        raise SystemExit(f"{artifact_path}: parsed block has no numeric 'value'")
+    if not isinstance(bench.get("value"), (int, float)):
+        raise SystemExit(f"{bench_path}: no numeric 'value'")
     if parsed.get("value") != bench.get("value"):
         raise SystemExit(
             f"total mismatch: parsed.value={parsed.get('value')} vs "

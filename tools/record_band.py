@@ -27,25 +27,27 @@ Usage:
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
-import sys
+import statistics
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> int:
-    argv = sys.argv[1:]
-    max_load = float(argv[argv.index("--max-load") + 1]) if "--max-load" in argv else 12.0
-    max_probe = (
-        float(argv[argv.index("--max-probe") + 1]) if "--max-probe" in argv else 0.05
-    )
-    max_probe_peak = (
-        float(argv[argv.index("--max-probe-peak") + 1])
-        if "--max-probe-peak" in argv
-        else 0.5
-    )
-    label = next((a for a in argv if not a.startswith("--")), "r13")
+    # argparse, not hand-rolled argv scanning: `record_band.py
+    # --max-load 20` must not silently record label='20' (review r13).
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("label", nargs="?", default="r13")
+    ap.add_argument("--max-load", type=float, default=12.0)
+    ap.add_argument("--max-probe", type=float, default=0.05)
+    ap.add_argument("--max-probe-peak", type=float, default=0.5)
+    args = ap.parse_args()
+    max_load = args.max_load
+    max_probe = args.max_probe
+    max_probe_peak = args.max_probe_peak
+    label = args.label
 
     with open(os.path.join(_REPO, "BENCH.json")) as f:
         bench = json.load(f)
@@ -55,7 +57,7 @@ def main() -> int:
         return 1
     loads = [s["loadavg_1m"] for s in noise]
     probes = [s["probe_sec"] for s in noise]
-    med_probe = sorted(probes)[len(probes) // 2]
+    med_probe = statistics.median(probes)
     bad = []
     if max(loads) > max_load:
         bad.append(f"loadavg_1m peaked at {max(loads)} > {max_load}")
