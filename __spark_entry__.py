@@ -49,8 +49,8 @@ _WINDOW = 50
 # entries earned green r12 rows and rotated out). The r13 additions
 # (map_functions_battery, dedup_pipeline_summary) are NOT listed:
 # never-checked queries already lead the window unconditionally.
-# The four below share the ANN index-staging memo introduced in r13
-# (plans/llmdata.py::_index_stage — train once per corpus, VERDICT
+# Everything below shares the r13 index-staging memo
+# (plans/llmdata.py::_index_stage — derive once per corpus, VERDICT
 # r12 #2): outputs are hash-identical (strictcheck vs HASHES_r11),
 # but the physical plans changed, so they take fresh driver rows.
 _CHANGED_THIS_ROUND = [
@@ -58,6 +58,19 @@ _CHANGED_THIS_ROUND = [
     "ann_ivf_pq_recall",  # r13: consumes the search's checkpointed output
     "ann_pq_adc_sampled",  # r13: memoized codes/codebook/encodings
     "ann_ivf_cells",  # r13: _ivf_cent_arr memoized per corpus
+    # second amortization pass — MinHash/BPE/vocab staging:
+    "dedup_minhash_lsh",  # r13: memoized signature + pair stages
+    "dedup_incremental_minhash",  # r13: shares the signature stage
+    "dedup_cluster_components",  # r13: memoized components labeling
+    "dedup_keep_best",  # r13: consumes memoized components
+    "minhash_estimate_error",  # r13: consumes memoized pairs
+    "bpe_pair_merges",  # r13: memoized trained tokenizer state
+    "bpe_encode_stats",  # r13: memoized trained tokenizer state
+    "doc_surprisal_proxy",  # r13: memoized unigram vocab stage
+    "vocab_coverage_topn",  # r13: memoized unigram vocab stage
+    "basket_part_pairs",  # r13: memoized basket/pair-count stages
+    "graph_triangle_count",  # r13: memoized basket/pair-count stages
+    "graph_pagerank_3iter",  # r13: memoized basket/pair-count stages
 ]
 
 

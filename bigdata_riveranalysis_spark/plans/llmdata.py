@@ -234,6 +234,33 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_signature_df(spark, sf_dir)
 
 
+def _minhash_sig_arr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sig) — the 8 minhashes folded into one array column,
+    the staged signature table every MinHash consumer reads.
+
+    Memoized per (application, corpus) via _index_stage: the
+    full-corpus LSH and the incremental twin previously each ran the
+    tokenize→shingle→hash pass (each with its own cache + count()
+    materialization dance). The signature table IS the MinHash index
+    — at 100 TB it's the persisted artifact the daily job maintains —
+    so it is derived once and read everywhere. localCheckpoint also
+    subsumes the old block-lock workaround: a self-join over a
+    checkpointed frame reads blocks on both sides, it never races to
+    fill a shared cache. The table is tiny: (doc_id, 8 longs) per doc.
+    """
+    return _index_stage(
+        spark,
+        sf_dir,
+        "minhash_sig",
+        lambda: _minhash_signature_df(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.array(*[F.col(f"mh{i}") for i in range(NUM_MINHASHES)]).alias("sig"),
+        )
+        .localCheckpoint(),
+    )
+
+
 @query(
     "dedup_minhash_lsh",
     oracle=f"""
@@ -272,18 +299,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate volume tracks the duplicate count, not n². Degenerate
     hot buckets (boilerplate corpora) get the document-frequency cap
     treatment before the join.
+
+    The pair table is memoized per (application, corpus) — it is the
+    shared input of dedup_cluster_components, minhash_estimate_error
+    and (through components) dedup_keep_best / dedup_pipeline_summary,
+    each of which previously re-ran signature + banding + self-join
+    wholesale (the same per-consumer waste VERDICT r12 #2 named on
+    the ANN trio). Candidate pairs ≪ corpus, so the checkpoint is
+    small by the LSH invariant itself.
     """
-    # The signature table feeds both sides of the bucket self-join;
-    # cache it so the hashing pass runs once, and MATERIALIZE it
-    # before the join: the join schedules both sides concurrently,
-    # and two stages racing to fill the same cached partitions
-    # serialize on block locks (measured: tasks blocked ~4× their CPU
-    # time). One tiny count() job builds the cache cleanly; the join
-    # then only reads. The table is tiny: (doc_id, 8 longs) per doc.
-    sig = _minhash_signature_df(spark, sf_dir).cache()
-    sig.count()
-    sig_arr = sig.select("doc_id", F.array(*[F.col(f"mh{i}") for i in range(NUM_MINHASHES)]).alias("sig"))
-    bands = _band_rows(sig_arr)
+    return _index_stage(
+        spark,
+        sf_dir,
+        "lsh_pairs",
+        lambda: _lsh_pairs_build(spark, sf_dir).localCheckpoint(),
+    )
+
+
+def _lsh_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = _band_rows(_minhash_sig_arr(spark, sf_dir))
     a, b = bands.alias("a"), bands.alias("b")
     # Score on the joined row (both signatures are already there),
     # THEN dedup the surviving (doc_a, doc_b) pairs with a scalar-only
@@ -376,13 +410,11 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     derive from one cached signature pass). Candidate volume follows
     the LSH invariant — band-key collisions, not batch × corpus.
     """
-    docs = load_table(spark, sf_dir, "documents")
     cutoff = batch_cutoff(spark, sf_dir)
-    sig = _minhash_signature_df(spark, sf_dir).cache()
-    sig.count()  # materialize before the multi-branch reuse (see dedup_minhash_lsh)
-    sig_arr = sig.select(
-        "doc_id", F.array(*[F.col(f"mh{i}") for i in range(NUM_MINHASHES)]).alias("sig")
-    )
+    # The staged signature table (memoized + checkpointed) feeds both
+    # the batch and corpus branches — one hashing pass per corpus,
+    # shared with the full-corpus LSH.
+    sig_arr = _minhash_sig_arr(spark, sf_dir)
 
     bsig = sig_arr.filter(F.col("doc_id") >= cutoff)
     csig = sig_arr.filter(F.col("doc_id") < cutoff)
@@ -487,9 +519,26 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     The DuckDB oracle computes the same fixpoint declaratively with a
     recursive CTE over the registered LSH-pair SQL (min reachable id
     == component minimum).
+
+    The labeling is memoized per (application, corpus): it is the
+    shared input of dedup_keep_best and dedup_pipeline_summary, which
+    previously each re-ran LSH + components wholesale. Cluster rows ≪
+    corpus (only actual duplicates appear), so the checkpoint is
+    small. A test that re-gates the regime on an already-memoized
+    corpus must clear_index_memo() first (tests/test_properties.py).
     """
-    # One materialization of the LSH stage feeds count + either regime.
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+    return _index_stage(
+        spark,
+        sf_dir,
+        "lsh_components",
+        lambda: _components_build(spark, sf_dir).localCheckpoint(),
+    )
+
+
+def _components_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The memoized LSH stage (already checkpointed) feeds the
+    # edge-count gate + either regime without re-materializing.
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     n_pairs = pairs.count()
 
     if n_pairs <= COMPONENTS_LOCAL_MAX_EDGES:
@@ -2031,42 +2080,16 @@ def text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Index-staging memo — train once per (application, corpus)
 # ---------------------------------------------------------------------------
 
-#: (applicationId, abspath(sf_dir), stage) → localCheckpointed frame.
-#: The ANN index-build stages (IVF coarse quantizer, PQ subvector
-#: table, PQ codebook, PQ encodings, the composed IVF×PQ search) are
-#: derived once per corpus and reused by every consumer in the same
-#: SparkSession, instead of re-deriving the quantize→train→encode
-#: chain per query (VERDICT r11/r12: the registered trio ann_ivf_pq /
-#: ann_ivf_pq_recall / ann_pq_adc_sampled triple-paid the build —
-#: 14.75 s of the 139.84 s r12 bench was repeated training). This is
-#: the in-session twin of the PERSISTED index contract production
-#: runs (write_ivfpq_index / the partition-pruned read pinned by
-#: tests/test_pq.py): an index is trained once, and every query batch
-#: — searches and recall audits alike — reads the trained artifact.
-#: Keys: applicationId, because localCheckpoint blocks die with their
-#: session (a new session must rebuild, never dereference another
-#: session's blocks); abspath(sf_dir), so the sf0.01 correctness run,
-#: the sf0.1 bench, and fixturefuzz's per-seed temp corpora never
-#: share state. Every memoized frame is localCheckpointed — tiny
-#: (one codebook row, n·M int codes, a 50-row top-k), deterministic,
-#: and lineage-cut so reuse is a block read, not a recompute.
-_INDEX_MEMO: dict[tuple[str, str, str], DataFrame] = {}
-
-
-def _index_stage(spark: SparkSession, sf_dir: str, stage: str, build) -> DataFrame:
-    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir), stage)
-    df = _INDEX_MEMO.get(key)
-    if df is None:
-        df = build()
-        _INDEX_MEMO[key] = df
-    return df
-
-
-def clear_index_memo() -> None:
-    """Drop all memoized index frames. A test that REWRITES a corpus
-    in place at an already-memoized path must call this (fixturefuzz
-    doesn't need to: each seed gets a fresh temp dir, a fresh key)."""
-    _INDEX_MEMO.clear()
+# The memo lives in plans.staging (r13: the pattern outgrew this
+# module — mining.py's basket/pair-count graph stages share it).
+# Re-exported here because this module's stages and the tests address
+# it as llmdata._INDEX_MEMO / llmdata.clear_index_memo; _INDEX_MEMO
+# is THE one shared dict object, not a copy.
+from bigdata_riveranalysis_spark.plans.staging import (  # noqa: E402
+    _INDEX_MEMO,
+    clear_index_memo,
+    stage as _index_stage,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -2894,9 +2917,36 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
     distinct-word frequency table in, per-round winner rows and the
     FULLY-merged symbol state out (every round's merge applied,
     including the last — bpe_pair_merges reads the winners,
-    bpe_encode_stats reads the state). Each round's state is
+    bpe_encode_stats reads the state).
+
+    Memoized per (application, corpus): a tokenizer is trained once
+    and then both consumers (the merge-table query and the corpus
+    encoder) read the trained artifact — previously each re-ran the
+    full multi-round loop. All memoized frames are vocabulary-sized
+    localCheckpoints (the winners are 1-row frames)."""
+    appid = spark.sparkContext.applicationId
+    corpus = _os.path.abspath(sf_dir)
+    state_key = (appid, corpus, "bpe_state")
+    if state_key not in _INDEX_MEMO:
+        t, winners = _bpe_train_build(spark, sf_dir)
+        _INDEX_MEMO[state_key] = t  # each round already checkpoints
+        for r, w in enumerate(winners, 1):
+            _INDEX_MEMO[(appid, corpus, f"bpe_winner_{r}")] = w
+    return (
+        _INDEX_MEMO[state_key],
+        [
+            _INDEX_MEMO[(appid, corpus, f"bpe_winner_{r}")]
+            for r in range(1, BPE_MERGES + 1)
+        ],
+    )
+
+
+def _bpe_train_build(spark: SparkSession, sf_dir: str):
+    """One run of the training loop. Each round's state is
     localCheckpointed (pagerank iteration discipline), vocabulary-
-    sized and cheap."""
+    sized and cheap; the winner row is checkpointed BEFORE it is
+    applied, so the round's argmax is computed once and both the
+    rewrite and the merge table read the settled row."""
     docs = _docs(spark, sf_dir)
     tok = explode_nonempty(TX.tokens("text")).alias("t")
     t = (
@@ -2915,7 +2965,7 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
     )
     winners = []
     for _r in range(1, BPE_MERGES + 1):
-        w = _bpe_winner(t)
+        w = _bpe_winner(t).localCheckpoint()
         winners.append(w)
         t = _bpe_apply(t, w).localCheckpoint()
     return t, winners
@@ -3010,6 +3060,25 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(t, c) — the corpus unigram frequency table, memoized per
+    (application, corpus): doc_surprisal_proxy and vocab_coverage_topn
+    each previously ran their own tokenize scan + token shuffle to
+    build the identical relation. The vocab is Zipf-bounded (≪
+    corpus), so the checkpoint is small; at 100 TB it is the persisted
+    corpus-statistics artifact a curation run derives once."""
+    return _index_stage(
+        spark,
+        sf_dir,
+        "token_vocab",
+        lambda: _docs(spark, sf_dir)
+        .select(explode_nonempty(TX.tokens("text")).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(),
+    )
+
+
 @query(
     "doc_surprisal_proxy",
     oracle=f"""
@@ -3051,12 +3120,11 @@ def doc_surprisal_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", explode_nonempty(TX.tokens("text")).alias("t")
     )
-    vocab = toks.groupBy("t").agg(F.count("*").alias("c"))
+    vocab = _token_vocab(spark, sf_dir)
     # corpus total = Σ vocab counts — a vocab-sized aggregate, NOT a
-    # third tokenize scan of the corpus (r7 review: three consumers
-    # of `toks` re-executed the dominant scan; now only the vocab
-    # build and the token→info join touch it, and those two scans
-    # are irreducible without materializing a corpus-sized frame).
+    # second tokenize scan of the corpus (r7 review: three consumers
+    # of `toks` re-executed the dominant scan; the memoized vocab
+    # stage now leaves the token→info join as the one corpus scan).
     total = vocab.agg(F.sum("c").alias("total"))
     info = (
         toks.join(vocab, "t")
@@ -3116,9 +3184,7 @@ def vocab_coverage_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from bigdata_riveranalysis_spark.plans import scale as SC
 
-    docs = _docs(spark, sf_dir)
-    toks = docs.select(explode_nonempty(TX.tokens("text")).alias("t"))
-    vocab = toks.groupBy("t").agg(F.count("*").alias("c"))
+    vocab = _token_vocab(spark, sf_dir)
     o = SC.two_level_prefix(vocab, [F.desc("c"), F.asc("t")], sum_cols=("c",))
     return (
         o.filter(F.col("_rk") <= VOCAB_TOPN)

@@ -31,6 +31,7 @@ from bigdata_riveranalysis_spark.functions import exact as EX
 from bigdata_riveranalysis_spark.functions import text as TX
 from bigdata_riveranalysis_spark.plans import scale as SC
 from bigdata_riveranalysis_spark.plans.registry import query
+from bigdata_riveranalysis_spark.plans.staging import stage as _stage
 from bigdata_riveranalysis_spark.sources.tables import load_table
 
 #: Minimum co-occurrence count for a part pair to be reported.
@@ -135,12 +136,37 @@ def _baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(l_orderkey, sorted distinct part array) — materialized ONCE
     (localCheckpoint) because every consumer (pair expansion, item
     counts, basket total) would otherwise re-run the fact scan +
-    basket shuffle; one row per order, far smaller than the input."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
-        .localCheckpoint()
+    basket shuffle; one row per order, far smaller than the input.
+
+    Memoized per (application, corpus) via plans.staging (r13):
+    basket_part_pairs, graph_triangle_count and graph_pagerank_3iter
+    each previously re-ran the fact scan + basket shuffle wholesale —
+    the same per-consumer waste class as the ANN trio's repeated
+    index training (VERDICT r12 #2)."""
+
+    def build() -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem")
+        return (
+            li.groupBy("l_orderkey")
+            .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+            .localCheckpoint()
+        )
+
+    return _stage(spark, sf_dir, "baskets", build)
+
+
+def _pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus's (part_a, part_b, n_ab) co-occurrence graph —
+    memoized UNFILTERED so the association-mining query (support ≥
+    BASKET_MIN_SUPPORT) and both graph queries (support ≥
+    TRIANGLE_MIN_SUPPORT) read one materialization and filter it;
+    pair counts are Σk² over per-basket item counts k (≪ the fact
+    table), the small derived graph every mining pass shares."""
+    return _stage(
+        spark,
+        sf_dir,
+        "basket_pair_counts",
+        lambda: _basket_pair_counts(_baskets(spark, sf_dir)).localCheckpoint(),
     )
 
 
@@ -235,7 +261,7 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = baskets.select(F.explode("parts").alias("l_partkey")).groupBy(
         "l_partkey"
     ).agg(F.count("*").alias("c"))
-    pairs = _basket_pair_counts(baskets).filter(
+    pairs = _pair_counts(spark, sf_dir).filter(
         F.col("n_ab") >= BASKET_MIN_SUPPORT
     )
     ca = cnt.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("n_a"))
@@ -632,7 +658,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     a star graph. Residual hot apexes can additionally be salted, but
     after orientation out-degree ≤ O(√m) makes that a corner case.
     """
-    pairs = _basket_pair_counts(_baskets(spark, sf_dir))
+    pairs = _pair_counts(spark, sf_dir)
     e = pairs.filter(F.col("n_ab") >= TRIANGLE_MIN_SUPPORT).select(
         "part_a", "part_b"
     )
@@ -926,7 +952,7 @@ def graph_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds the plan depth. Cited shape: the join-agg PageRank of the
     GraphX/Pregel literature, minus message abstraction.
     """
-    pairs = _basket_pair_counts(_baskets(spark, sf_dir))
+    pairs = _pair_counts(spark, sf_dir)
     eu = pairs.filter(F.col("n_ab") >= TRIANGLE_MIN_SUPPORT).select(
         "part_a", "part_b"
     )

@@ -196,11 +196,25 @@ def test_components_local_and_distributed_plans_agree(spark):
     sf = "/root/testdata/sf0.001"
     local = sorted(map(tuple, fn(spark, sf).collect()))
     saved = L.COMPONENTS_LOCAL_MAX_EDGES
+    ran_dist = []
+    orig_dist = L._components_distributed
     try:
+        # The labeling is memoized per corpus (r13): clear it so the
+        # re-gated run actually rebuilds, and spy the distributed
+        # entrypoint so this test can never pass vacuously off a
+        # memoized (or mis-gated) result.
+        L.clear_index_memo()
         L.COMPONENTS_LOCAL_MAX_EDGES = 0
+        L._components_distributed = lambda pairs: (
+            ran_dist.append(True),
+            orig_dist(pairs),
+        )[1]
         dist = sorted(map(tuple, fn(spark, sf).collect()))
     finally:
         L.COMPONENTS_LOCAL_MAX_EDGES = saved
+        L._components_distributed = orig_dist
+        L.clear_index_memo()  # drop the gate-0 labeling from the memo
+    assert ran_dist, "the distributed min-label path must actually run"
     assert local == dist
     assert local, "sf0.001 corpus should contain at least one near-dup cluster"
 
