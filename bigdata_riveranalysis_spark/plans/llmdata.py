@@ -2944,9 +2944,9 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
 def _bpe_train_build(spark: SparkSession, sf_dir: str):
     """One run of the training loop. Each round's state is
     localCheckpointed (pagerank iteration discipline), vocabulary-
-    sized and cheap; the winner row is checkpointed BEFORE it is
-    applied, so the round's argmax is computed once and both the
-    rewrite and the merge table read the settled row."""
+    sized and cheap; the winner row arrives already checkpointed
+    (_bpe_winner), so the memo stores the settled 1-row frames
+    without re-materializing them."""
     docs = _docs(spark, sf_dir)
     tok = explode_nonempty(TX.tokens("text")).alias("t")
     t = (
@@ -2965,7 +2965,7 @@ def _bpe_train_build(spark: SparkSession, sf_dir: str):
     )
     winners = []
     for _r in range(1, BPE_MERGES + 1):
-        w = _bpe_winner(t).localCheckpoint()
+        w = _bpe_winner(t)
         winners.append(w)
         t = _bpe_apply(t, w).localCheckpoint()
     return t, winners

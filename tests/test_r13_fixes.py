@@ -297,8 +297,8 @@ def test_dedup_family_shares_one_lsh_materialization(spark):
         assert L.dedup_cluster_components(spark, SF_SMOKE) is comp
     finally:
         L._lsh_pairs_build = orig
+        L.clear_index_memo()
     assert builds == [SF_SMOKE], "the LSH pipeline must build exactly once"
-    L.clear_index_memo()
 
 
 def test_incremental_minhash_shares_signature_stage(spark):
@@ -315,8 +315,8 @@ def test_incremental_minhash_shares_signature_stage(spark):
         L.dedup_incremental_minhash(spark, SF_SMOKE).collect()
     finally:
         L._minhash_signature_df = orig
+        L.clear_index_memo()
     assert sigs == [SF_SMOKE], "one hashing pass must feed both LSH flavors"
-    L.clear_index_memo()
 
 
 def test_bpe_train_memoizes_per_corpus(spark):
@@ -341,7 +341,7 @@ def test_bpe_train_memoizes_per_corpus(spark):
         assert runs == [SF_SMOKE, SF_ORACLE], "corpora must not share state"
     finally:
         L._bpe_train_build = orig
-    L.clear_index_memo()
+        L.clear_index_memo()
 
 
 def test_token_vocab_memoizes_across_consumers(spark):
@@ -350,11 +350,13 @@ def test_token_vocab_memoizes_across_consumers(spark):
     from bigdata_riveranalysis_spark.plans import llmdata as L
 
     L.clear_index_memo()
-    v1 = L._token_vocab(spark, SF_SMOKE)
-    L.doc_surprisal_proxy(spark, SF_SMOKE).collect()
-    L.vocab_coverage_topn(spark, SF_SMOKE).collect()
-    assert L._token_vocab(spark, SF_SMOKE) is v1
-    L.clear_index_memo()
+    try:
+        v1 = L._token_vocab(spark, SF_SMOKE)
+        L.doc_surprisal_proxy(spark, SF_SMOKE).collect()
+        L.vocab_coverage_topn(spark, SF_SMOKE).collect()
+        assert L._token_vocab(spark, SF_SMOKE) is v1
+    finally:
+        L.clear_index_memo()
 
 
 def test_basket_graph_memoizes_pair_counts(spark):
@@ -372,13 +374,16 @@ def test_basket_graph_memoizes_pair_counts(spark):
         M.basket_part_pairs(spark, SF_SMOKE).collect()
         M.graph_triangle_count(spark, SF_SMOKE).collect()
         M.graph_pagerank_3iter(spark, SF_SMOKE).collect()
+        # the shared memo dict is THE staging module's
+        from bigdata_riveranalysis_spark.plans import staging as S
+
+        assert L._INDEX_MEMO is S._INDEX_MEMO
+        assert {k[2] for k in S._INDEX_MEMO} >= {
+            "baskets",
+            "basket_pair_counts",
+        }
     finally:
         M._basket_pair_counts = orig
+        L.clear_index_memo()  # one clear clears all modules' stages
     assert builds == [1], "the pair-count graph must build exactly once"
-    # the shared memo dict is THE staging module's (one clear clears all)
-    from bigdata_riveranalysis_spark.plans import staging as S
-
-    assert L._INDEX_MEMO is S._INDEX_MEMO
-    assert {k[2] for k in S._INDEX_MEMO} >= {"baskets", "basket_pair_counts"}
-    L.clear_index_memo()
     assert not S._INDEX_MEMO
