@@ -25,6 +25,15 @@ but SLIM — the MinHash signature table (doc_id + 8 longs per doc)
 and the basket table (one row per order) — i.e. exactly the persisted
 per-corpus index artifacts a production run maintains on durable
 storage, held here as executor-local blocks for the session.
+
+Cluster-mode caveat (the 1000-executor posture): localCheckpoint cuts
+lineage, so a LOST EXECUTOR makes its blocks unrecoverable — fine on
+local[n] (one process, dies atomically) and for cheap-to-rebuild
+stages, but a long-lived cluster session should either point
+sparkContext.setCheckpointDir at durable storage and swap these for
+reliable checkpoint()s, or read the stages from their persisted twins
+(sinks.write_ivfpq_index et al.) — the memo is the in-session cache
+OVER that contract, not a replacement for it.
 spark.catalog.clearCache() does NOT drop
 RDD-level checkpoint blocks (pinned by tests/test_r13_fixes.py), so
 the bench's between-query cache clearing leaves the memo intact,
