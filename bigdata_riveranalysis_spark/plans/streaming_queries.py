@@ -606,3 +606,55 @@ def stream_ewma_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
         _events_stream(spark, sf_dir), alpha=0.3, spike_ratio=3.0
     )
     return _run_stream(out, spark, "append", "ewma_spikes")
+
+
+@query(
+    "stream_feature_map_state",
+    oracle="""
+    WITH ord AS (
+        SELECT user_id, event_id, event_type,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS type_occurrence,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS events_so_far
+        FROM events
+    )
+    SELECT user_id, event_id, event_type, type_occurrence,
+           (type_occurrence = 1) AS is_new_type,
+           CAST(sum(CASE WHEN type_occurrence = 1 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY events_so_far
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_types_so_far,
+           events_so_far
+    FROM ord
+    """,
+)
+def stream_feature_map_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming with a MAP-typed feature bundle
+    (applyInPandasWithState; streaming/stateful.py::feature_map_bundle)
+    — the §2b pairing of the r13 map-function surface with the
+    streaming tier: per-user state is a genuine map<event_type, n>
+    column in the state store, and each event is annotated with
+    features read off the bundle at processing time (its occurrence
+    index within its type, a first-time-type flag, the bundle's
+    distinct-type size, the user's running event total).
+
+    Why this is oracle-checkable: every emitted feature is an exact
+    integer determined by the (ts, event_id)-ordered prefix of the
+    user's events — the same sequential-chain argument as
+    stream_ewma_spikes, with window functions instead of a recursive
+    CTE on the oracle side (occurrence index = row_number per
+    (user, type); distinct-types-so-far = running sum of the
+    first-occurrence flags). n_types_so_far is cast back to BIGINT in
+    the oracle because DuckDB's windowed sum yields HUGEINT → float64
+    through the driver's pandas comparator (the r7/r8 red mechanism).
+
+    Scale: state is one small map per user (bounded by the event-type
+    vocabulary, not the stream length), keyed/partitioned by user_id;
+    in production the operator runs append-mode with a state TTL
+    (GroupStateTimeout) for inactive users — the fixture drain uses
+    NoTimeout because the corpus is finite.
+    """
+    from bigdata_riveranalysis_spark.streaming.stateful import feature_map_bundle
+
+    out = feature_map_bundle(_events_stream(spark, sf_dir))
+    return _run_stream(out, spark, "append", "feature_map_state")

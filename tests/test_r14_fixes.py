@@ -1,0 +1,298 @@
+"""r14 regression pins.
+
+  1. The staging memo's durable mode (VERDICT r13 #3): with
+     SPARK_GRAFT_CHECKPOINT_DIR set, every staged frame routes through
+     a RELIABLE checkpoint under that dir (survives lost executors on
+     a cluster) and produces byte-identical results to the default
+     localCheckpoint mode — checked on one ANN consumer and one
+     MinHash consumer, exactly the verdict's done-criterion.
+  2. stage() OWNS materialization (ADVICE r13): a builder that
+     returns a lazy lineage-bearing frame still memoizes a
+     lineage-cut frame — the per-consumer-recompute defect class
+     can't be reintroduced by a forgetful caller.
+  3. Stale-application eviction (ADVICE r13): memo entries keyed by a
+     dead applicationId are dropped at the next insert, not retained
+     for the process lifetime.
+  4. clear_index_memo() unpersists (ADVICE r13): the blocks behind
+     dropped frames are released best-effort, so clear+rebuild cycles
+     don't leak executor blocks until the ContextCleaner notices.
+  5. The memo's "derive once" is lock-enforced (ADVICE r13): two
+     threads racing the same (corpus, stage) produce ONE build.
+  6. bench retime/requalify (VERDICT r13 #4): rows landing >1.35×
+     their quiet-band value are flagged mechanically and re-timed in
+     isolation; the requalified record carries the context a verdict
+     needs (band, bench min, re-time min, probe, loadavg).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+
+from .conftest import SF_SMOKE
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _tbl_hash(df):
+    from tools.canon import table_hash
+
+    rows = [tuple(r) for r in df.collect()]
+    return table_hash(rows, df.columns)
+
+
+# ---------------------------------------------------------------------------
+# 1. durable checkpoint mode
+# ---------------------------------------------------------------------------
+
+
+def test_durable_mode_identical_hashes_and_durable_files(spark, tmp_path, monkeypatch):
+    from bigdata_riveranalysis_spark.plans import llmdata as L
+    from bigdata_riveranalysis_spark.plans import staging as S
+
+    L.clear_index_memo()
+    base_ann = _tbl_hash(L.ann_ivf_pq(spark, SF_SMOKE))
+    base_mh = _tbl_hash(L.dedup_minhash_lsh(spark, SF_SMOKE))
+    L.clear_index_memo()
+
+    ckpt = tmp_path / "ckpt"
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", str(ckpt))
+    try:
+        dur_ann = _tbl_hash(L.ann_ivf_pq(spark, SF_SMOKE))
+        dur_mh = _tbl_hash(L.dedup_minhash_lsh(spark, SF_SMOKE))
+        # the reliable path actually ran: RDD checkpoint files exist
+        # under the configured dir, and every memoized frame is
+        # lineage-cut (a LogicalRDD scan, not a recomputable plan).
+        files = [p for p in ckpt.rglob("*") if p.is_file()]
+        assert files, "durable mode must write checkpoint files"
+        assert S._INDEX_MEMO, "the consumers must have staged artifacts"
+        assert all(S._is_lineage_cut(df) for df in S._INDEX_MEMO.values())
+    finally:
+        monkeypatch.delenv("SPARK_GRAFT_CHECKPOINT_DIR")
+        L.clear_index_memo()
+    assert dur_ann == base_ann, "ANN results must not depend on the checkpoint mode"
+    assert dur_mh == base_mh, "MinHash results must not depend on the checkpoint mode"
+
+
+def test_materialize_routes_on_env(spark, tmp_path, monkeypatch):
+    from bigdata_riveranalysis_spark.plans import staging as S
+
+    monkeypatch.delenv("SPARK_GRAFT_CHECKPOINT_DIR", raising=False)
+    local = S.materialize(spark.range(3))
+    assert S._is_lineage_cut(local)
+
+    ckpt = tmp_path / "ck2"
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", str(ckpt))
+    durable = S.materialize(spark.range(3))
+    assert S._is_lineage_cut(durable)
+    assert [p for p in ckpt.rglob("*") if p.is_file()] or not spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty()
+    assert sorted(r.id for r in durable.collect()) == [0, 1, 2]
+
+
+# ---------------------------------------------------------------------------
+# 2. stage() owns materialization
+# ---------------------------------------------------------------------------
+
+
+def test_stage_materializes_lazy_builder(spark):
+    from bigdata_riveranalysis_spark.plans import staging as S
+
+    S.clear_index_memo()
+    lazy = spark.range(10).selectExpr("id", "id * 2 AS dbl")
+    assert not S._is_lineage_cut(lazy), "precondition: a plain plan has lineage"
+    got = S.stage(spark, SF_SMOKE, "r14_lazy_probe", lambda: lazy)
+    assert S._is_lineage_cut(got), "stage() must cut lineage for forgetful builders"
+    assert got.count() == 10
+    # pre-cut frames pass through untouched in default mode
+    pre = spark.range(4).localCheckpoint()
+    got2 = S.stage(spark, SF_SMOKE, "r14_precut_probe", lambda: pre)
+    assert got2 is pre
+    S.clear_index_memo()
+
+
+# ---------------------------------------------------------------------------
+# 3. stale-application eviction
+# ---------------------------------------------------------------------------
+
+
+def test_stage_evicts_dead_application_entries(spark):
+    from bigdata_riveranalysis_spark.plans import staging as S
+
+    S.clear_index_memo()
+    dead = ("app-r14-dead-0000", os.path.abspath(SF_SMOKE), "ghost")
+    S._INDEX_MEMO[dead] = spark.range(1).localCheckpoint()
+    S.stage(spark, SF_SMOKE, "r14_evict_probe", lambda: spark.range(2))
+    assert dead not in S._INDEX_MEMO, "dead-app entries must be evicted on insert"
+    live = (spark.sparkContext.applicationId, os.path.abspath(SF_SMOKE), "r14_evict_probe")
+    assert live in S._INDEX_MEMO
+    S.clear_index_memo()
+
+
+# ---------------------------------------------------------------------------
+# 4. clear_index_memo unpersists
+# ---------------------------------------------------------------------------
+
+
+def test_clear_index_memo_unpersists_best_effort():
+    from bigdata_riveranalysis_spark.plans import staging as S
+
+    calls = []
+
+    class _Frame:
+        def __init__(self, name, boom=False):
+            self.name, self.boom = name, boom
+
+        def unpersist(self):
+            if self.boom:
+                raise RuntimeError("session stopped")
+            calls.append(self.name)
+
+    S.clear_index_memo()
+    S._INDEX_MEMO[("a", "b", "one")] = _Frame("one")
+    S._INDEX_MEMO[("a", "b", "two")] = _Frame("two", boom=True)
+    S._INDEX_MEMO[("a", "b", "three")] = _Frame("three")
+    S.clear_index_memo()
+    assert not S._INDEX_MEMO
+    assert calls == ["one", "three"], "unpersist every frame; a failure skips, not aborts"
+
+
+# ---------------------------------------------------------------------------
+# 5. concurrent stage() builds once
+# ---------------------------------------------------------------------------
+
+
+def test_stage_concurrent_same_key_builds_once(spark):
+    from bigdata_riveranalysis_spark.plans import staging as S
+
+    S.clear_index_memo()
+    builds = []
+
+    def build():
+        builds.append(threading.get_ident())
+        time.sleep(0.3)
+        return spark.range(7)
+
+    results = []
+
+    def worker():
+        results.append(S.stage(spark, SF_SMOKE, "r14_race_probe", build))
+
+    ts = [threading.Thread(target=worker) for _ in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert len(builds) == 1, "the lock must make 'derive once' real under races"
+    assert all(r is results[0] for r in results)
+    S.clear_index_memo()
+
+
+# ---------------------------------------------------------------------------
+# 6. stream_feature_map_state: the map bundle survives micro-batches
+# ---------------------------------------------------------------------------
+
+
+def test_feature_map_state_survives_micro_batches(spark, tmp_path):
+    """The map-typed bundle folds batch-2 events into state built in
+    batch 1 (state store round trip of a MapType column): occurrence
+    indices continue across the boundary and the distinct-type size
+    only grows on genuinely new types."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from bigdata_riveranalysis_spark.streaming.sources import file_json_stream
+    from bigdata_riveranalysis_spark.streaming.stateful import feature_map_bundle
+
+    def ev(event_id, ts, user_id, event_type):
+        return {
+            "event_id": event_id,
+            "ts": ts,
+            "user_id": user_id,
+            "event_type": event_type,
+            "value": 1.0,
+            "props": "{}",
+        }
+
+    b1 = [
+        ev(1, "2024-01-01 00:00:00", 1, "view"),
+        ev(2, "2024-01-01 00:01:00", 1, "click"),
+    ]
+    b2 = [
+        ev(3, "2024-01-01 00:02:00", 1, "view"),  # occurrence 2, not new
+        ev(4, "2024-01-01 00:03:00", 1, "purchase"),  # 3rd distinct type
+        ev(5, "2024-01-01 00:04:00", 2, "view"),  # fresh user, fresh bundle
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    t0 = _time.time() - 2
+    for i, rows in enumerate((b1, b2)):
+        p = src / f"batch_{i:03d}.json"
+        p.write_text("\n".join(_json.dumps(r) for r in rows) + "\n")
+        _os.utime(p, (t0 + i, t0 + i))
+
+    stream = file_json_stream(spark, str(src), max_files_per_trigger=1)
+    out = feature_map_bundle(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("feat_map_q")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "streaming query timed out (partial sink)"
+    rows = {r.event_id: r for r in spark.table("feat_map_q").collect()}
+    assert (rows[1].type_occurrence, rows[1].is_new_type, rows[1].n_types_so_far) == (1, True, 1)
+    assert (rows[2].type_occurrence, rows[2].is_new_type, rows[2].n_types_so_far) == (1, True, 2)
+    # batch-2 'view' continues the batch-1 map: occurrence 2, NOT new
+    assert (rows[3].type_occurrence, rows[3].is_new_type, rows[3].n_types_so_far) == (2, False, 2)
+    assert (rows[4].type_occurrence, rows[4].is_new_type, rows[4].n_types_so_far) == (1, True, 3)
+    assert rows[4].events_so_far == 4
+    assert (rows[5].type_occurrence, rows[5].is_new_type, rows[5].n_types_so_far) == (1, True, 1)
+
+
+# ---------------------------------------------------------------------------
+# 7. bench retime/requalify
+# ---------------------------------------------------------------------------
+
+
+def test_flag_rows_mechanics():
+    from tools.retime import flag_rows
+
+    band = {"a": 1.0, "b": 2.0, "c": 0.5}
+    timings = {"a": 1.34, "b": 2.8, "c": 0.68, "d": 9.9}  # d has no band
+    flagged = flag_rows(timings, band, factor=1.35)
+    assert flagged == {"b": 1.4, "c": 1.36}, "over-band rows only, with the ratio"
+
+
+def test_flag_rows_caps_to_worst():
+    from tools.retime import flag_rows
+
+    band = {f"q{i}": 1.0 for i in range(40)}
+    timings = {f"q{i}": 2.0 + i * 0.01 for i in range(40)}
+    flagged = flag_rows(timings, band, factor=1.35, cap=5)
+    assert len(flagged) == 5
+    assert set(flagged) == {f"q{i}" for i in range(35, 40)}, "keep the WORST rows"
+
+
+def test_requalify_retimes_flagged_rows(spark):
+    from tools.retime import requalify
+
+    def q(s, d):
+        return s.range(1000).selectExpr("sum(id) AS s")
+
+    rec = requalify(
+        spark,
+        SF_SMOKE,
+        {"toy": q},
+        {"toy": 2.5},
+        {"toy": 4.0},
+        runs=2,
+    )
+    row = rec["toy"]
+    assert row["band"] == 2.5 and row["bench_min"] == 4.0 and row["ratio"] == 1.6
+    assert len(row["retime_runs"]) == 2
+    assert row["retime_min"] == min(row["retime_runs"])
+    assert row["retime_min"] > 0
+    assert "probe_sec" in row and "loadavg_1m" in row

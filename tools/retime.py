@@ -1,0 +1,104 @@
+"""Isolated re-timing for bench rows that land over the quiet band.
+
+VERDICT r13 #4: a bench row >1.35× its QUIET_BAND.json value was
+adjudicable (load vs regression) only by proving the query's code
+untouched — a judgement call. This module makes the call mechanical:
+``flag_rows`` picks the over-band rows, ``requalify`` immediately
+re-times each one in ISOLATION (min-of-``runs`` back-to-back, cache
+cleared between runs, a dgemm probe + loadavg read recorded first so
+the re-time itself is load-qualifiable), and bench.py writes the
+records into BENCH.json next to the flagged rows. A verdict reading a
+regressed row then sees, inline: the band floor, the in-bench min,
+the inflation ratio, and an isolated re-time taken minutes later —
+if the re-time sits back at the band, it was load; if it reproduces,
+it's a regression.
+
+Pure logic (flag_rows) is import-safe and test-pinned like
+tools/normalize_bench (tests/test_r14_fixes.py).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+
+def flag_rows(
+    timings: dict[str, float],
+    band: dict[str, float],
+    factor: float = 1.35,
+    cap: int | None = None,
+) -> dict[str, float]:
+    """{name: inflation ratio} for rows whose min exceeds ``factor``×
+    their band value. Rows without a band entry (new queries) can't be
+    flagged — they have no floor to be over. ``cap`` keeps the WORST
+    rows (highest ratio) so a systemically loaded run can't turn the
+    requalification pass into a second full bench."""
+    flagged = {
+        name: round(t / band[name], 2)
+        for name, t in timings.items()
+        if band.get(name) and t > factor * band[name]
+    }
+    if cap is not None and len(flagged) > cap:
+        keep = sorted(flagged, key=flagged.get, reverse=True)[:cap]
+        flagged = {n: flagged[n] for n in keep}
+    return flagged
+
+
+def _idle_probe() -> float:
+    """The bench's dgemm contention probe (idle ≈ 0.025-0.035 s on
+    this box): a hot probe marks the re-time itself as contaminated."""
+    import numpy as np
+
+    a = np.ones((1024, 1024))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        a = a @ a
+        a /= a[0, 0]
+    return round(time.perf_counter() - t0, 4)
+
+
+def requalify(
+    spark,
+    sf_dir: str,
+    qs: dict,
+    band: dict[str, float],
+    timings: dict[str, float],
+    runs: int = 3,
+    factor: float = 1.35,
+    cap: int | None = 12,
+) -> dict[str, dict]:
+    """Re-time every flagged row in isolation; return the requalified
+    records keyed by query name. Never raises for a single query — a
+    re-time that errors records the message, the rest proceed."""
+    out: dict[str, dict] = {}
+    for name, ratio in sorted(
+        flag_rows(timings, band, factor=factor, cap=cap).items(),
+        key=lambda kv: -kv[1],
+    ):
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        probe = _idle_probe()
+        load = round(os.getloadavg()[0], 2)
+        rts: list[float] = []
+        rec: dict = {
+            "band": band[name],
+            "bench_min": timings[name],
+            "ratio": ratio,
+            "probe_sec": probe,
+            "loadavg_1m": load,
+        }
+        try:
+            for _ in range(runs):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                rts.append(round(time.perf_counter() - t0, 3))
+        except Exception as e:  # noqa: BLE001 - record, don't abort the pass
+            rec["err"] = str(e)[:200]
+        if rts:
+            rec["retime_runs"] = rts
+            rec["retime_min"] = min(rts)
+        out[name] = rec
+    return out
