@@ -124,11 +124,23 @@ def main() -> None:
             a /= a[0, 0]
         return round(time.perf_counter() - t0, 4)
 
-    noise: list[dict[str, float]] = []
+    noise: list[dict] = []
 
-    def _noise_sample() -> None:
+    # Samples carry their PASS index (r14): every bench run's pass-1
+    # probes race the JVM's C2 compilation storm — 148 queries'
+    # first whole-stage-codegen executions — and read 0.5-1.0 s on a
+    # provably idle box (observed across three r14 runs; passes 2-3
+    # sit at 0.03-0.08 s). That is SELF-load the interleaved min-of-3
+    # is already robust to (a query's min needs only one quiet pass),
+    # so record_band's neighbor-stall peak gate applies to pass ≥ 2
+    # samples, where steady state is reached.
+    def _noise_sample(tag) -> None:
         noise.append(
-            {"loadavg_1m": round(os.getloadavg()[0], 2), "probe_sec": _idle_probe()}
+            {
+                "pass": tag,
+                "loadavg_1m": round(os.getloadavg()[0], 2),
+                "probe_sec": _idle_probe(),
+            }
         )
 
     # Per-QUERY contention context (VERDICT r7 #5): run-level probes
@@ -144,8 +156,8 @@ def main() -> None:
     _PROBE_EVERY = 25
     runs_load: dict[str, list[float]] = {name: [] for name in qs}
 
-    for _ in range(3):
-        _noise_sample()
+    for pass_no in range(1, 4):
+        _noise_sample(pass_no)
         # Re-warm the Python worker pool at the top of EVERY pass, not
         # just once: a catalog pass is minutes of JVM-only stages, long
         # enough for idle Arrow workers to be reaped, so the first
@@ -161,7 +173,7 @@ def main() -> None:
             # cadence would drift from the documented every-25
             # (review finding r8).
             if qi and qi % _PROBE_EVERY == 0:
-                _noise_sample()
+                _noise_sample(pass_no)
             if name in errors:
                 continue
             spark.catalog.clearCache()
@@ -176,7 +188,7 @@ def main() -> None:
                 continue
             runs[name].append(time.perf_counter() - t0)
             runs_load[name].append(load_at)
-    _noise_sample()
+    _noise_sample("end")
     timings = {name: round(min(ts), 3) for name, ts in runs.items() if ts}
     last = {name: round(ts[-1], 3) for name, ts in runs.items() if ts}
     # loadavg read just before the run that produced each query's min.

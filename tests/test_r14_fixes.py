@@ -253,7 +253,66 @@ def test_feature_map_state_survives_micro_batches(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
-# 7. bench retime/requalify
+# 7. record_band's peak gate is pass-aware
+# ---------------------------------------------------------------------------
+
+
+def test_record_band_peak_gate_skips_pass1_samples(tmp_path):
+    """A hot pass-1 probe (the JVM's C2 compilation storm — self-load)
+    must not refuse the band when steady-state (pass ≥ 2) samples are
+    quiet; a hot STEADY-STATE probe still refuses."""
+    import json as _json
+    import subprocess as _sp
+    import sys as _sys
+    import shutil as _shutil
+
+    def run(noise):
+        tmp = str(tmp_path / f"rb_{len(noise)}_{noise[-1]['probe_sec']}")
+        _os = __import__("os")
+        _os.makedirs(_os.path.join(tmp, "tools"), exist_ok=True)
+        _shutil.copy(
+            _os.path.join(_REPO, "tools", "record_band.py"),
+            _os.path.join(tmp, "tools", "record_band.py"),
+        )
+        with open(_os.path.join(tmp, "BENCH.json"), "w") as f:
+            _json.dump(
+                {
+                    "value": 1.0,
+                    "sf": 0.1,
+                    "queries": {"a": 1.0},
+                    "loadavg_at_min": {"a": 1.0},
+                    "noise": noise,
+                    "errors": {},
+                },
+                f,
+            )
+        return _sp.run(
+            [_sys.executable, _os.path.join(tmp, "tools", "record_band.py"), "t"],
+            capture_output=True,
+            text=True,
+        )
+
+    quiet_steady = [
+        # ALL of pass 1 hot (the C2 storm inflates the all-sample
+        # median past the gate too — both gates must be steady-based)
+        {"pass": 1, "loadavg_1m": 1.0, "probe_sec": 0.9},
+        {"pass": 1, "loadavg_1m": 1.2, "probe_sec": 0.8},
+        {"pass": 1, "loadavg_1m": 2.0, "probe_sec": 1.1},
+        {"pass": 2, "loadavg_1m": 5.0, "probe_sec": 0.03},
+        {"pass": 3, "loadavg_1m": 5.0, "probe_sec": 0.04},
+        {"pass": "end", "loadavg_1m": 2.0, "probe_sec": 0.03},
+    ]
+    r = run(quiet_steady)
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    hot_steady = [dict(s) for s in quiet_steady]
+    hot_steady[2] = {"pass": 3, "loadavg_1m": 5.0, "probe_sec": 0.7}
+    r = run(hot_steady)
+    assert r.returncode == 1 and "refusing" in r.stdout
+
+
+# ---------------------------------------------------------------------------
+# 8. bench retime/requalify
 # ---------------------------------------------------------------------------
 
 

@@ -15,7 +15,10 @@ self-inflicted and unavoidable: the first probe pays BLAS thread-pool
 cold start ~0.17 s, and a probe landing in a JVM GC/cleanup window
 reads the bench's own tail, both observed on a verified-idle box),
 a hard cap on the max probe (--max-probe-peak, default 0.5 — a real
-neighbor stall exceeds it), and a loose loadavg sanity cap
+neighbor stall exceeds it; applied to pass ≥ 2 samples when the run
+annotated its passes, because pass-1 probes race the JVM's C2
+compilation storm — self-load the interleaved min-of-3 tolerates),
+and a loose loadavg sanity cap
 --max-load (default 12; self-load from 3 interleaved 32-thread
 passes peaks ~6-10). Refuses to record otherwise — a band taken
 under contention would mislabel every future honest number as a
@@ -57,14 +60,30 @@ def main() -> int:
         return 1
     loads = [s["loadavg_1m"] for s in noise]
     probes = [s["probe_sec"] for s in noise]
-    med_probe = statistics.median(probes)
+    # Both probe gates apply to pass ≥ 2 ("steady") samples when the
+    # run annotated its passes (bench.py r14): EVERY pass-1 probe
+    # races the JVM's C2 compilation storm — 148 queries' first
+    # whole-stage-codegen executions — and reads 0.26-1.2 s on a
+    # provably idle box (replicated across four r14 runs; steady
+    # samples sat at 0.028-0.21 in the same runs). That is self-load
+    # the interleaved min-of-3 already tolerates, since a query's min
+    # needs only one quiet pass, and pass-1 runs are JIT-inflated
+    # regardless. Unannotated runs (older BENCH.json) keep the
+    # all-samples gates.
+    steady = [s["probe_sec"] for s in noise if s.get("pass", 2) != 1]
+    gate_probes = steady if steady else probes
+    med_probe = statistics.median(gate_probes)
+    peak_probes = gate_probes
     bad = []
     if max(loads) > max_load:
         bad.append(f"loadavg_1m peaked at {max(loads)} > {max_load}")
     if med_probe > max_probe:
         bad.append(f"median dgemm probe {med_probe}s > {max_probe}s")
-    if max(probes) > max_probe_peak:
-        bad.append(f"dgemm probe peaked at {max(probes)}s > {max_probe_peak}s")
+    if max(peak_probes) > max_probe_peak:
+        bad.append(
+            f"dgemm probe peaked at {max(peak_probes)}s > {max_probe_peak}s "
+            f"(steady-state samples)"
+        )
     if bench.get("errors"):
         bad.append(f"run had errors: {sorted(bench['errors'])}")
     if bad:
@@ -80,8 +99,10 @@ def main() -> int:
         "loadavg_min": min(loads),
         "loadavg_max": max(loads),
         "probe_min": min(probes),
-        "probe_median": med_probe,
+        "probe_median": med_probe,  # gate basis: steady samples when annotated
+        "probe_median_all": statistics.median(probes),
         "probe_max": max(probes),
+        "probe_max_steady": max(peak_probes),
         "source": f"BENCH.json run recorded as BENCH_{label}; "
         f"qualification max_load={max_load}, median max_probe={max_probe}, "
         f"peak cap {max_probe_peak}",

@@ -70,7 +70,18 @@ def requalify(
 ) -> dict[str, dict]:
     """Re-time every flagged row in isolation; return the requalified
     records keyed by query name. Never raises for a single query — a
-    re-time that errors records the message, the rest proceed."""
+    re-time that errors records the message, the rest proceed.
+
+    Each flagged query gets one UNTIMED warm-up execution before its
+    timed runs: requalification happens right after the bench's final
+    pass, when the Arrow worker pool has been reaped and the JVM is
+    mid-cleanup (ContextCleaner dropping ~150 queries' shuffle and
+    broadcast state), and without the warm-up those one-time costs
+    land in ALL of a query's timed runs — observed as
+    multimodal_features re-timing at 3.29 s against a 0.66 s warm
+    truth in the first r14 requalification pass. A probe is read
+    before AND after the timed runs so a stall wandering in mid
+    re-time is visible in the record, not silently priced in."""
     out: dict[str, dict] = {}
     for name, ratio in sorted(
         flag_rows(timings, band, factor=factor, cap=cap).items(),
@@ -90,6 +101,8 @@ def requalify(
             "loadavg_1m": load,
         }
         try:
+            spark.catalog.clearCache()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             for _ in range(runs):
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
@@ -100,5 +113,6 @@ def requalify(
         if rts:
             rec["retime_runs"] = rts
             rec["retime_min"] = min(rts)
+        rec["probe_sec_after"] = _idle_probe()
         out[name] = rec
     return out
