@@ -139,13 +139,22 @@ def clear_index_memo() -> None:
     place at an already-memoized path, or re-gates a regime constant
     and needs a rebuild, must call this (fixturefuzz doesn't need to:
     each seed gets a fresh temp dir, a fresh key). Blocks behind the
-    dropped frames are unpersisted best-effort — without it, repeated
+    dropped frames are released best-effort — without it, repeated
     clear+rebuild cycles leak orphaned executor blocks until the
-    ContextCleaner notices (ADVICE r13)."""
+    ContextCleaner notices (ADVICE r13). DataFrame.unpersist() alone
+    is NOT the release: it only clears SQL-cache entries, while
+    checkpoint blocks belong to the LogicalRDD's underlying RDD — so
+    unpersist THAT (measured: getRDDStorageInfo drops to zero only on
+    the RDD-level unpersist; the DataFrame-level call is kept as the
+    fallback for non-JVM frames and is pinned as such by
+    tests/test_r14_fixes.py)."""
     with _LOCK:
         for df in _INDEX_MEMO.values():
             try:
-                df.unpersist()
-            except Exception:  # noqa: BLE001 - session may be stopped
-                pass
+                df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+            except Exception:  # noqa: BLE001 - no JVM handle / stopped
+                try:
+                    df.unpersist()
+                except Exception:  # noqa: BLE001 - session may be stopped
+                    pass
         _INDEX_MEMO.clear()

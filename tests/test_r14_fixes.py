@@ -157,6 +157,25 @@ def test_clear_index_memo_unpersists_best_effort():
     assert calls == ["one", "three"], "unpersist every frame; a failure skips, not aborts"
 
 
+def test_clear_index_memo_releases_checkpoint_blocks(spark):
+    """DataFrame.unpersist() only clears SQL-cache entries; the blocks
+    behind a localCheckpointed staging frame belong to the LogicalRDD's
+    RDD. clear_index_memo must release THOSE (measured: RDD storage
+    info drops only on the RDD-level unpersist)."""
+    from bigdata_riveranalysis_spark.plans import staging as S
+
+    def n_blocks():
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    S.clear_index_memo()
+    before = n_blocks()
+    got = S.stage(spark, SF_SMOKE, "r14_block_probe", lambda: spark.range(50000))
+    got.count()
+    assert n_blocks() > before, "precondition: staging must hold blocks"
+    S.clear_index_memo()
+    assert n_blocks() <= before, "clear must release the staged frames' blocks"
+
+
 # ---------------------------------------------------------------------------
 # 5. concurrent stage() builds once
 # ---------------------------------------------------------------------------
