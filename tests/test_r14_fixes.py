@@ -271,6 +271,82 @@ def test_feature_map_state_survives_micro_batches(spark, tmp_path):
     assert (rows[5].type_occurrence, rows[5].is_new_type, rows[5].n_types_so_far) == (1, True, 1)
 
 
+def test_feature_map_state_randomized_vs_pandas_reference(spark, tmp_path):
+    """Seeded randomized replay (3 time-ordered micro-batches, 40
+    users × 6 event types, 400 events) checked against an INDEPENDENT
+    pandas fold — not the engine, not the SQL oracle — so the
+    differential can't be both-engines-wrong on the map-bundle
+    semantics (occurrence index, new-type flag, distinct-type count,
+    running total across batch boundaries)."""
+    import json as _json
+    import os as _os
+    import random
+    import time as _time
+
+    from bigdata_riveranalysis_spark.streaming.sources import file_json_stream
+    from bigdata_riveranalysis_spark.streaming.stateful import feature_map_bundle
+
+    rng = random.Random(1405)
+    types = ["view", "click", "purchase", "refund", "share", "login"]
+    rows = []
+    for eid in range(1, 401):
+        rows.append(
+            {
+                "event_id": eid,
+                # strictly increasing ts so any batch split preserves
+                # the global (ts, event_id) order — the determinism
+                # contract the operator documents
+                "ts": f"2024-01-01 {eid // 3600:02d}:{(eid // 60) % 60:02d}:{eid % 60:02d}",
+                "user_id": rng.randrange(1, 41),
+                "event_type": rng.choice(types),
+                "value": 1.0,
+                "props": "{}",
+            }
+        )
+    src = tmp_path / "rand_src"
+    src.mkdir()
+    t0 = _time.time() - 3
+    for i, chunk in enumerate((rows[:150], rows[150:290], rows[290:])):
+        p = src / f"batch_{i:03d}.json"
+        p.write_text("\n".join(_json.dumps(r) for r in chunk) + "\n")
+        _os.utime(p, (t0 + i, t0 + i))
+
+    stream = file_json_stream(spark, str(src), max_files_per_trigger=1)
+    q = (
+        feature_map_bundle(stream)
+        .writeStream.format("memory")
+        .queryName("feat_map_rand")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "streaming query timed out (partial sink)"
+    got = {
+        r.event_id: (
+            r.type_occurrence,
+            r.is_new_type,
+            r.n_types_so_far,
+            r.events_so_far,
+        )
+        for r in spark.table("feat_map_rand").collect()
+    }
+
+    # independent fold, plain dicts in global (ts, event_id) order
+    counts: dict = {}
+    want = {}
+    for r in rows:  # event_id order == (ts, event_id) order here
+        bundle = counts.setdefault(r["user_id"], {})
+        c = bundle.get(r["event_type"], 0) + 1
+        bundle[r["event_type"]] = c
+        want[r["event_id"]] = (
+            c,
+            c == 1,
+            len(bundle),
+            sum(bundle.values()),
+        )
+    assert got == want
+
+
 # ---------------------------------------------------------------------------
 # 7. record_band's peak gate is pass-aware
 # ---------------------------------------------------------------------------
