@@ -271,6 +271,64 @@ def test_feature_map_state_survives_micro_batches(spark, tmp_path):
     assert (rows[5].type_occurrence, rows[5].is_new_type, rows[5].n_types_so_far) == (1, True, 1)
 
 
+def test_feature_map_bundle_sorts_across_arrow_chunks(spark, tmp_path):
+    """A group larger than arrow.maxRecordsPerBatch arrives as
+    MULTIPLE chunks; the operator must sort the WHOLE group by
+    (ts, event_id) before folding (the ewma r7 lesson, applied to the
+    map bundle). Rows arrive in REVERSE time order with the first
+    'purchase' late in event-time: a chunk-local fold would hand the
+    new-type flag to the wrong occurrence."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from bigdata_riveranalysis_spark.streaming.sources import file_json_stream
+    from bigdata_riveranalysis_spark.streaming.stateful import feature_map_bundle
+
+    n = 90
+    rows = [
+        {
+            "event_id": i,
+            "ts": f"2024-01-01 {i // 60:02d}:{i % 60:02d}:00",
+            "user_id": 1,
+            "event_type": "purchase" if i >= 45 else "view",
+            "value": 1.0,
+            "props": "{}",
+        }
+        for i in range(n)
+    ][::-1]  # reverse arrival order
+    src = tmp_path / "chunk_src"
+    src.mkdir()
+    p = src / "batch_000.json"
+    p.write_text("\n".join(_json.dumps(r) for r in rows) + "\n")
+    _os.utime(p, (_time.time() - 1, _time.time() - 1))
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        stream = file_json_stream(spark, str(src), max_files_per_trigger=1)
+        q = (
+            feature_map_bundle(stream)
+            .writeStream.format("memory")
+            .queryName("feat_map_chunks")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    got = {
+        r.event_id: (r.type_occurrence, r.is_new_type, r.n_types_so_far)
+        for r in spark.table("feat_map_chunks").collect()
+    }
+    for i in range(n):
+        if i < 45:
+            assert got[i] == (i + 1, i == 0, 1), (i, got[i])
+        else:
+            assert got[i] == (i - 44, i == 45, 2), (i, got[i])
+
+
 def test_feature_map_state_randomized_vs_pandas_reference(spark, tmp_path):
     """Seeded randomized replay (3 time-ordered micro-batches, 40
     users × 6 event types, 400 events) checked against an INDEPENDENT
