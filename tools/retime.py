@@ -31,18 +31,38 @@ def flag_rows(
 ) -> dict[str, float]:
     """{name: inflation ratio} for rows whose min exceeds ``factor``×
     their band value. Rows without a band entry (new queries) can't be
-    flagged — they have no floor to be over. ``cap`` keeps the WORST
-    rows (highest ratio) so a systemically loaded run can't turn the
+    flagged — they have no floor to be over; rows whose floor is 0.0
+    (a sub-millisecond query rounded away) can't either, but they are
+    surfaced by ``zero_floor_rows`` instead of silently exempted
+    (ADVICE r14: truthiness of band.get() made a 0.0 floor an
+    invisible permanent exemption). ``cap`` keeps the WORST rows
+    (highest ratio) so a systemically loaded run can't turn the
     requalification pass into a second full bench."""
     flagged = {
         name: round(t / band[name], 2)
         for name, t in timings.items()
-        if band.get(name) and t > factor * band[name]
+        if band.get(name) is not None
+        and band[name] > 0
+        and t > factor * band[name]
     }
     if cap is not None and len(flagged) > cap:
         keep = sorted(flagged, key=flagged.get, reverse=True)[:cap]
         flagged = {n: flagged[n] for n in keep}
     return flagged
+
+
+def zero_floor_rows(
+    timings: dict[str, float], band: dict[str, float]
+) -> list[str]:
+    """Rows present in both the timings and the band whose band floor
+    is 0 (or negative, defensively): these can never be ratio-flagged,
+    so requalify records them explicitly rather than letting them drop
+    out of the adjudication evidence without a trace."""
+    return sorted(
+        name
+        for name in timings
+        if band.get(name) is not None and band[name] <= 0
+    )
 
 
 def _idle_probe() -> float:
@@ -58,6 +78,40 @@ def _idle_probe() -> float:
     return round(time.perf_counter() - t0, 4)
 
 
+#: Single-shot probe threshold for a CLEAN re-time. More lenient than
+#: record_band's 0.05 s MEDIAN gate because here each probe is one
+#: sample, taken right after the bench when the JVM's ContextCleaner
+#: can land a one-off ~0.05-0.07 s stall on an otherwise idle box
+#: (idle floor ≈ 0.025-0.035 s). The r14 contaminated after-probes
+#: were 0.21 s — 2.5× this threshold.
+_PROBE_IDLE = 0.08
+
+
+def _attempt(spark, sf_dir: str, fn, runs: int) -> dict:
+    """One isolated re-time attempt: probe + loadavg before, warm-up,
+    ``runs`` timed cache-cleared executions, probe after."""
+    rec: dict = {
+        "probe_sec": _idle_probe(),
+        "loadavg_1m": round(os.getloadavg()[0], 2),
+    }
+    rts: list[float] = []
+    try:
+        spark.catalog.clearCache()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        for _ in range(runs):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            rts.append(round(time.perf_counter() - t0, 3))
+    except Exception as e:  # noqa: BLE001 - record, don't abort the pass
+        rec["err"] = str(e)[:200]
+    if rts:
+        rec["retime_runs"] = rts
+        rec["retime_min"] = min(rts)
+    rec["probe_sec_after"] = _idle_probe()
+    return rec
+
+
 def requalify(
     spark,
     sf_dir: str,
@@ -67,6 +121,8 @@ def requalify(
     runs: int = 3,
     factor: float = 1.35,
     cap: int | None = 12,
+    attempts: int = 3,
+    probe_idle: float = _PROBE_IDLE,
 ) -> dict[str, dict]:
     """Re-time every flagged row in isolation; return the requalified
     records keyed by query name. Never raises for a single query — a
@@ -81,8 +137,29 @@ def requalify(
     multimodal_features re-timing at 3.29 s against a 0.66 s warm
     truth in the first r14 requalification pass. A probe is read
     before AND after the timed runs so a stall wandering in mid
-    re-time is visible in the record, not silently priced in."""
+    re-time is visible in the record, not silently priced in.
+
+    Probe-honesty (VERDICT r14 nit #2): a re-time whose OWN probes are
+    hot (either side > ``probe_idle``) proves nothing — r14 recorded
+    two such contaminated re-times as adjudication evidence
+    (dedup_containment_ngram, fuzzy_part_name_pairs; after-probes
+    0.21 s vs an ~0.03 s idle floor). Now each flagged row retries up
+    to ``attempts`` times until both probes are idle; if every attempt
+    is contaminated, the record keeps the attempt with the LOWEST max
+    probe and carries ``"inconclusive": true`` so a verdict reader
+    sees "could not be isolated" rather than a number dressed as
+    evidence. ``attempts_probe_hot`` counts the discarded tries.
+
+    Zero-floor rows (ADVICE r14) are recorded as
+    ``{"zero_floor": true, "bench_min": t}`` — visible in BENCH.json's
+    requalified map instead of silently exempt from flagging."""
     out: dict[str, dict] = {}
+    for name in zero_floor_rows(timings, band):
+        out[name] = {
+            "zero_floor": True,
+            "band": band[name],
+            "bench_min": timings[name],
+        }
     for name, ratio in sorted(
         flag_rows(timings, band, factor=factor, cap=cap).items(),
         key=lambda kv: -kv[1],
@@ -90,29 +167,28 @@ def requalify(
         fn = qs.get(name)
         if fn is None:
             continue
-        probe = _idle_probe()
-        load = round(os.getloadavg()[0], 2)
-        rts: list[float] = []
-        rec: dict = {
+        best: dict | None = None
+        hot_tries = 0
+        for _ in range(max(1, attempts)):
+            att = _attempt(spark, sf_dir, fn, runs)
+            att_max_probe = max(att["probe_sec"], att["probe_sec_after"])
+            if best is None or att_max_probe < max(
+                best["probe_sec"], best["probe_sec_after"]
+            ):
+                best = att
+            if att_max_probe <= probe_idle:
+                break
+            hot_tries += 1
+        assert best is not None
+        rec = {
             "band": band[name],
             "bench_min": timings[name],
             "ratio": ratio,
-            "probe_sec": probe,
-            "loadavg_1m": load,
+            **best,
         }
-        try:
-            spark.catalog.clearCache()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            for _ in range(runs):
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                rts.append(round(time.perf_counter() - t0, 3))
-        except Exception as e:  # noqa: BLE001 - record, don't abort the pass
-            rec["err"] = str(e)[:200]
-        if rts:
-            rec["retime_runs"] = rts
-            rec["retime_min"] = min(rts)
-        rec["probe_sec_after"] = _idle_probe()
+        if max(rec["probe_sec"], rec["probe_sec_after"]) > probe_idle:
+            rec["inconclusive"] = True
+        if hot_tries:
+            rec["attempts_probe_hot"] = hot_tries
         out[name] = rec
     return out
