@@ -56,13 +56,18 @@ from pyspark.sql import DataFrame, SparkSession
 #: (applicationId, abspath(sf_dir), stage) → materialized frame.
 _INDEX_MEMO: dict[tuple[str, str, str], DataFrame] = {}
 
-#: Reentrant: a builder may itself stage a sub-artifact (e.g. the
-#: basket pair-count builder stages the basket table first), so the
-#: build runs UNDER the lock it already holds. Cross-thread, the lock
-#: makes "derive once" real rather than last-write-wins (ADVICE r13):
-#: a second thread asking for a stage mid-build blocks until the
-#: first thread's build lands, then reads the memo.
-_LOCK = _threading.RLock()
+#: Guards the memo dict and the per-key lock table ONLY — never held
+#: across a build. Each stage key gets its own reentrant lock (ADVICE
+#: r14): "derive once" stays real under same-key races (a second
+#: thread asking for a stage mid-build blocks until the first thread's
+#: build lands, then reads the memo), while requests for DIFFERENT
+#: stages no longer serialize behind one long build (e.g. the BPE
+#: trainer). Reentrant because a builder may itself stage a
+#: sub-artifact (the basket pair-count builder stages the basket
+#: table first) — a same-key re-entry runs under the lock it already
+#: holds; a different-key re-entry takes that key's own lock.
+_LOCK = _threading.Lock()
+_KEY_LOCKS: dict[tuple[str, str, str], _threading.RLock] = {}
 
 
 def _is_lineage_cut(df: DataFrame) -> bool:
@@ -86,16 +91,43 @@ def materialize(df: DataFrame) -> DataFrame:
     sessions. With ``SPARK_GRAFT_CHECKPOINT_DIR`` set: a reliable
     ``checkpoint(eager=True)`` under that dir — staged artifacts
     survive lost executors, the long-lived-cluster posture. The
-    checkpoint dir is installed once per SparkContext (Spark creates
-    a fresh UUID subdir per setCheckpointDir call, so re-setting on
-    every materialization would scatter the stages)."""
+    checkpoint dir is installed once per SparkContext per TARGET
+    (Spark creates a fresh UUID subdir per setCheckpointDir call, so
+    re-setting on every materialization would scatter the stages) —
+    but the env var is re-checked against the installed dir's PARENT
+    each time, so flipping SPARK_GRAFT_CHECKPOINT_DIR from one path to
+    another mid-session re-routes instead of being silently ignored
+    (ADVICE r14: the isEmpty()-only check contradicted the
+    'read at each materialization' contract for dir-to-dir flips)."""
     ckpt_dir = _os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
     if ckpt_dir:
         sc = df.sparkSession.sparkContext
-        if sc._jsc.sc().getCheckpointDir().isEmpty():
+        current = sc._jsc.sc().getCheckpointDir()
+        if current.isEmpty() or _dir_parent(current.get()) != _norm_path(
+            ckpt_dir
+        ):
             sc.setCheckpointDir(ckpt_dir)
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
+
+
+def _norm_path(p: str) -> str:
+    """Scheme-stripped absolute form of a checkpoint target, so
+    ``file:/tmp/x``, ``file:///tmp/x`` and ``/tmp/x`` compare equal.
+    Non-local schemes (hdfs://, s3a://) keep authority + path."""
+    from urllib.parse import urlparse
+
+    u = urlparse(p)
+    if u.scheme in ("", "file"):
+        return _os.path.abspath(u.path)
+    return f"{u.scheme}://{u.netloc}{u.path}".rstrip("/")
+
+
+def _dir_parent(installed: str) -> str:
+    """The user-supplied parent of an installed checkpoint dir:
+    SparkContext.setCheckpointDir stores ``<given>/<uuid>``, so the
+    comparison target is the dirname."""
+    return _norm_path(installed.rsplit("/", 1)[0])
 
 
 def stage(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
@@ -112,24 +144,38 @@ def stage(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
     key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir), name)
     with _LOCK:
         df = _INDEX_MEMO.get(key)
-        if df is None:
-            # Entries keyed by OTHER applications are dead weight: the
-            # blocks (local or durable) belong to a stopped session and
-            # can never be read again from this one. Evict on insert so
-            # a process that cycles SparkSessions (test harnesses,
-            # long-lived drivers) doesn't retain frames forever.
+        if df is not None:
+            return df
+        klock = _KEY_LOCKS.setdefault(key, _threading.RLock())
+    # The build runs under the KEY's lock only (ADVICE r14): same-key
+    # racers block until the one build lands; different-key requests
+    # proceed in parallel instead of serializing behind a long build.
+    with klock:
+        with _LOCK:
+            df = _INDEX_MEMO.get(key)
+            if df is not None:
+                return df
+        df = build()
+        # Default mode: cut lineage unless the builder already did
+        # (iterative trainers settle their state pre-cut). Durable
+        # mode: ALWAYS route through the reliable checkpoint, even
+        # over an already-cut local frame — the memo's guarantee
+        # there is "every staged frame survives executor loss",
+        # and staged frames are slim by design, so the extra copy
+        # of a pre-cut frame is a few KB of durable I/O.
+        if _os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR") or not _is_lineage_cut(df):
+            df = materialize(df)
+        with _LOCK:
+            # Entries (and locks) keyed by OTHER applications are dead
+            # weight: the blocks (local or durable) belong to a stopped
+            # session and can never be read again from this one. Evict
+            # on insert so a process that cycles SparkSessions (test
+            # harnesses, long-lived drivers) doesn't retain frames
+            # forever.
             for k in [k for k in _INDEX_MEMO if k[0] != key[0]]:
                 del _INDEX_MEMO[k]
-            df = build()
-            # Default mode: cut lineage unless the builder already did
-            # (iterative trainers settle their state pre-cut). Durable
-            # mode: ALWAYS route through the reliable checkpoint, even
-            # over an already-cut local frame — the memo's guarantee
-            # there is "every staged frame survives executor loss",
-            # and staged frames are slim by design, so the extra copy
-            # of a pre-cut frame is a few KB of durable I/O.
-            if _os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR") or not _is_lineage_cut(df):
-                df = materialize(df)
+            for k in [k for k in _KEY_LOCKS if k[0] != key[0]]:
+                del _KEY_LOCKS[k]
             _INDEX_MEMO[key] = df
     return df
 
@@ -147,14 +193,35 @@ def clear_index_memo() -> None:
     unpersist THAT (measured: getRDDStorageInfo drops to zero only on
     the RDD-level unpersist; the DataFrame-level call is kept as the
     fallback for non-JVM frames and is pinned as such by
-    tests/test_r14_fixes.py)."""
+    tests/test_r14_fixes.py).
+
+    Durable mode (ADVICE r14): a reliable checkpoint's FILES are not
+    blocks — Spark deletes them only with
+    spark.cleaner.referenceTracking.cleanCheckpoints, which the
+    engine doesn't force on the host session, so repeated
+    clear+rebuild cycles would leak durable-storage files forever.
+    Each dropped frame's checkpoint directory (RDD.getCheckpointFile,
+    defined only for reliable checkpoints — localCheckpoint returns
+    none) is therefore best-effort deleted through the Hadoop
+    FileSystem API, so HDFS/S3 paths clean up the same way local ones
+    do (pinned by tests/test_r15_fixes.py)."""
     with _LOCK:
         for df in _INDEX_MEMO.values():
             try:
-                df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+                rdd = df._jdf.queryExecution().analyzed().rdd()
+                rdd.unpersist(False)
+                ckpt = rdd.getCheckpointFile()
+                if ckpt.isDefined():
+                    sess = df.sparkSession
+                    path = sess._jvm.org.apache.hadoop.fs.Path(ckpt.get())
+                    fs = path.getFileSystem(
+                        sess.sparkContext._jsc.hadoopConfiguration()
+                    )
+                    fs.delete(path, True)
             except Exception:  # noqa: BLE001 - no JVM handle / stopped
                 try:
                     df.unpersist()
                 except Exception:  # noqa: BLE001 - session may be stopped
                     pass
         _INDEX_MEMO.clear()
+        _KEY_LOCKS.clear()

@@ -11,9 +11,21 @@
      as 0.0 no longer makes the row silently unflaggable —
      ``flag_rows`` guards explicitly and ``requalify`` records the
      row as ``{"zero_floor": true}`` in the evidence map.
+  3. Staging memo hygiene (ADVICE r14): flipping
+     SPARK_GRAFT_CHECKPOINT_DIR to a DIFFERENT path mid-session
+     re-routes new materializations (the isEmpty()-only check silently
+     ignored dir-to-dir flips); clear_index_memo deletes durable
+     checkpoint FILES (reliable-checkpoint files are not blocks —
+     without cleanCheckpoints on the host session they leak forever);
+     different stage keys build in parallel instead of serializing
+     behind one global lock.
 """
 
 from __future__ import annotations
+
+import glob
+import os
+import threading
 
 from .conftest import SF_SMOKE
 
@@ -133,3 +145,115 @@ def test_requalify_records_zero_floor_rows(spark, monkeypatch):
         runs=1,
     )
     assert out["z"] == {"zero_floor": True, "band": 0.0, "bench_min": 9.9}
+
+
+# ---------------------------------------------------------------------------
+# 3. staging memo hygiene
+# ---------------------------------------------------------------------------
+
+
+def _ckpt_rdd_dirs(root) -> list[str]:
+    """rdd-* reliable-checkpoint dirs anywhere under a checkpoint root
+    (Spark nests them under a per-setCheckpointDir UUID subdir)."""
+    return glob.glob(os.path.join(str(root), "**", "rdd-*"), recursive=True)
+
+
+def test_checkpoint_dir_flip_reroutes(spark, tmp_path, monkeypatch):
+    """Mid-session SPARK_GRAFT_CHECKPOINT_DIR dir-to-dir flips must
+    re-route new materializations, not be silently ignored."""
+    from bigdata_riveranalysis_spark.plans import staging as S
+
+    S.clear_index_memo()
+    d1, d2 = tmp_path / "ck1", tmp_path / "ck2"
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", str(d1))
+    S.stage(spark, SF_SMOKE, "r15_flip_a", lambda: spark.range(10))
+    assert _ckpt_rdd_dirs(d1), "first stage must checkpoint under dir 1"
+
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", str(d2))
+    S.stage(spark, SF_SMOKE, "r15_flip_b", lambda: spark.range(20))
+    assert _ckpt_rdd_dirs(d2), "post-flip stage must checkpoint under dir 2"
+    S.clear_index_memo()
+    monkeypatch.delenv("SPARK_GRAFT_CHECKPOINT_DIR")
+    # Leave the context back on a tmp dir-less posture for later tests:
+    # the installed checkpoint dir is harmless (only durable mode uses
+    # it) but must not point at a deleted tmp_path for THIS session's
+    # remaining durable tests — each re-sets the env and re-routes.
+
+
+def test_clear_index_memo_deletes_durable_checkpoint_files(
+    spark, tmp_path, monkeypatch
+):
+    """Reliable-checkpoint files are not blocks: clear_index_memo must
+    delete them (Spark only would with cleanCheckpoints enabled)."""
+    from bigdata_riveranalysis_spark.plans import staging as S
+
+    S.clear_index_memo()
+    ck = tmp_path / "ck_durable"
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", str(ck))
+    got = S.stage(spark, SF_SMOKE, "r15_durable_probe", lambda: spark.range(500))
+    assert got.count() == 500
+    before = _ckpt_rdd_dirs(ck)
+    assert before, "precondition: durable mode must write checkpoint files"
+    S.clear_index_memo()
+    assert not _ckpt_rdd_dirs(ck), (
+        "clear must delete the dropped frames' durable checkpoint dirs"
+    )
+    monkeypatch.delenv("SPARK_GRAFT_CHECKPOINT_DIR")
+
+
+def test_stage_different_keys_build_in_parallel(spark):
+    """A slow build of stage A must not block an unrelated stage B
+    (per-key locks; the old single global RLock serialized them)."""
+    from bigdata_riveranalysis_spark.plans import staging as S
+
+    S.clear_index_memo()
+    slow_started = threading.Event()
+    release_slow = threading.Event()
+    done: list[str] = []
+
+    def slow_build():
+        slow_started.set()
+        assert release_slow.wait(timeout=30), "test deadlock"
+        return spark.range(5)
+
+    def slow_worker():
+        S.stage(spark, SF_SMOKE, "r15_slow_stage", slow_build)
+        done.append("slow")
+
+    t_slow = threading.Thread(target=slow_worker)
+    t_slow.start()
+    assert slow_started.wait(timeout=30)
+    # While the slow build holds ITS key lock, a different key must
+    # stage to completion.
+    fast_done = threading.Event()
+
+    def fast_worker():
+        S.stage(spark, SF_SMOKE, "r15_fast_stage", lambda: spark.range(3))
+        fast_done.set()
+
+    t_fast = threading.Thread(target=fast_worker)
+    t_fast.start()
+    assert fast_done.wait(timeout=30), (
+        "an unrelated stage must not serialize behind the slow build"
+    )
+    release_slow.set()
+    t_slow.join(timeout=30)
+    t_fast.join(timeout=5)
+    assert done == ["slow"]
+    S.clear_index_memo()
+
+
+def test_stage_builder_reentry_same_thread(spark):
+    """A builder that itself stages a sub-artifact (different key) must
+    not deadlock under the per-key locks."""
+    from bigdata_riveranalysis_spark.plans import staging as S
+
+    S.clear_index_memo()
+
+    def outer_build():
+        inner = S.stage(spark, SF_SMOKE, "r15_inner", lambda: spark.range(4))
+        return inner.selectExpr("id * 2 AS id2")
+
+    got = S.stage(spark, SF_SMOKE, "r15_outer", outer_build)
+    assert got.count() == 4
+    S.clear_index_memo()
