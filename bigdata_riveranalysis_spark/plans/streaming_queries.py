@@ -650,9 +650,12 @@ def stream_feature_map_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: state is one small map per user (bounded by the event-type
     vocabulary, not the stream length), keyed/partitioned by user_id;
-    in production the operator runs append-mode with a state TTL
-    (GroupStateTimeout) for inactive users — the fixture drain uses
-    NoTimeout because the corpus is finite.
+    in production the operator runs append-mode with the TESTED state
+    TTL switch (``feature_map_bundle(..., ttl_ms=...)`` →
+    ProcessingTimeTimeout, expire-then-rebuild pinned by
+    tests/test_r15_fixes.py) for inactive users — this fixture drain
+    uses the default NoTimeout because the corpus is finite and the
+    oracle defines exact global semantics.
     """
     from bigdata_riveranalysis_spark.streaming.stateful import feature_map_bundle
 
