@@ -920,3 +920,143 @@ def docs_interleave_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.join(F.broadcast(sizes)).select(
         "doc_id", "domain", "round_no", pos.alias("pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation acceptance composition (quality -> dedup -> pack)
+# ---------------------------------------------------------------------------
+
+_CURATION_CLEAN_SQL = f"""
+        SELECT doc_id, source, text,
+               len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_tok
+        FROM documents
+        WHERE n_chars >= {FUNNEL_MIN_CHARS}
+          AND len({TX.TOKENS_SQL.format(c="text")}) >= {FUNNEL_MIN_TOKENS}
+          AND len(list_intersect({TX.TOKENS_SQL.format(c="text")},
+                  [{", ".join(f"'{s}'" for s in TX.STOPWORDS)}])) > 0
+"""
+
+
+@query(
+    "curation_acceptance_summary",
+    oracle=f"""
+    WITH clean AS ({_CURATION_CLEAN_SQL}),
+    uniq AS (
+        SELECT doc_id, source, n_tok,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM clean
+    ),
+    kept AS (SELECT doc_id, source, n_tok FROM uniq WHERE rn = 1),
+    binned AS (
+        SELECT source,
+               CAST(floor((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tok) / {PACK_BUDGET}) AS BIGINT) AS bin
+        FROM kept
+    ),
+    stats AS (
+        SELECT (SELECT count(*) FROM documents)                          AS n_docs,
+               (SELECT count(*) FROM clean)                              AS n_clean,
+               (SELECT count(*) FROM kept)                               AS n_unique,
+               (SELECT COALESCE(CAST(sum(n_tok) AS BIGINT), 0) FROM kept) AS tokens_packed,
+               (SELECT count(*) FROM (SELECT DISTINCT source, bin FROM binned)) AS n_packs
+    )
+    SELECT n_docs, n_clean, n_unique,
+           n_clean - n_unique AS n_dup_dropped,
+           n_packs, tokens_packed,
+           {EX.ratio_round4_sql("n_clean", "n_docs", 0)}  AS clean_ratio,
+           {EX.ratio_round4_sql("n_unique", "n_docs", 0)} AS kept_ratio
+    FROM stats
+    """,
+)
+def curation_acceptance_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation acceptance report — the ONE-row accounting
+    a training-data deployment signs off on nightly after the full
+    curation chain: quality filter → exact dedup → sequence packing
+    (VERDICT r14 #4; the curation-tier mirror of
+    plans/llmdata.py::dedup_pipeline_summary). Columns: corpus size
+    in, docs surviving the quality screen, docs surviving dedup, dup
+    copies dropped, packed training sequences produced, total tokens
+    packed, and the exact retention ratios at each boundary.
+
+    Composed from the already-verified stage operators and their
+    constants — the quality predicate IS docs_quality_funnel's final
+    stage (FUNNEL_MIN_CHARS / FUNNEL_MIN_TOKENS / stopword screen),
+    dedup keeps the min-doc_id representative per md5(text) group
+    like dedup_exact, and packing is seq_pack_greedy's
+    exclusive-cumsum bin assignment at PACK_BUDGET over the SURVIVING
+    docs. Ratios go through the shared exact-rational half-up
+    rounding (functions.exact), never a raw double divide.
+
+    Scale/plan shape: the survivor frame (doc_id, source, n_tok —
+    slim, signature-table class) is STAGED once per (application,
+    corpus) via the staging memo and read by both consumers (the
+    count/token aggregate and the packing window), so the corpus text
+    is scanned once per session, not once per consumer; everything
+    downstream of the stage is a constant-size aggregate cross-join
+    exactly like dedup_pipeline_summary. The dedup window
+    (partition by content hash) and the pack window (partition by
+    source) are the two shuffles the semantics require; at 100 TB the
+    pack window's partition key widens to (source, shard-bucket) as
+    documented in seq_pack_greedy.
+    """
+    from bigdata_riveranalysis_spark.plans.staging import stage
+
+    def build() -> DataFrame:
+        docs = _docs(spark, sf_dir)
+        t = TX.tokens("text")
+        stop_arr = F.array(*[F.lit(s) for s in TX.STOPWORDS])
+        clean_pred = (
+            (F.col("n_chars") >= FUNNEL_MIN_CHARS)
+            & (F.size(t) >= FUNNEL_MIN_TOKENS)
+            & F.arrays_overlap(t, stop_arr)
+        )
+        n_tok = F.size(
+            F.regexp_extract_all(
+                F.lower("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0)
+            )
+        )
+        clean = docs.filter(clean_pred).select(
+            "doc_id", "source", "text", n_tok.alias("n_tok")
+        )
+        rn = F.row_number().over(W.partitionBy(F.md5("text")).orderBy("doc_id"))
+        # keep rn on the staged frame: n_clean = all rows, survivors
+        # have rn = 1 — one slim frame serves both stage accountings
+        return clean.select("doc_id", "source", "n_tok", rn.alias("rn"))
+
+    uniq = stage(spark, sf_dir, "curation_uniq", build)
+    kept = uniq.filter(F.col("rn") == 1)
+    counts = uniq.agg(
+        F.count("*").alias("n_clean"),
+        F.count_if(F.col("rn") == 1).alias("n_unique"),
+        F.coalesce(
+            F.sum(F.when(F.col("rn") == 1, F.col("n_tok"))), F.lit(0).cast("long")
+        ).alias("tokens_packed"),
+    )
+    w_pack = (
+        W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    )
+    packs = (
+        kept.select(
+            "source",
+            F.floor((F.sum("n_tok").over(w_pack) - F.col("n_tok")) / PACK_BUDGET).alias(
+                "bin"
+            ),
+        )
+        .distinct()
+        .agg(F.count("*").alias("n_packs"))
+    )
+    d = _docs(spark, sf_dir).agg(F.count("*").alias("n_docs"))
+    return (
+        d.crossJoin(counts)
+        .crossJoin(packs)
+        .select(
+            "n_docs",
+            "n_clean",
+            "n_unique",
+            (F.col("n_clean") - F.col("n_unique")).alias("n_dup_dropped"),
+            "n_packs",
+            "tokens_packed",
+            EX.ratio_round4(F.col("n_clean"), F.col("n_docs"), 0).alias("clean_ratio"),
+            EX.ratio_round4(F.col("n_unique"), F.col("n_docs"), 0).alias("kept_ratio"),
+        )
+    )

@@ -30,14 +30,14 @@ def _rows(cols, rows) -> list[tuple]:
 
 
 def test_retired_tier_is_the_agreed_headroom():
-    """Headroom ≥ 2 under the 150 cap (the r14 slot plan: VERDICT r13
-    #6 funded ONE of the three held slots for the stateful-streaming
-    map-feature query — stream_feature_map_state — and the remaining
-    two are held deliberately), and every retired query keeps an
-    oracle (a rows-only retired query would be verified by nothing)."""
-    assert len(REGISTRY) <= 148, (
-        f"{len(REGISTRY)} registered queries leaves < 2 slots of "
-        f"headroom under the 150-slot cadence cap (r14 slot plan)"
+    """Headroom ≥ 1 under the 150 cap (the r15 slot plan: VERDICT r14
+    #4 funded one of the two held slots for the curation acceptance
+    composition — curation_acceptance_summary — and the last slot is
+    held deliberately), and every retired query keeps an oracle (a
+    rows-only retired query would be verified by nothing)."""
+    assert len(REGISTRY) <= 149, (
+        f"{len(REGISTRY)} registered queries leaves < 1 slot of "
+        f"headroom under the 150-slot cadence cap (r15 slot plan)"
     )
     assert len(RETIRED) >= 5
     assert not (set(RETIRED) & set(REGISTRY))
