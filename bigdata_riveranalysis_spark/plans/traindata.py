@@ -1045,7 +1045,10 @@ def curation_acceptance_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .agg(F.count("*").alias("n_packs"))
     )
-    d = _docs(spark, sf_dir).agg(F.count("*").alias("n_docs"))
+    # raw table, not _docs: the corpus-size count prunes to zero
+    # columns and answers from row-group metadata — spread_small_scan's
+    # split-spread repartition would add an exchange for nothing
+    d = load_table(spark, sf_dir, "documents").agg(F.count("*").alias("n_docs"))
     return (
         d.crossJoin(counts)
         .crossJoin(packs)
