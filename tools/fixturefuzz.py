@@ -255,6 +255,25 @@ def _plant_events(tbl: pa.Table) -> pa.Table:
     # sliding-window edge: event at an exact 30-min slide-grid line
     # (belongs to exactly two 1h/30min windows, no more)
     add(day + 8 * 3_600_000_000 + 30 * 60 * 1_000_000, next_user, "view", 6.0)
+    next_user += 1
+    # ~1% NULL event_types (VERDICT r14 #5): the wire schema declares
+    # event_type nullable; the map-state bundle folds NULLs under an
+    # internal non-null map key while every oracle PARTITION BY /
+    # GROUP BY groups NULLs natively — the exact
+    # both-sides-agree-by-construction seam the r9 NULL-vs-NaN
+    # divergence hid in. Interleave NULL and typed events on three
+    # fresh users so per-user occurrence chains, distinct-type
+    # counts, global NULL groups, and mode/pivot consumers all see
+    # the seam (mode ties included: a driver generation with
+    # resampled categoricals can produce them, so tie-break parity
+    # must hold).
+    n_nulls = max(4, len(ids) // 100)
+    t_null = day + 9 * 3_600_000_000
+    for k in range(n_nulls):
+        add(t_null + k * 60_000_000, next_user + (k % 3), None, 7.0 + (k % 5))
+    for k, et in enumerate(("view", "click", "view", "click", "view", "click")):
+        add(t_null + k * 60_000_000 + 30_000_000, next_user + (k % 3), et, 8.0)
+    next_user += 3
 
     arr = {
         "event_id": pa.array([r[0] for r in rows], pa.int64()),
