@@ -403,3 +403,82 @@ def test_feature_map_bundle_default_no_ttl_semantics_unchanged(spark, tmp_path):
         name="r15_nottl",
     )
     assert (rows[2].type_occurrence, rows[2].events_so_far) == (2, 2)
+
+
+# ---------------------------------------------------------------------------
+# 5. record_band --merge-min: floors only ratchet DOWN
+# ---------------------------------------------------------------------------
+
+
+def test_record_band_merge_min_ratchets_floors_down(tmp_path):
+    """A gate-passing run can still carry burst landfall on individual
+    rows (probes sample between queries); with --merge-min each floor
+    is min(run, prior band) so a burst-hit row can't loosen its own
+    regression tripwire, while genuinely faster rows and new queries
+    record from the run."""
+    import json
+    import os
+    import shutil
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tmp = str(tmp_path / "rbm")
+    os.makedirs(os.path.join(tmp, "tools"), exist_ok=True)
+    shutil.copy(
+        os.path.join(repo, "tools", "record_band.py"),
+        os.path.join(tmp, "tools", "record_band.py"),
+    )
+    quiet_noise = [
+        {"pass": 2, "loadavg_1m": 5.0, "probe_sec": 0.03},
+        {"pass": 3, "loadavg_1m": 5.0, "probe_sec": 0.035},
+    ]
+    with open(os.path.join(tmp, "BENCH.json"), "w") as f:
+        json.dump(
+            {
+                "value": 3.0,
+                "sf": 0.1,
+                # a: burst-inflated vs prior; b: faster than prior; c: new
+                "queries": {"a": 2.0, "b": 0.4, "c": 0.6},
+                "loadavg_at_min": {"a": 5.0, "b": 5.0, "c": 5.0},
+                "noise": quiet_noise,
+                "errors": {},
+            },
+            f,
+        )
+    with open(os.path.join(tmp, "QUIET_BAND.json"), "w") as f:
+        json.dump(
+            {
+                "queries": {
+                    "a": {"min": 0.5, "loadavg_at_min": 4.0},
+                    "b": {"min": 0.6, "loadavg_at_min": 4.0},
+                }
+            },
+            f,
+        )
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(tmp, "tools", "record_band.py"),
+            "t",
+            "--merge-min",
+        ],
+        capture_output=True,
+        text=True,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    band = json.load(open(os.path.join(tmp, "QUIET_BAND.json")))["queries"]
+    assert band["a"] == {"min": 0.5, "loadavg_at_min": 4.0}, (
+        "inflated row keeps the tighter prior floor and its context"
+    )
+    assert band["b"]["min"] == 0.4, "faster row tightens"
+    assert band["c"]["min"] == 0.6, "new query records from the run"
+    # without --merge-min the run replaces wholesale (prior behavior)
+    r2 = subprocess.run(
+        [sys.executable, os.path.join(tmp, "tools", "record_band.py"), "t"],
+        capture_output=True,
+        text=True,
+    )
+    assert r2.returncode == 0
+    band2 = json.load(open(os.path.join(tmp, "QUIET_BAND.json")))["queries"]
+    assert band2["a"]["min"] == 2.0

@@ -24,8 +24,21 @@ passes peaks ~6-10). Refuses to record otherwise — a band taken
 under contention would mislabel every future honest number as a
 regression.
 
+--merge-min (r15): floors RATCHET DOWN across qualifying runs instead
+of being replaced wholesale. A run can pass every probe gate and
+still carry burst landfall on individual rows (the probes sample
+between queries; a burst inside one query's three passes inflates its
+min invisibly — observed r15: a gate-passing run whose
+join_salted_replicate min was 3.4× the prior floor while its own
+clean-probed isolated re-time sat BELOW that floor). With
+--merge-min, each query's floor is min(this run, existing band), so
+a floor only moves down — the band stays "best demonstrated quiet
+performance" and a burst-hit row cannot loosen its regression
+tripwire. New queries take this run's value. Run metadata (probe
+stats, label, total) always reflects the current run.
+
 Usage:
-    python tools/record_band.py [label] [--max-load L] [--max-probe P]
+    python tools/record_band.py [label] [--max-load L] [--max-probe P] [--merge-min]
 """
 
 from __future__ import annotations
@@ -46,6 +59,7 @@ def main() -> int:
     ap.add_argument("--max-load", type=float, default=12.0)
     ap.add_argument("--max-probe", type=float, default=0.05)
     ap.add_argument("--max-probe-peak", type=float, default=0.5)
+    ap.add_argument("--merge-min", action="store_true")
     args = ap.parse_args()
     max_load = args.max_load
     max_probe = args.max_probe
@@ -91,6 +105,21 @@ def main() -> int:
         return 1
 
     lam = bench.get("loadavg_at_min", {})
+    prior: dict = {}
+    if args.merge_min:
+        try:
+            with open(os.path.join(_REPO, "QUIET_BAND.json")) as f:
+                prior = json.load(f).get("queries", {})
+        except (OSError, ValueError):
+            prior = {}
+
+    def floor(name: str, t: float) -> dict:
+        p = prior.get(name, {})
+        if args.merge_min and p.get("min") is not None and p["min"] < t:
+            # keep the tighter prior floor AND its loadavg context
+            return {"min": p["min"], "loadavg_at_min": p.get("loadavg_at_min")}
+        return {"min": t, "loadavg_at_min": lam.get(name)}
+
     band = {
         "label": label,
         "sf": bench.get("sf"),
@@ -105,11 +134,9 @@ def main() -> int:
         "probe_max_steady": max(peak_probes),
         "source": f"BENCH.json run recorded as BENCH_{label}; "
         f"qualification max_load={max_load}, median max_probe={max_probe}, "
-        f"peak cap {max_probe_peak}",
-        "queries": {
-            n: {"min": t, "loadavg_at_min": lam.get(n)}
-            for n, t in bench["queries"].items()
-        },
+        f"peak cap {max_probe_peak}"
+        + ("; merged min-wise with the prior band" if args.merge_min else ""),
+        "queries": {n: floor(n, t) for n, t in bench["queries"].items()},
     }
     out = os.path.join(_REPO, "QUIET_BAND.json")
     with open(out, "w") as f:
