@@ -103,12 +103,35 @@ def materialize(df: DataFrame) -> DataFrame:
     if ckpt_dir:
         sc = df.sparkSession.sparkContext
         current = sc._jsc.sc().getCheckpointDir()
-        if current.isEmpty() or _dir_parent(current.get()) != _norm_path(
-            ckpt_dir
+        if current.isEmpty() or _dir_parent(current.get()) != _qualify(
+            df, ckpt_dir
         ):
             sc.setCheckpointDir(ckpt_dir)
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
+
+
+def _qualify(df: DataFrame, p: str) -> str:
+    """The env-supplied checkpoint target in the same FULLY-QUALIFIED
+    form SparkContext.setCheckpointDir stores it (resolved against the
+    session's default filesystem), then normalized like the installed
+    side. ADVICE r15: Spark/Hadoop stores the installed dir qualified
+    with defaultFS, so on a cluster where defaultFS is hdfs and
+    SPARK_GRAFT_CHECKPOINT_DIR is a bare path (``/ckpt``), comparing
+    the raw env string against the installed parent
+    (``hdfs://nn:8020/ckpt``) mismatches FOREVER — setCheckpointDir is
+    then re-called per materialization, scattering stages across fresh
+    UUID subdirs, the exact behavior the comparison exists to avoid.
+    Falls back to scheme-stripped normalization when no JVM handle is
+    available (non-JVM frames; the local-path case both forms agree
+    on)."""
+    try:
+        sess = df.sparkSession
+        jpath = sess._jvm.org.apache.hadoop.fs.Path(p)
+        fs = jpath.getFileSystem(sess.sparkContext._jsc.hadoopConfiguration())
+        return _norm_path(fs.makeQualified(jpath).toString())
+    except Exception:  # pragma: no cover - no JVM handle
+        return _norm_path(p)
 
 
 def _norm_path(p: str) -> str:
@@ -166,18 +189,37 @@ def stage(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
         if _os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR") or not _is_lineage_cut(df):
             df = materialize(df)
         with _LOCK:
-            # Entries (and locks) keyed by OTHER applications are dead
+            # FRAME entries keyed by OTHER applications are dead
             # weight: the blocks (local or durable) belong to a stopped
             # session and can never be read again from this one. Evict
             # on insert so a process that cycles SparkSessions (test
             # harnesses, long-lived drivers) doesn't retain frames
-            # forever.
+            # forever. LOCKS are deliberately NEVER evicted (ADVICE
+            # r15): dropping a lock while a build for its key is in
+            # flight mints a second lock for the next requester, and
+            # two concurrent builds of the same key run — "derive
+            # exactly once" silently broken. RLocks are a few hundred
+            # bytes, bounded by distinct stage keys seen in-process, so
+            # keeping them forever is the correct trade.
             for k in [k for k in _INDEX_MEMO if k[0] != key[0]]:
                 del _INDEX_MEMO[k]
-            for k in [k for k in _KEY_LOCKS if k[0] != key[0]]:
-                del _KEY_LOCKS[k]
             _INDEX_MEMO[key] = df
     return df
+
+
+def memo_entries(spark: SparkSession, sf_dir: str) -> int:
+    """How many artifacts are currently staged for (this application,
+    ``sf_dir``) — the WARMTH of the memo for a corpus. Used by
+    tools/retime.py to record, per requalified bench row, whether the
+    staged families' shared artifacts were already materialized when
+    the re-time ran (VERDICT r15 #3: a cold-memo re-time of a staged
+    consumer legitimately reads ~2× its warm-band floor; without the
+    memo-state field the adjudication rule misread that as a plan
+    regression)."""
+    app = spark.sparkContext.applicationId
+    corpus = _os.path.abspath(sf_dir)
+    with _LOCK:
+        return sum(1 for k in _INDEX_MEMO if k[0] == app and k[1] == corpus)
 
 
 def clear_index_memo() -> None:
@@ -224,4 +266,10 @@ def clear_index_memo() -> None:
                 except Exception:  # noqa: BLE001 - session may be stopped
                     pass
         _INDEX_MEMO.clear()
-        _KEY_LOCKS.clear()
+        # _KEY_LOCKS is NOT cleared (ADVICE r15): a build may be in
+        # flight holding its key lock at the instant of the clear; a
+        # stage() call for the same key arriving after the clear would
+        # then mint a FRESH RLock and run a duplicate concurrent build
+        # (last insert wins) — the r14 "derive exactly once" guarantee
+        # broken exactly when clear+rebuild races matter. Locks carry
+        # no Spark resources; see stage() for the retention rationale.

@@ -80,6 +80,39 @@ def _type_key(et) -> str:
     return "\x01" + et if isinstance(et, str) else _NULL_TYPE_KEY
 
 
+def _migrate_state_keys(raw: dict) -> dict:
+    """Rewrite a state map loaded from the store into the r15
+    injective key format, so a streaming query RESUMED from a pre-r15
+    checkpoint keeps its occurrence chains instead of silently
+    resetting them (ADVICE r15: the r15 re-encoding changed the
+    persisted key representation without versioning — the state
+    struct map<string,long> is unchanged, so an old checkpoint
+    restores raw-string keys alongside new prefixed ones and every
+    count written pre-upgrade becomes unreachable).
+
+    Pre-r15 format: raw event_type strings, NULL folded under the
+    literal sentinel ``"\\x00null"``. Migration on first read:
+    ``"\\x00null"`` → the current NULL bucket ``"\\x00"``; any key not
+    already ``"\\x00"``/``"\\x01"``-prefixed → ``"\\x01" + key``.
+    Counts merge additively if both spellings exist (a checkpoint
+    written ACROSS the upgrade). Boundary, documented in DEPLOY.md: a
+    genuine pre-r15 event_type that itself began with ``"\\x01"`` (or
+    was literally ``"\\x00null"``) is indistinguishable from the
+    encoded form — control-character event types were the exact
+    collision class the r15 encoding closed, so pre-r15 state never
+    represented them faithfully to begin with."""
+    out: dict = {}
+    for k, v in raw.items():
+        if k == _NULL_TYPE_KEY or (k and k[0] == "\x01"):
+            kk = k  # already the r15 injective format
+        elif k == "\x00null":
+            kk = _NULL_TYPE_KEY  # pre-r15 NULL sentinel
+        else:
+            kk = "\x01" + k  # pre-r15 raw event_type string
+        out[kk] = out.get(kk, 0) + v
+    return out
+
+
 def feature_map_bundle(events: DataFrame, *, ttl_ms: int | None = None) -> DataFrame:
     """Per-user streaming feature bundle carried as a map column in
     applyInPandasWithState state: for each event (in (ts, event_id)
@@ -133,7 +166,7 @@ def feature_map_bundle(events: DataFrame, *, ttl_ms: int | None = None) -> DataF
             # drop the bundle; a later event starts from empty.
             state.remove()
             return
-        counts: dict = dict(state.get[0]) if state.exists else {}
+        counts: dict = _migrate_state_keys(state.get[0]) if state.exists else {}
         total = sum(counts.values())
         chunks = list(pdfs)
         if chunks:

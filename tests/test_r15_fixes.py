@@ -81,7 +81,11 @@ def test_requalify_marks_inconclusive_when_probes_stay_hot(spark, monkeypatch):
     from tools.retime import requalify
 
     # Three attempts, all hot; the middle one is least hot (0.12) so
-    # its probes must be the ones kept.
+    # its probes must be the ones kept. The r16 end-of-pass retry then
+    # takes one more attempt (probes repeat the scripted tail: 0.40,
+    # still hot), which bumps the hot counter to 4 without unseating
+    # the least-contaminated record — tested clean-side in
+    # tests/test_r16_fixes.py.
     _patch_probes(monkeypatch, [0.30, 0.25, 0.12, 0.10, 0.40, 0.40])
     rec = requalify(
         spark,
@@ -93,7 +97,7 @@ def test_requalify_marks_inconclusive_when_probes_stay_hot(spark, monkeypatch):
         attempts=3,
     )["toy"]
     assert rec["inconclusive"] is True
-    assert rec["attempts_probe_hot"] == 3
+    assert rec["attempts_probe_hot"] == 4
     assert rec["probe_sec"] == 0.12 and rec["probe_sec_after"] == 0.10
     assert "retime_min" in rec, "the least-bad re-time is still recorded"
 

@@ -1,0 +1,382 @@
+"""r16 regression pins (ADVICE r15 + VERDICT r15 #3/#5/#6).
+
+  1. Checkpoint-dir comparison is defaultFS-qualified (ADVICE r15
+     medium): the installed dir is stored fully qualified, so a bare
+     env path must be qualified the same way before comparing or a
+     cluster with hdfs defaultFS re-calls setCheckpointDir per
+     materialization forever.
+  2. Staging KEY LOCKS are never dropped (ADVICE r15 low):
+     clear_index_memo / other-app eviction used to delete RLocks a
+     build could be holding, so a same-key stage() after the clear
+     minted a fresh lock and ran a duplicate concurrent build.
+  3. record_band --merge-min repairs zero floors (ADVICE r15 low): a
+     prior floor <= 0 is degenerate and must be REPLACED by a
+     qualifying run, not kept as "tighter" forever.
+  4. Re-times are staging-memo-honest (VERDICT r15 #3): each
+     requalified row records whether the corpus-staging memo was warm,
+     so a cold-memo re-time of a staged consumer is adjudicated as a
+     build cost, not a plan regression.
+  5. Inconclusive requalification rows get one end-of-pass retry
+     (VERDICT r15 #5): a clean late attempt replaces the contaminated
+     record; a hot one keeps the inconclusive marker honest.
+  6. Pre-r15 state-key migration (ADVICE r15 low): a stream resumed
+     from a pre-r15 checkpoint rewrites raw/"\\x00null" keys into the
+     injective r15 format on first read — occurrence chains continue.
+  7. TTL knife-edge (VERDICT r15 #6): an event arriving in the same
+     micro-batch in which the key's ProcessingTimeTimeout would fire
+     WINS — Spark never times out a key that has data in the batch —
+     so the bundle continues instead of resetting.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import threading
+
+from .conftest import SF_SMOKE
+from .test_r15_fixes import _ev, _patch_probes, _replay_batches
+
+
+def _toy_query(s, d):
+    return s.range(1000).selectExpr("sum(id) AS s")
+
+
+# ---------------------------------------------------------------------------
+# 1. checkpoint-dir comparison is defaultFS-qualified
+# ---------------------------------------------------------------------------
+
+
+def test_qualified_env_path_matches_installed_parent(spark, tmp_path, monkeypatch):
+    """The exact comparison materialize() makes — installed parent vs
+    qualified env path — must hold for a BARE local path through the
+    real Hadoop makeQualified path (not the no-JVM fallback), because
+    Spark stores the installed dir fully qualified."""
+    from bigdata_riveranalysis_spark.plans import staging as S
+
+    bare = str(tmp_path / "ck_qual")
+    sc = spark.sparkContext
+    sc.setCheckpointDir(bare)
+    installed = sc._jsc.sc().getCheckpointDir().get()
+    assert "://" in installed or installed.startswith("file:"), (
+        f"precondition: Spark stores the dir qualified, got {installed!r}"
+    )
+    df = spark.range(1)
+    assert S._dir_parent(installed) == S._qualify(df, bare)
+
+
+def test_hdfs_shaped_installed_dir_vs_bare_env_path():
+    """Pure-logic pin of the ADVICE r15 defect shape: on a cluster
+    where defaultFS is hdfs, the installed parent normalizes WITH
+    authority while the raw env path has none — the r15 comparison
+    (_dir_parent vs _norm_path) therefore mismatched permanently.
+    _qualify exists to resolve the env side against defaultFS; its
+    no-JVM fallback still normalizes an ALREADY-qualified env value to
+    the matching form."""
+    from bigdata_riveranalysis_spark.plans import staging as S
+
+    installed = "hdfs://nn:8020/ckpt/55a1c2d3-uuid"
+    assert S._dir_parent(installed) == "hdfs://nn:8020/ckpt"
+    # the defect: bare path never equals the authority-qualified parent
+    assert S._norm_path("/ckpt") != S._dir_parent(installed)
+    # an env value spelled fully qualified compares equal either way
+    assert S._norm_path("hdfs://nn:8020/ckpt") == S._dir_parent(installed)
+
+
+def test_no_uuid_scatter_across_materializations(spark, tmp_path, monkeypatch):
+    """Two stage() calls under one unchanged SPARK_GRAFT_CHECKPOINT_DIR
+    must share ONE setCheckpointDir installation (one UUID subdir) —
+    the scatter the qualified comparison prevents."""
+    from bigdata_riveranalysis_spark.plans import staging as S
+
+    S.clear_index_memo()
+    ck = tmp_path / "ck_scatter"
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", str(ck))
+    S.stage(spark, SF_SMOKE, "r16_scatter_a", lambda: spark.range(5))
+    S.stage(spark, SF_SMOKE, "r16_scatter_b", lambda: spark.range(6))
+    uuid_dirs = [p for p in glob.glob(os.path.join(str(ck), "*")) if os.path.isdir(p)]
+    assert len(uuid_dirs) == 1, (
+        f"expected one UUID checkpoint subdir, got {uuid_dirs}"
+    )
+    S.clear_index_memo()
+    monkeypatch.delenv("SPARK_GRAFT_CHECKPOINT_DIR")
+
+
+# ---------------------------------------------------------------------------
+# 2. key locks survive clear_index_memo and other-app eviction
+# ---------------------------------------------------------------------------
+
+
+def test_clear_during_inflight_build_does_not_duplicate_build(spark):
+    """clear_index_memo() while a build holds its key lock: a same-key
+    stage() arriving AFTER the clear must block on the SAME lock and
+    reuse the first build's result — not mint a fresh lock and run a
+    duplicate concurrent build (ADVICE r15)."""
+    from bigdata_riveranalysis_spark.plans import staging as S
+
+    S.clear_index_memo()
+    builds: list[str] = []
+    build_started = threading.Event()
+    release_build = threading.Event()
+
+    def slow_build():
+        builds.append("x")
+        build_started.set()
+        assert release_build.wait(timeout=30), "test deadlock"
+        return spark.range(7)
+
+    results: list = []
+
+    def first():
+        results.append(S.stage(spark, SF_SMOKE, "r16_clear_race", slow_build))
+
+    t1 = threading.Thread(target=first)
+    t1.start()
+    assert build_started.wait(timeout=30)
+    S.clear_index_memo()  # mid-build clear — must NOT drop the key lock
+
+    def second():
+        results.append(S.stage(spark, SF_SMOKE, "r16_clear_race", slow_build))
+
+    t2 = threading.Thread(target=second)
+    t2.start()
+    # the second stage must be BLOCKED behind the in-flight build
+    t2.join(timeout=1.0)
+    assert t2.is_alive(), "second stage must wait on the in-flight key lock"
+    release_build.set()
+    t1.join(timeout=30)
+    t2.join(timeout=30)
+    assert len(builds) == 1, "the build must run exactly once across the clear"
+    assert len(results) == 2 and results[0] is results[1]
+    S.clear_index_memo()
+
+
+def test_other_app_insert_evicts_frames_but_not_locks(spark):
+    """A new application's memo insert evicts other-app FRAMES (dead
+    blocks) but must keep other-app LOCKS (identity loss mid-build =
+    the duplicate-build race, ADVICE r15)."""
+    from bigdata_riveranalysis_spark.plans import staging as S
+
+    S.clear_index_memo()
+    fake_key = ("app-someone-else", "/nonexistent/corpus", "r16_fake_stage")
+    with S._LOCK:
+        S._INDEX_MEMO[fake_key] = spark.range(1)
+        S._KEY_LOCKS[fake_key] = threading.RLock()
+    S.stage(spark, SF_SMOKE, "r16_evict_probe", lambda: spark.range(2))
+    with S._LOCK:
+        assert fake_key not in S._INDEX_MEMO, "other-app frame must evict"
+        assert fake_key in S._KEY_LOCKS, "other-app lock must survive"
+        del S._KEY_LOCKS[fake_key]
+    S.clear_index_memo()
+
+
+# ---------------------------------------------------------------------------
+# 3. record_band --merge-min repairs zero floors
+# ---------------------------------------------------------------------------
+
+
+def test_record_band_merge_min_replaces_zero_floor(tmp_path):
+    """A prior floor of 0.0 (sub-millisecond rounding pathology) must
+    be replaced by the qualifying run's real timing under --merge-min —
+    `0.0 < t` is true for every real timing, so without the explicit
+    guard a zero floor could never be repaired (ADVICE r15)."""
+    import json
+    import shutil
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tmp = str(tmp_path / "rbz")
+    os.makedirs(os.path.join(tmp, "tools"), exist_ok=True)
+    shutil.copy(
+        os.path.join(repo, "tools", "record_band.py"),
+        os.path.join(tmp, "tools", "record_band.py"),
+    )
+    with open(os.path.join(tmp, "BENCH.json"), "w") as f:
+        json.dump(
+            {
+                "value": 1.0,
+                "sf": 0.1,
+                "queries": {"z": 0.8, "a": 0.2},
+                "loadavg_at_min": {"z": 5.0, "a": 5.0},
+                "noise": [
+                    {"pass": 2, "loadavg_1m": 5.0, "probe_sec": 0.03},
+                    {"pass": 3, "loadavg_1m": 5.0, "probe_sec": 0.035},
+                ],
+                "errors": {},
+            },
+            f,
+        )
+    with open(os.path.join(tmp, "QUIET_BAND.json"), "w") as f:
+        json.dump(
+            {
+                "queries": {
+                    "z": {"min": 0.0, "loadavg_at_min": 4.0},
+                    "a": {"min": 0.1, "loadavg_at_min": 4.0},
+                }
+            },
+            f,
+        )
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(tmp, "tools", "record_band.py"),
+            "t",
+            "--merge-min",
+        ],
+        capture_output=True,
+        text=True,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    band = json.load(open(os.path.join(tmp, "QUIET_BAND.json")))["queries"]
+    assert band["z"]["min"] == 0.8, "zero floor must be repaired by the run"
+    assert band["a"]["min"] == 0.1, "a real tighter prior floor still wins"
+
+
+# ---------------------------------------------------------------------------
+# 4. re-times record staging-memo warmth
+# ---------------------------------------------------------------------------
+
+
+def test_requalify_records_memo_state(spark, monkeypatch):
+    from bigdata_riveranalysis_spark.plans import staging as S
+    from tools.retime import requalify
+
+    S.clear_index_memo()
+    _patch_probes(monkeypatch, [0.03, 0.03])
+    rec = requalify(
+        spark,
+        SF_SMOKE,
+        {"toy": _toy_query},
+        {"toy": 2.5},
+        {"toy": 4.0},
+        runs=1,
+    )["toy"]
+    assert rec["memo_warm"] is False and rec["memo_entries"] == 0
+
+    S.stage(spark, SF_SMOKE, "r16_memo_probe", lambda: spark.range(3))
+    rec = requalify(
+        spark,
+        SF_SMOKE,
+        {"toy": _toy_query},
+        {"toy": 2.5},
+        {"toy": 4.0},
+        runs=1,
+    )["toy"]
+    assert rec["memo_warm"] is True and rec["memo_entries"] == 1
+    S.clear_index_memo()
+
+
+def test_memo_entries_scoped_to_corpus_and_app(spark):
+    """memo_entries counts only THIS application's stages for the
+    queried corpus — a bench re-time at sf0.1 must not read sf0.01
+    test stages as warmth."""
+    from bigdata_riveranalysis_spark.plans import staging as S
+
+    S.clear_index_memo()
+    S.stage(spark, SF_SMOKE, "r16_scope_probe", lambda: spark.range(3))
+    assert S.memo_entries(spark, SF_SMOKE) == 1
+    assert S.memo_entries(spark, "/root/testdata/sf0.01") == 0
+    S.clear_index_memo()
+    assert S.memo_entries(spark, SF_SMOKE) == 0
+
+
+# ---------------------------------------------------------------------------
+# 5. end-of-pass retry for inconclusive rows
+# ---------------------------------------------------------------------------
+
+
+def test_requalify_late_retry_rescues_inconclusive(spark, monkeypatch):
+    """All in-loop attempts hot → inconclusive; the end-of-pass retry
+    lands clean → the clean attempt REPLACES the contaminated record,
+    marked late_retry, with the in-loop hot count preserved."""
+    from tools.retime import requalify
+
+    _patch_probes(
+        monkeypatch,
+        [0.30, 0.25, 0.12, 0.10, 0.40, 0.40, 0.03, 0.03],
+    )
+    rec = requalify(
+        spark,
+        SF_SMOKE,
+        {"toy": _toy_query},
+        {"toy": 2.5},
+        {"toy": 4.0},
+        runs=1,
+        attempts=3,
+    )["toy"]
+    assert "inconclusive" not in rec
+    assert rec["late_retry"] is True
+    assert rec["attempts_probe_hot"] == 3
+    assert rec["probe_sec"] == 0.03 and rec["probe_sec_after"] == 0.03
+    assert rec["band"] == 2.5 and rec["bench_min"] == 4.0 and rec["ratio"] == 1.6
+    assert "retime_min" in rec
+
+
+# ---------------------------------------------------------------------------
+# 6. pre-r15 state-key migration
+# ---------------------------------------------------------------------------
+
+
+def test_migrate_state_keys_rewrites_legacy_formats():
+    from bigdata_riveranalysis_spark.streaming.stateful import (
+        _migrate_state_keys,
+    )
+
+    legacy_and_current = {
+        "view": 3,  # pre-r15 raw string
+        "\x00null": 2,  # pre-r15 NULL sentinel
+        "\x00": 4,  # current NULL bucket
+        "\x01click": 1,  # current encoded key
+        "click": 5,  # pre-r15 raw spelling of the same type
+    }
+    assert _migrate_state_keys(legacy_and_current) == {
+        "\x01view": 3,
+        "\x00": 6,  # "\x00null" merges into the current NULL bucket
+        "\x01click": 6,  # raw + encoded spellings merge additively
+    }
+    # current-format state is a fixed point (the every-batch call is a
+    # no-op rewrite, never a drift source)
+    current = {"\x00": 7, "\x01view": 2}
+    assert _migrate_state_keys(current) == current
+    assert _migrate_state_keys({}) == {}
+
+
+# ---------------------------------------------------------------------------
+# 7. TTL knife-edge: data in the expiry batch beats the timeout
+# ---------------------------------------------------------------------------
+
+
+def test_feature_map_bundle_data_beats_expired_ttl(spark, tmp_path):
+    """The knife-edge the r15 expire-then-rebuild test couldn't reach:
+    by the time batch 2 processes, user 1's 1 ms TTL has long expired —
+    but batch 2 CONTAINS a user-1 event, and Spark never calls the
+    timed-out branch for a key with data in the batch (data wins the
+    race at the expiry instant). The bundle must therefore CONTINUE
+    (occurrence 2), not reset — the exact opposite outcome of the r15
+    idle-user test, from the same TTL configuration."""
+    rows = _replay_batches(
+        spark,
+        tmp_path,
+        [
+            [
+                _ev(1, "2024-01-01 00:00:00", 1, "view"),
+                _ev(2, "2024-01-01 00:01:00", 2, "view"),
+            ],
+            # batch 2 processes seconds later (>> 1 ms TTL) — user 1's
+            # expiry instant has passed, and user 1 has data here
+            [
+                _ev(3, "2024-01-01 00:02:00", 1, "view"),
+                _ev(4, "2024-01-01 00:03:00", 2, "view"),
+            ],
+        ],
+        ttl_ms=1,
+        n_rows=4,
+        name="r16_ttl_edge",
+    )
+    assert (rows[1].type_occurrence, rows[1].is_new_type) == (1, True)
+    assert (rows[3].type_occurrence, rows[3].is_new_type) == (2, False), (
+        "data arriving in the expiry batch must continue the bundle"
+    )
+    assert rows[3].events_so_far == 2
+    assert (rows[4].type_occurrence, rows[4].events_so_far) == (2, 2)

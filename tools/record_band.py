@@ -115,7 +115,13 @@ def main() -> int:
 
     def floor(name: str, t: float) -> dict:
         p = prior.get(name, {})
-        if args.merge_min and p.get("min") is not None and p["min"] < t:
+        # A prior floor <= 0 is treated as ABSENT, not as "tighter"
+        # (ADVICE r15): 0.0 is the sub-millisecond-rounding pathology
+        # retime's zero_floor_rows machinery exists to surface, and
+        # `p["min"] < t` holds for 0.0 against every real timing — so
+        # merge mode would otherwise preserve a degenerate floor
+        # forever, the one case where a qualifying run SHOULD replace.
+        if args.merge_min and p.get("min") is not None and 0 < p["min"] < t:
             # keep the tighter prior floor AND its loadavg context
             return {"min": p["min"], "loadavg_at_min": p.get("loadavg_at_min")}
         return {"min": t, "loadavg_at_min": lam.get(name)}

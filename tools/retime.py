@@ -87,12 +87,34 @@ def _idle_probe() -> float:
 _PROBE_IDLE = 0.08
 
 
+def _memo_state(spark, sf_dir: str) -> dict:
+    """Staging-memo warmth at re-time (VERDICT r15 #3): staged-family
+    consumers (the shingle/MinHash/IVF×PQ/BPE queries) read shared
+    artifacts from plans/staging.py's memo, and their quiet-band
+    floors were recorded mid-bench with the memo WARM — so a re-time
+    against a cold memo legitimately pays the one-off staging build
+    (observed: dedup_containment_ngram re-timing clean-probed at 1.6×
+    its band while a warm-memo re-time of the same code sat below the
+    floor). Recording the state per requalified row lets the band
+    adjudication rule compare like with like instead of misreading a
+    cold build as a plan regression."""
+    try:
+        from bigdata_riveranalysis_spark.plans.staging import memo_entries
+
+        n = memo_entries(spark, sf_dir)
+        return {"memo_entries": n, "memo_warm": n > 0}
+    except Exception:  # noqa: BLE001 - introspection only, never abort
+        return {}
+
+
 def _attempt(spark, sf_dir: str, fn, runs: int) -> dict:
-    """One isolated re-time attempt: probe + loadavg before, warm-up,
-    ``runs`` timed cache-cleared executions, probe after."""
+    """One isolated re-time attempt: probe + loadavg + staging-memo
+    state before, warm-up, ``runs`` timed cache-cleared executions,
+    probe after."""
     rec: dict = {
         "probe_sec": _idle_probe(),
         "loadavg_1m": round(os.getloadavg()[0], 2),
+        **_memo_state(spark, sf_dir),
     }
     rts: list[float] = []
     try:
@@ -191,4 +213,31 @@ def requalify(
         if hot_tries:
             rec["attempts_probe_hot"] = hot_tries
         out[name] = rec
+    # End-of-pass retry for rows that stayed inconclusive (VERDICT r15
+    # #5): a contention burst that contaminated one row's whole attempt
+    # budget mid-pass has usually moved on by the time every other
+    # flagged row has been re-timed, so each inconclusive row gets ONE
+    # more clean-or-nothing attempt at the end. A clean late attempt
+    # REPLACES the contaminated record (marked ``late_retry`` so the
+    # evidence shows when it was taken); a still-hot one only bumps the
+    # hot-attempt counter — the inconclusive marker stays honest.
+    for name in [n for n, r in out.items() if r.get("inconclusive")]:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        att = _attempt(spark, sf_dir, fn, runs)
+        prior = out[name]
+        if max(att["probe_sec"], att["probe_sec_after"]) <= probe_idle:
+            out[name] = {
+                "band": prior["band"],
+                "bench_min": prior["bench_min"],
+                "ratio": prior["ratio"],
+                **att,
+                "attempts_probe_hot": prior.get("attempts_probe_hot", 0),
+                "late_retry": True,
+            }
+        else:
+            prior["attempts_probe_hot"] = (
+                prior.get("attempts_probe_hot", 0) + 1
+            )
     return out
