@@ -266,7 +266,7 @@ def main() -> None:
         "q5_region_volume",
         "window_running_total",
         "topk_orders_per_segment",
-        "events_sessionize",
+        "stream_session_fold_ttl",
         "sensor_gapfill_ffill",
         "dedup_exact",
         "dedup_minhash_lsh",

@@ -19,7 +19,7 @@ from pyspark.sql import types as T
 
 from bigdata_riveranalysis_spark.functions import exact as EX
 from bigdata_riveranalysis_spark.plans import scale as SC
-from bigdata_riveranalysis_spark.plans.registry import query
+from bigdata_riveranalysis_spark.plans.registry import query, retired_query
 from bigdata_riveranalysis_spark.sources.tables import load_table
 
 #: Explicit schema for the ``props`` JSON payload — declared, not
@@ -87,7 +87,7 @@ def events_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(
     "events_sessionize",
     oracle=f"""
     WITH flagged AS (
@@ -122,6 +122,15 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Classic lag + cumulative-sum pattern (batch twin of streaming
     ``session_window``). Gap arithmetic is integer microseconds so
     the oracle comparison is exact.
+
+    RETIRED r16 (slot plan, VERDICT r15 #4): its verified surface —
+    gaps-and-islands session assignment with the strict ``> gap``
+    boundary and exact cents sums — is subsumed three ways by
+    registered siblings: stream_session_windows (native session
+    windows), stream_session_fold_ttl (whose ORACLE is this very
+    gaps-and-islands SQL, plus the event-time-timeout flush this demo
+    can't express), and the cents-identity aggregate family. Stays
+    oracle-verified on every pytest run (tests/test_retired_queries).
     """
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")

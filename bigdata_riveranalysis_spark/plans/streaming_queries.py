@@ -661,3 +661,91 @@ def stream_feature_map_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = feature_map_bundle(_events_stream(spark, sf_dir))
     return _run_stream(out, spark, "append", "feature_map_state")
+
+
+@query(
+    "stream_session_fold_ttl",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), grouped AS (
+        SELECT user_id, event_id, ts,
+               CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_no
+        FROM flagged
+    ), ranked AS (
+        SELECT user_id, sess_no, event_id,
+               row_number() OVER (PARTITION BY user_id, sess_no
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM grouped
+    ), sess AS (
+        SELECT user_id, sess_no,
+               min(ts) AS start_ts,
+               max(ts) AS end_ts,
+               count(*) AS n_events
+        FROM grouped GROUP BY user_id, sess_no
+    ), last_no AS (
+        SELECT user_id, max(sess_no) AS mx FROM grouped GROUP BY user_id
+    ), wm AS (
+        -- Spark's watermark after the single availableNow batch:
+        -- floor_ms(max event time) - delay (both sides epoch ms)
+        SELECT epoch_ms(max(ts)) - 600000 AS wm_ms FROM events
+    )
+    SELECT s.user_id,
+           strftime(s.start_ts, '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(s.end_ts, '%Y-%m-%d %H:%M:%S')   AS session_end,
+           s.n_events,
+           r.event_id AS last_event_id,
+           CASE WHEN s.sess_no < ln.mx THEN 'gap' ELSE 'timeout' END AS close_reason
+    FROM sess s
+    JOIN ranked r ON r.user_id = s.user_id AND r.sess_no = s.sess_no AND r.rn = 1
+    JOIN last_no ln ON ln.user_id = s.user_id
+    CROSS JOIN wm
+    WHERE s.sess_no < ln.mx
+       OR epoch_ms(s.end_ts) + 1800000 < wm.wm_ms
+    """,
+)
+def stream_session_fold_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-TIME state TTL (GroupStateTimeout.EventTimeTimeout) —
+    the 150th-slot operator class (VERDICT r15 #4): per-user
+    sessionization where the still-open session is held in the state
+    store with its timeout keyed to the WATERMARK
+    (streaming/stateful.py::session_fold_event_ttl). In-batch gaps
+    > 30 min close sessions inline (close_reason 'gap'); the open
+    session is flushed by the state timeout when the watermark passes
+    last event + 30 min (close_reason 'timeout'); a session the final
+    watermark never reaches stays open and unreported. This is the
+    production idle-entity expiry shape the r15 ProcessingTimeTimeout
+    switch cannot register — event time, not wall time, drives
+    expiry, so the availableNow drain is deterministic and
+    oracle-checkable.
+
+    Why the oracle is exact: with the whole fixture in one
+    availableNow batch, the engine folds each user's events in global
+    (ts, event_id) order — sessions equal the gaps-and-islands CTE —
+    and the emitted subset is decided by Spark's measured timeout
+    boundary (pinned by tests/test_r16_fixes.py): a state times out
+    iff ``floor_ms(last) + gap < floor_ms(max ts) - delay`` STRICTLY
+    (equality stays open — the knife edge the pin plants). Every
+    output column is an integer, a second-truncated timestamp string,
+    or a category — no float freedom anywhere.
+
+    Scale: state is one 4-long struct per OPEN session, evicted by
+    the watermark — bounded by concurrently-active users × gap
+    horizon, not by stream length; partitioned by user_id like any
+    shuffle. The retired batch twin (events_sessionize, r16 slot
+    plan) keeps the pure-SQL formulation pytest-verified."""
+    from bigdata_riveranalysis_spark.streaming.stateful import (
+        session_fold_event_ttl,
+    )
+
+    out = session_fold_event_ttl(
+        _events_stream(spark, sf_dir),
+        gap_minutes=30,
+        watermark_delay="10 minutes",
+    )
+    return _run_stream(out, spark, "append", "session_fold_ttl")

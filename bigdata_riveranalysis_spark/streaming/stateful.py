@@ -217,6 +217,162 @@ def feature_map_bundle(events: DataFrame, *, ttl_ms: int | None = None) -> DataF
     )
 
 
+SESSION_FOLD_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.StringType()),
+        T.StructField("session_end", T.StringType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("last_event_id", T.LongType()),
+        T.StructField("close_reason", T.StringType()),
+    ]
+)
+
+#: Open-session state: (start, last) event times in epoch µs (stored
+#: as longs — no tz ambiguity through the Arrow state boundary),
+#: event count, and the id of the latest event (by (ts, event_id)).
+SESSION_FOLD_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("last_event_id", T.LongType()),
+    ]
+)
+
+
+def _fmt_us(us: int) -> str:
+    import datetime as _dt
+
+    return _dt.datetime.fromtimestamp(
+        us // 1_000_000, tz=_dt.timezone.utc
+    ).strftime("%Y-%m-%d %H:%M:%S")
+
+
+def session_fold_event_ttl(
+    events: DataFrame,
+    *,
+    gap_minutes: int = 30,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Per-user sessionization with an EVENT-TIME state TTL
+    (``GroupStateTimeout.EventTimeTimeout``) — the production expiry
+    shape the r15 ProcessingTimeTimeout mode can't register (its
+    docstring documents the availableNow incompatibility): here expiry
+    is driven by the WATERMARK, i.e. by data progress, so it is
+    replayable, deterministic, and terminates under availableNow (a
+    cleanup batch runs only while the watermark advances).
+
+    Semantics: events fold per user in (ts, event_id) order within a
+    batch, arrival order across batches. A gap STRICTLY greater than
+    ``gap_minutes`` closes the open session inline (``close_reason =
+    'gap'`` — same strict-> convention as the batch events_sessionize
+    twin, fuzz-planted at the exact threshold). The still-open session
+    is held in the state store with its timeout set to ``last event +
+    gap``; when the watermark passes that instant the state times out
+    and the session is emitted from the ``hasTimedOut`` branch
+    (``close_reason = 'timeout'``) — exactly how a production
+    event-time pipeline flushes idle entities without wall-clock
+    coupling. A session whose timeout the final watermark never passes
+    stays open (unreported) — deterministic given the input, which is
+    what makes the availableNow drain oracle-checkable.
+
+    Spark's boundary semantics (pinned by tests/test_r16_fixes.py):
+    state times out when ``timeout < watermark`` STRICTLY, with both
+    sides in epoch ms — the timeout set here truncates the µs event
+    time to ms (``last_us // 1000``), and the watermark is
+    ``floor_ms(max event time) - delay``. An event landing so that
+    ``timeout == watermark`` does NOT expire — the oracle twin
+    replicates the exact inequality on ``epoch_ms`` values.
+
+    Timeout-in-the-past guard: a key receiving LATE (within-watermark)
+    data may fold to ``last + gap <= current watermark``;
+    setTimeoutTimestamp rejects past instants, so the target is
+    clamped to ``watermark + 1 ms`` — the session then expires at the
+    next watermark advance, which is the correct meaning of "already
+    expired".
+
+    Scale: state is one 4-long struct per OPEN session (bounded by
+    active keys, not stream length — the TTL is what evicts idle
+    keys), partitioned by user_id; emission is append-mode and
+    watermark-bounded like any production sessionizer.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+    gap_ms = gap_minutes * 60 * 1_000
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, last_us, n, last_eid = state.get
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [_fmt_us(start_us)],
+                    "session_end": [_fmt_us(last_us)],
+                    "n_events": [n],
+                    "last_event_id": [last_eid],
+                    "close_reason": ["timeout"],
+                }
+            )
+            state.remove()
+            return
+        cur = list(state.get) if state.exists else None
+        closed: list[tuple[int, int, int, int]] = []
+        chunks = list(pdfs)
+        if chunks:
+            # concat before sorting — same Arrow-chunk-boundary rule as
+            # the siblings above (chunk-local sorts would fold in
+            # chunk-arrival order and diverge from the defined chain).
+            pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+            pdf = pdf.sort_values(["ts", "event_id"])
+            ts_us = (pdf["ts"].astype("int64") // 1_000).to_numpy()
+            eids = pdf["event_id"].to_numpy()
+            for t, eid in zip(ts_us, eids):
+                t, eid = int(t), int(eid)
+                if cur is None:
+                    cur = [t, t, 1, eid]
+                elif t - cur[1] > gap_us:
+                    closed.append(tuple(cur))
+                    cur = [t, t, 1, eid]
+                else:
+                    # max(): a LATE within-watermark event folds into
+                    # the open session without moving its end backward
+                    cur[0] = min(cur[0], t)
+                    if t >= cur[1]:
+                        cur[1], cur[3] = t, eid
+                    cur[2] += 1
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": user_id,
+                    "session_start": [_fmt_us(s[0]) for s in closed],
+                    "session_end": [_fmt_us(s[1]) for s in closed],
+                    "n_events": [s[2] for s in closed],
+                    "last_event_id": [s[3] for s in closed],
+                    "close_reason": "gap",
+                }
+            )
+        if cur is not None:
+            state.update(tuple(cur))
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(cur[1] // 1_000 + gap_ms, wm_ms + 1))
+
+    return (
+        events.select("user_id", "event_id", "ts")
+        .withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_FOLD_OUTPUT_SCHEMA,
+            stateStructType=SESSION_FOLD_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def ewma_with_spikes(
     events: DataFrame,
     *,

@@ -347,6 +347,137 @@ def test_migrate_state_keys_rewrites_legacy_formats():
 # ---------------------------------------------------------------------------
 
 
+def _replay_session_batches(spark, tmp_path, batches, *, name, timeout=180):
+    """One JSON file per micro-batch through session_fold_event_ttl
+    (gap 30 min, watermark delay 10 min) into a memory sink under
+    availableNow; returns the collected rows. Termination itself is an
+    assertion: EventTimeTimeout MUST drain (cleanup batches run only
+    while the watermark advances) — the exact property that makes this
+    timeout mode registrable where ProcessingTimeTimeout is not."""
+    import time
+
+    from bigdata_riveranalysis_spark.streaming.sources import file_json_stream
+    from bigdata_riveranalysis_spark.streaming.stateful import (
+        session_fold_event_ttl,
+    )
+
+    src = tmp_path / f"src_{name}"
+    src.mkdir()
+    t0 = time.time() - len(batches)
+    for i, rows in enumerate(batches):
+        p = src / f"batch_{i:03d}.json"
+        p.write_text("\n".join(rows) + "\n")
+        os.utime(p, (t0 + i, t0 + i))
+    stream = file_json_stream(spark, str(src), max_files_per_trigger=1)
+    out = session_fold_event_ttl(
+        stream, gap_minutes=30, watermark_delay="10 minutes"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(timeout), (
+            "EventTimeTimeout availableNow drain must terminate"
+        )
+    finally:
+        q.stop()
+    return sorted(
+        spark.table(name).collect(),
+        key=lambda r: (r.user_id, r.session_start),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 8. EventTimeTimeout session fold: measured boundary semantics
+# ---------------------------------------------------------------------------
+
+
+def test_session_fold_event_ttl_timeout_boundary(spark, tmp_path):
+    """The measured Spark semantics the registered oracle replicates:
+    state times out iff floor_ms(last)+gap < floor_ms(max ts)-delay
+    STRICTLY — equality stays open (knife-edge planted to the
+    millisecond on both sides of the boundary), sub-ms components
+    truncate, in-batch gaps close inline, and the open session the
+    final watermark never reaches is unreported."""
+    rows = _replay_session_batches(
+        spark,
+        tmp_path,
+        [
+            [
+                # u1: session ends 00:10 -> timeout 00:40 << wm -> emitted
+                _ev(1, "2024-01-01 00:00:00", 1, "view"),
+                _ev(2, "2024-01-01 00:10:00", 1, "view"),
+                # u2 knife-edge: floor_ms(09:20:00.000500)+30min ==
+                # floor_ms(10:00:00.000999)-10min -> equality -> OPEN
+                _ev(3, "2024-01-01 09:20:00.000500", 2, "view"),
+                # u3: 1 ms inside the boundary -> emitted
+                _ev(4, "2024-01-01 09:19:59.999", 3, "view"),
+                # u4: 60-min in-batch gap -> first session closes 'gap'
+                _ev(5, "2024-01-01 01:00:00", 4, "view"),
+                _ev(6, "2024-01-01 02:00:00", 4, "view"),
+                # u9 anchor sets wm = floor_ms(10:00:00.000999) - 10 min
+                _ev(9, "2024-01-01 10:00:00.000999", 9, "view"),
+            ]
+        ],
+        name="r16_sess_edge",
+    )
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events,
+         r.last_event_id, r.close_reason)
+        for r in rows
+    }
+    assert got == {
+        (1, "2024-01-01 00:00:00", "2024-01-01 00:10:00", 2, 2, "timeout"),
+        (3, "2024-01-01 09:19:59", "2024-01-01 09:19:59", 1, 4, "timeout"),
+        (4, "2024-01-01 01:00:00", "2024-01-01 01:00:00", 1, 5, "gap"),
+        (4, "2024-01-01 02:00:00", "2024-01-01 02:00:00", 1, 6, "timeout"),
+    }, got
+
+
+def test_session_fold_event_ttl_multi_batch(spark, tmp_path):
+    """Across micro-batches: the watermark advanced by batch 2's data
+    fires batch-1 sessions' timeouts in the cleanup batch; a late
+    (within-watermark) event folds into the open session WITHOUT
+    moving its end backward; the final open sessions stay unreported."""
+    rows = _replay_session_batches(
+        spark,
+        tmp_path,
+        [
+            [
+                _ev(1, "2024-01-01 00:00:00", 1, "view"),
+                _ev(2, "2024-01-01 00:00:00", 2, "view"),
+                _ev(3, "2024-01-01 01:00:00", 4, "view"),
+            ],
+            [
+                # u2's 5h-later event: closes its first session 'gap',
+                # and its ts advances the watermark to 04:50 so u1's
+                # (timeout 00:30) and u4's (timeout 01:30 after the
+                # late fold) sessions expire in the cleanup batch
+                _ev(4, "2024-01-01 05:00:00", 2, "view"),
+                # u4 late-but-within-watermark event (00:55 > batch-2
+                # late-event watermark 23:50): folds in, session
+                # becomes 00:55 -> 01:00 with the END unchanged
+                _ev(5, "2024-01-01 00:55:00", 4, "view"),
+            ],
+        ],
+        name="r16_sess_multi",
+    )
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events,
+         r.last_event_id, r.close_reason)
+        for r in rows
+    }
+    assert got == {
+        (1, "2024-01-01 00:00:00", "2024-01-01 00:00:00", 1, 1, "timeout"),
+        (2, "2024-01-01 00:00:00", "2024-01-01 00:00:00", 1, 2, "gap"),
+        (4, "2024-01-01 00:55:00", "2024-01-01 01:00:00", 2, 3, "timeout"),
+    }, got
+
+
 def test_feature_map_bundle_data_beats_expired_ttl(spark, tmp_path):
     """The knife-edge the r15 expire-then-rebuild test couldn't reach:
     by the time batch 2 processes, user 1's 1 ms TTL has long expired —

@@ -30,14 +30,17 @@ def _rows(cols, rows) -> list[tuple]:
 
 
 def test_retired_tier_is_the_agreed_headroom():
-    """Headroom ≥ 1 under the 150 cap (the r15 slot plan: VERDICT r14
-    #4 funded one of the two held slots for the curation acceptance
-    composition — curation_acceptance_summary — and the last slot is
-    held deliberately), and every retired query keeps an oracle (a
-    rows-only retired query would be verified by nothing)."""
+    """Headroom ≥ 1 under the 150 cap (the r16 slot plan: VERDICT r15
+    #4's held slot was funded BY DISPLACEMENT — the new semantic
+    class stream_session_fold_ttl (EventTimeTimeout stateful state)
+    registered while its subsumed batch twin events_sessionize moved
+    to the retired tier, so the registry stays at 149 and the 3-round
+    rotation keeps one slot of slack), and every retired query keeps
+    an oracle (a rows-only retired query would be verified by
+    nothing)."""
     assert len(REGISTRY) <= 149, (
         f"{len(REGISTRY)} registered queries leaves < 1 slot of "
-        f"headroom under the 150-slot cadence cap (r15 slot plan)"
+        f"headroom under the 150-slot cadence cap (r16 slot plan)"
     )
     assert len(RETIRED) >= 5
     assert not (set(RETIRED) & set(REGISTRY))
