@@ -69,6 +69,20 @@ _INDEX_MEMO: dict[tuple[str, str, str], DataFrame] = {}
 _LOCK = _threading.Lock()
 _KEY_LOCKS: dict[tuple[str, str, str], _threading.RLock] = {}
 
+#: Bumped by clear_index_memo under _LOCK. A build inserts its frame
+#: only if the generation is unchanged from when its stage() call
+#: began: a clear that lands mid-build (the corpus was rewritten in
+#: place — the documented reason clear exists) invalidates that
+#: build's INSERT, so a post-clear stage() never reads a frame
+#: derived from pre-clear data out of the memo. The in-flight builder
+#: itself still returns its frame — its call happened-before the
+#: clear, so pre-clear data is the linearizable answer for it. This
+#: is the companion to retaining _KEY_LOCKS across clears (ADVICE
+#: r15): the lock retention prevents duplicate CONCURRENT builds; the
+#: generation guard prevents the retained lock from handing a
+#: post-clear caller the pre-clear build's stale artifact.
+_GENERATION = 0
+
 
 def _is_lineage_cut(df: DataFrame) -> bool:
     """True iff the frame's analyzed plan is a checkpoint scan
@@ -169,6 +183,7 @@ def stage(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
         df = _INDEX_MEMO.get(key)
         if df is not None:
             return df
+        gen = _GENERATION
         klock = _KEY_LOCKS.setdefault(key, _threading.RLock())
     # The build runs under the KEY's lock only (ADVICE r14): same-key
     # racers block until the one build lands; different-key requests
@@ -203,7 +218,14 @@ def stage(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
             # keeping them forever is the correct trade.
             for k in [k for k in _INDEX_MEMO if k[0] != key[0]]:
                 del _INDEX_MEMO[k]
-            _INDEX_MEMO[key] = df
+            # Generation guard (see _GENERATION): a clear_index_memo
+            # that landed after this stage() call began means the
+            # corpus may have been rewritten under this build — the
+            # frame is correct for THIS caller (whose call preceded
+            # the clear) but must not enter the memo, where a
+            # post-clear caller would read it as current.
+            if _GENERATION == gen:
+                _INDEX_MEMO[key] = df
     return df
 
 
@@ -247,7 +269,9 @@ def clear_index_memo() -> None:
     none) is therefore best-effort deleted through the Hadoop
     FileSystem API, so HDFS/S3 paths clean up the same way local ones
     do (pinned by tests/test_r15_fixes.py)."""
+    global _GENERATION
     with _LOCK:
+        _GENERATION += 1  # invalidate in-flight builds' memo inserts
         for df in _INDEX_MEMO.values():
             try:
                 rdd = df._jdf.queryExecution().analyzed().rdd()

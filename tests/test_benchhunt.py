@@ -46,6 +46,24 @@ def test_score_prefers_quiet_over_fast():
     quiet_slow = score(_bench(120.0, [0.9, 0.03, 0.04, 0.03]))
     fast_noisy = score(_bench(110.0, [0.9, 0.12, 0.11, 0.13]))
     assert quiet_slow < fast_noisy
+    assert quiet_slow[0] == 0 and fast_noisy[0] == 1, (
+        "penalty element is record_band's shared gate verdict"
+    )
+
+
+def test_score_penalizes_steady_peak_and_loadavg_excursions():
+    # record_band's OTHER gates, not just the median (review r16): a
+    # quiet-median run with one steady neighbor-stall peak (>0.5) or
+    # a loadavg excursion (>12) must rank below a fully recordable
+    # run, even one with a slower total.
+    peaky = _bench(110.0, [0.9, 0.03, 0.03, 0.6])
+    clean = _bench(125.0, [0.9, 0.04, 0.04, 0.04])
+    assert score(peaky)[0] == 1 and score(clean)[0] == 0
+    assert score(clean) < score(peaky)
+    loaded = _bench(110.0, [0.9, 0.03, 0.03, 0.03])
+    for s in loaded["noise"]:
+        s["loadavg_1m"] = 20.0
+    assert score(loaded)[0] == 1
 
 
 def test_score_rejects_runs_with_errors():
@@ -103,8 +121,28 @@ def test_hunt_waits_out_steal_window_then_stops_at_target(tmp_path):
     )
     best = box.hunt(attempts=6, hours=2.5)
     assert best["attempt"] == 1
-    assert best["score"][0] == pytest.approx(0.034)
+    assert best["score"][0] == 0, "early stop requires a recordable run"
+    assert best["score"][1] == pytest.approx(0.034)
     assert not box.runs, "stopped after the band-quality attempt"
+
+
+def test_hunt_no_early_stop_on_quiet_median_with_steady_peak(tmp_path):
+    # A run whose steady MEDIAN meets the target but whose steady peak
+    # record_band would refuse (0.6 > 0.5) must NOT stop the hunt
+    # (review r16) — the next, fully recordable attempt stops it and
+    # wins the restore.
+    box = _Box(
+        tmp_path,
+        probes=[0.03, 0.03],
+        runs=[
+            (110.0, [0.9, 0.03, 0.03, 0.6]),
+            (120.0, [0.9, 0.04, 0.04, 0.04]),
+        ],
+    )
+    best = box.hunt(attempts=6, hours=2.5)
+    assert best["attempt"] == 2, "peaky attempt must not early-stop or win"
+    with open(box.bench_path) as fh:
+        assert json.load(fh)["value"] == 120.0
 
 
 def test_hunt_restores_best_attempt_not_last(tmp_path):

@@ -107,11 +107,16 @@ def test_no_uuid_scatter_across_materializations(spark, tmp_path, monkeypatch):
 # ---------------------------------------------------------------------------
 
 
-def test_clear_during_inflight_build_does_not_duplicate_build(spark):
+def test_clear_during_inflight_build_serializes_and_rebuilds(spark):
     """clear_index_memo() while a build holds its key lock: a same-key
-    stage() arriving AFTER the clear must block on the SAME lock and
-    reuse the first build's result — not mint a fresh lock and run a
-    duplicate concurrent build (ADVICE r15)."""
+    stage() arriving AFTER the clear must block on the SAME lock (no
+    duplicate CONCURRENT build — ADVICE r15's lock retention), and
+    then REBUILD rather than reuse the in-flight build's result — a
+    clear means the corpus may have been rewritten, so the pre-clear
+    build's artifact would be stale for every post-clear caller
+    (review r16; the generation guard skips the pre-clear build's
+    memo insert). The pre-clear caller itself keeps its own result:
+    its call happened-before the clear."""
     from bigdata_riveranalysis_spark.plans import staging as S
 
     S.clear_index_memo()
@@ -120,34 +125,65 @@ def test_clear_during_inflight_build_does_not_duplicate_build(spark):
     release_build = threading.Event()
 
     def slow_build():
-        builds.append("x")
-        build_started.set()
-        assert release_build.wait(timeout=30), "test deadlock"
+        builds.append(threading.current_thread().name)
+        if len(builds) == 1:
+            build_started.set()
+            assert release_build.wait(timeout=30), "test deadlock"
         return spark.range(7)
 
-    results: list = []
+    results: dict = {}
 
-    def first():
-        results.append(S.stage(spark, SF_SMOKE, "r16_clear_race", slow_build))
+    def staged():
+        results[threading.current_thread().name] = S.stage(
+            spark, SF_SMOKE, "r16_clear_race", slow_build
+        )
 
-    t1 = threading.Thread(target=first)
+    t1 = threading.Thread(target=staged, name="pre-clear")
     t1.start()
     assert build_started.wait(timeout=30)
     S.clear_index_memo()  # mid-build clear — must NOT drop the key lock
 
-    def second():
-        results.append(S.stage(spark, SF_SMOKE, "r16_clear_race", slow_build))
-
-    t2 = threading.Thread(target=second)
+    t2 = threading.Thread(target=staged, name="post-clear")
     t2.start()
-    # the second stage must be BLOCKED behind the in-flight build
+    # the second stage must be BLOCKED behind the in-flight build —
+    # never a concurrent duplicate on a freshly-minted lock
     t2.join(timeout=1.0)
     assert t2.is_alive(), "second stage must wait on the in-flight key lock"
     release_build.set()
     t1.join(timeout=30)
     t2.join(timeout=30)
-    assert len(builds) == 1, "the build must run exactly once across the clear"
-    assert len(results) == 2 and results[0] is results[1]
+    assert builds == ["pre-clear", "post-clear"], (
+        "post-clear stage must rebuild (stale pre-clear artifact must "
+        "not be served), serialized behind the in-flight build"
+    )
+    assert results["pre-clear"] is not results["post-clear"]
+    # the post-clear build IS memoized for subsequent callers
+    third = S.stage(
+        spark, SF_SMOKE, "r16_clear_race", lambda: spark.range(99)
+    )
+    assert third is results["post-clear"], (
+        "a follow-up stage must hit the post-clear memo entry"
+    )
+    assert len(builds) == 2
+    S.clear_index_memo()
+
+
+def test_clear_generation_skips_only_preclear_insert(spark):
+    """The generation guard is scoped to builds that STARTED before
+    the clear: a stage() beginning after the clear memoizes normally
+    (its insert carries the current generation)."""
+    from bigdata_riveranalysis_spark.plans import staging as S
+
+    S.clear_index_memo()
+    a = S.stage(spark, SF_SMOKE, "r16_gen_scope", lambda: spark.range(3))
+    b = S.stage(spark, SF_SMOKE, "r16_gen_scope", lambda: spark.range(4))
+    assert b is a, "same-generation stage must hit the memo"
+    S.clear_index_memo()
+    c = S.stage(spark, SF_SMOKE, "r16_gen_scope", lambda: spark.range(5))
+    d = S.stage(spark, SF_SMOKE, "r16_gen_scope", lambda: spark.range(6))
+    assert c is not a and d is c, (
+        "post-clear stage rebuilds once and memoizes for followers"
+    )
     S.clear_index_memo()
 
 
@@ -233,6 +269,71 @@ def test_record_band_merge_min_replaces_zero_floor(tmp_path):
     assert band["a"]["min"] == 0.1, "a real tighter prior floor still wins"
 
 
+def test_record_band_merge_min_keeps_positive_prior_over_zero_run(tmp_path):
+    """The mirror image of the zero-floor repair (review r16): a
+    qualifying run whose timing for a query ROUNDED TO 0.0 (the same
+    sub-millisecond pathology, current-side) must not replace a real
+    positive prior floor — that would plant the un-flaggable zero the
+    repair guard exists to remove, violating 'floors only ratchet
+    down' (down means toward real timings, not toward zero)."""
+    import json
+    import shutil
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tmp = str(tmp_path / "rbzc")
+    os.makedirs(os.path.join(tmp, "tools"), exist_ok=True)
+    shutil.copy(
+        os.path.join(repo, "tools", "record_band.py"),
+        os.path.join(tmp, "tools", "record_band.py"),
+    )
+    with open(os.path.join(tmp, "BENCH.json"), "w") as f:
+        json.dump(
+            {
+                "value": 1.0,
+                "sf": 0.1,
+                # a: run rounds to zero, prior is real; b: both zero
+                "queries": {"a": 0.0, "b": 0.0},
+                "loadavg_at_min": {"a": 5.0, "b": 5.0},
+                "noise": [
+                    {"pass": 2, "loadavg_1m": 5.0, "probe_sec": 0.03},
+                    {"pass": 3, "loadavg_1m": 5.0, "probe_sec": 0.035},
+                ],
+                "errors": {},
+            },
+            f,
+        )
+    with open(os.path.join(tmp, "QUIET_BAND.json"), "w") as f:
+        json.dump(
+            {
+                "queries": {
+                    "a": {"min": 0.1, "loadavg_at_min": 4.0},
+                    "b": {"min": 0.0, "loadavg_at_min": 4.0},
+                }
+            },
+            f,
+        )
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(tmp, "tools", "record_band.py"),
+            "t",
+            "--merge-min",
+        ],
+        capture_output=True,
+        text=True,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    band = json.load(open(os.path.join(tmp, "QUIET_BAND.json")))["queries"]
+    assert band["a"] == {"min": 0.1, "loadavg_at_min": 4.0}, (
+        "a zero-rounded run timing must not displace a real prior floor"
+    )
+    assert band["b"]["min"] == 0.0, (
+        "both-degenerate stays zero (and stays visible to zero_floor_rows)"
+    )
+
+
 # ---------------------------------------------------------------------------
 # 4. re-times record staging-memo warmth
 # ---------------------------------------------------------------------------
@@ -311,6 +412,49 @@ def test_requalify_late_retry_rescues_inconclusive(spark, monkeypatch):
     assert rec["probe_sec"] == 0.03 and rec["probe_sec_after"] == 0.03
     assert rec["band"] == 2.5 and rec["bench_min"] == 4.0 and rec["ratio"] == 1.6
     assert "retime_min" in rec
+
+
+def test_requalify_late_retry_errored_attempt_keeps_record(spark, monkeypatch):
+    """A late retry whose query execution ERRORS reads idle probes —
+    nothing ran — so it must NOT replace the contaminated-but-measured
+    in-loop record (review r16: the probe-only guard would have
+    produced a 'clean' requalification with no timing and no
+    inconclusive flag). The prior record survives intact, annotated
+    with the failed retry; the idle probes also must not bump the
+    hot-attempt counter."""
+    from tools.retime import requalify
+
+    calls = {"n": 0}
+
+    def flaky(spark_, sf_dir):
+        calls["n"] += 1
+        # runs=1 → 2 executions per attempt; 3 in-loop attempts = 6
+        # calls succeed, the late retry (calls 7+) raises.
+        if calls["n"] > 6:
+            raise RuntimeError("late-retry boom")
+        return _toy_query(spark_, sf_dir)
+
+    _patch_probes(
+        monkeypatch,
+        [0.30, 0.25, 0.12, 0.10, 0.40, 0.40, 0.03, 0.03],
+    )
+    rec = requalify(
+        spark,
+        SF_SMOKE,
+        {"toy": flaky},
+        {"toy": 2.5},
+        {"toy": 4.0},
+        runs=1,
+        attempts=3,
+    )["toy"]
+    assert rec["inconclusive"] is True, "contaminated record must survive"
+    assert "retime_min" in rec, "the least-bad in-loop measurement is kept"
+    assert rec["probe_sec"] == 0.12 and rec["probe_sec_after"] == 0.10
+    assert "late_retry" not in rec
+    assert "boom" in rec["late_retry_err"]
+    assert rec["attempts_probe_hot"] == 3, (
+        "an errored clean-probe retry is not a HOT attempt"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -13,9 +13,11 @@ pattern that worked both times:
    the BLAS thread-pool cold start ~0.17 s would otherwise fail an
    idle box on its first sample);
 2. after each run, read BENCH.json's own interleaved noise samples
-   and score the run by its STEADY (pass >= 2) probe median — the
-   same basis record_band gates on, so "the hunter is happy" and
-   "record_band will accept" agree by construction;
+   and score the run by its STEADY (pass >= 2) probe median; the
+   early-stop "band-quality" bar is record_band.disqualifiers()
+   ITSELF (the shared gate definition: median, steady peak, loadavg,
+   errors), so "the hunter is happy" and "record_band will accept"
+   agree by construction rather than by duplication;
 3. snapshot every attempt to ``--snapshot-dir`` and restore the best
    (lowest steady median, then lowest total) into BENCH.json; stop
    early the moment an attempt meets ``--target-probe``, the
@@ -40,9 +42,14 @@ import os
 import shutil
 import statistics
 import subprocess
+import sys
 import time
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from tools.record_band import disqualifiers as _disqualifiers  # noqa: E402
 
 
 def warm_probe_median(samples: int = 5, pause: float = 1.0) -> float:
@@ -79,14 +86,19 @@ def steady_median(bench: dict) -> float | None:
     return statistics.median(steady) if steady else None
 
 
-def score(bench: dict) -> tuple[float, float] | None:
-    """(steady probe median, total seconds) — lexicographic: a quieter
-    run beats a faster-but-contaminated one, because the band records
-    per-query floors, not the headline total."""
+def score(bench: dict) -> tuple[int, float, float] | None:
+    """(record_band penalty, steady probe median, total seconds) —
+    lexicographic: a run record_band would ACCEPT (penalty 0, judged
+    by the shared disqualifiers() gate: median, steady peak, loadavg,
+    errors) beats any run it would refuse, then quieter beats faster —
+    the band records per-query floors, not the headline total, so a
+    fast-but-contaminated run is worth less than a slow-but-quiet
+    one."""
     sm = steady_median(bench)
     if sm is None or bench.get("errors"):
         return None
-    return (sm, bench["value"])
+    penalty = 1 if _disqualifiers(bench) else 0
+    return (penalty, sm, bench["value"])
 
 
 def hunt(
@@ -106,11 +118,21 @@ def hunt(
     """Drive the hunt; returns the best attempt's record or None.
     ``run``/``probe``/``sleep``/``clock``/``bench_path`` are
     injectable for tests."""
-    run = run or (
-        lambda: subprocess.run(
+    def _run_bench() -> int:
+        r = subprocess.run(
             ["python", "bench.py"], cwd=_REPO, capture_output=True, text=True
-        ).returncode
-    )
+        )
+        if r.returncode != 0:
+            # The captured output is the ONLY diagnostic an unattended
+            # 2.5-hour hunt leaves behind (review r16) — surface it.
+            tail = (r.stderr or r.stdout or "").strip()[-2000:]
+            print(
+                f"[hunt] bench exit {r.returncode}; output tail:\n{tail}",
+                flush=True,
+            )
+        return r.returncode
+
+    run = run or _run_bench
     probe = probe or warm_probe_median
     bench_path = bench_path or os.path.join(_REPO, "BENCH.json")
     deadline = clock() + hours * 3600
@@ -135,15 +157,28 @@ def hunt(
         print(f"[hunt] attempt {attempt}: score={sc} snapshot={snap}", flush=True)
         if sc is not None and (best is None or sc < best["score"]):
             best = {"score": sc, "attempt": attempt, "snapshot": snap}
-        if sc is not None and sc[0] <= target_probe:
+        if sc is not None and sc[0] == 0 and sc[1] <= target_probe:
+            # Early stop only on a run record_band would actually
+            # accept — penalty 0 is the shared gate (median AND steady
+            # peak AND loadavg AND errors), not just the median
+            # (review r16: a run with one steady neighbor-stall peak
+            # passed the old median-only check here, then record_band
+            # refused it).
             print("[hunt] band-quality run achieved — stopping", flush=True)
             break
+        if sc is not None and sc[0] != 0:
+            print(
+                "[hunt] not recordable: "
+                + "; ".join(_disqualifiers(bench)),
+                flush=True,
+            )
         sleep(cooldown)
     if best:
         shutil.copy(best["snapshot"], bench_path)
         print(
             f"[hunt] BEST: attempt {best['attempt']} "
-            f"steady={best['score'][0]:.4f} total={best['score'][1]} "
+            f"recordable={best['score'][0] == 0} "
+            f"steady={best['score'][1]:.4f} total={best['score'][2]} "
             f"restored into BENCH.json",
             flush=True,
         )

@@ -51,6 +51,53 @@ import statistics
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def disqualifiers(
+    bench: dict,
+    max_load: float = 12.0,
+    max_probe: float = 0.05,
+    max_probe_peak: float = 0.5,
+) -> list[str]:
+    """Why this BENCH.json run may NOT be recorded as the band — empty
+    list means recordable. THE quiet-gate definition: main() applies
+    it, and tools/benchhunt.py imports it so "the hunter declared
+    band-quality" and "record_band accepts" cannot drift apart
+    (review r16: the hunter previously re-implemented only the median
+    gate, so a run with one steady neighbor-stall peak or a loadavg
+    excursion could stop the hunt yet be refused here).
+
+    Both probe gates apply to pass >= 2 ("steady") samples when the
+    run annotated its passes (bench.py r14): EVERY pass-1 probe races
+    the JVM's C2 compilation storm — the registered queries' first
+    whole-stage-codegen executions — and reads 0.26-1.2 s on a
+    provably idle box (replicated across four r14 runs; steady
+    samples sat at 0.028-0.21 in the same runs). That is self-load
+    the interleaved min-of-3 already tolerates, since a query's min
+    needs only one quiet pass, and pass-1 runs are JIT-inflated
+    regardless. Unannotated runs (older BENCH.json) keep the
+    all-samples gates."""
+    noise = bench.get("noise", [])
+    if not noise:
+        return ["no noise samples — not recordable"]
+    loads = [s["loadavg_1m"] for s in noise]
+    probes = [s["probe_sec"] for s in noise]
+    steady = [s["probe_sec"] for s in noise if s.get("pass", 2) != 1]
+    gate_probes = steady if steady else probes
+    med_probe = statistics.median(gate_probes)
+    bad = []
+    if max(loads) > max_load:
+        bad.append(f"loadavg_1m peaked at {max(loads)} > {max_load}")
+    if med_probe > max_probe:
+        bad.append(f"median dgemm probe {med_probe}s > {max_probe}s")
+    if max(gate_probes) > max_probe_peak:
+        bad.append(
+            f"dgemm probe peaked at {max(gate_probes)}s > {max_probe_peak}s "
+            f"(steady-state samples)"
+        )
+    if bench.get("errors"):
+        bad.append(f"run had errors: {sorted(bench['errors'])}")
+    return bad
+
+
 def main() -> int:
     # argparse, not hand-rolled argv scanning: `record_band.py
     # --max-load 20` must not silently record label='20' (review r13).
@@ -74,32 +121,13 @@ def main() -> int:
         return 1
     loads = [s["loadavg_1m"] for s in noise]
     probes = [s["probe_sec"] for s in noise]
-    # Both probe gates apply to pass ≥ 2 ("steady") samples when the
-    # run annotated its passes (bench.py r14): EVERY pass-1 probe
-    # races the JVM's C2 compilation storm — 148 queries' first
-    # whole-stage-codegen executions — and reads 0.26-1.2 s on a
-    # provably idle box (replicated across four r14 runs; steady
-    # samples sat at 0.028-0.21 in the same runs). That is self-load
-    # the interleaved min-of-3 already tolerates, since a query's min
-    # needs only one quiet pass, and pass-1 runs are JIT-inflated
-    # regardless. Unannotated runs (older BENCH.json) keep the
-    # all-samples gates.
+    # Gate rationale (pass-1 C2-storm exclusion etc.) lives on
+    # disqualifiers() — the shared definition benchhunt also uses.
     steady = [s["probe_sec"] for s in noise if s.get("pass", 2) != 1]
     gate_probes = steady if steady else probes
     med_probe = statistics.median(gate_probes)
     peak_probes = gate_probes
-    bad = []
-    if max(loads) > max_load:
-        bad.append(f"loadavg_1m peaked at {max(loads)} > {max_load}")
-    if med_probe > max_probe:
-        bad.append(f"median dgemm probe {med_probe}s > {max_probe}s")
-    if max(peak_probes) > max_probe_peak:
-        bad.append(
-            f"dgemm probe peaked at {max(peak_probes)}s > {max_probe_peak}s "
-            f"(steady-state samples)"
-        )
-    if bench.get("errors"):
-        bad.append(f"run had errors: {sorted(bench['errors'])}")
+    bad = disqualifiers(bench, max_load, max_probe, max_probe_peak)
     if bad:
         print("NOT quiet — refusing to record the band: " + "; ".join(bad))
         return 1
@@ -115,13 +143,22 @@ def main() -> int:
 
     def floor(name: str, t: float) -> dict:
         p = prior.get(name, {})
-        # A prior floor <= 0 is treated as ABSENT, not as "tighter"
-        # (ADVICE r15): 0.0 is the sub-millisecond-rounding pathology
-        # retime's zero_floor_rows machinery exists to surface, and
-        # `p["min"] < t` holds for 0.0 against every real timing — so
-        # merge mode would otherwise preserve a degenerate floor
-        # forever, the one case where a qualifying run SHOULD replace.
-        if args.merge_min and p.get("min") is not None and 0 < p["min"] < t:
+        # A floor <= 0 is DEGENERATE on either side (0.0 is the
+        # sub-millisecond-rounding pathology retime's zero_floor_rows
+        # machinery exists to surface). Prior side (ADVICE r15): a
+        # degenerate prior is treated as absent, never as "tighter" —
+        # `p["min"] < t` holds for 0.0 against every real timing, so
+        # merge mode would otherwise preserve it forever, the one
+        # case where a qualifying run SHOULD replace. Current side
+        # (review r16): a degenerate CURRENT timing must not replace
+        # a real positive prior either — floors only ratchet down to
+        # real timings, never to the un-flaggable zero.
+        if (
+            args.merge_min
+            and p.get("min") is not None
+            and p["min"] > 0
+            and (t <= 0 or p["min"] < t)
+        ):
             # keep the tighter prior floor AND its loadavg context
             return {"min": p["min"], "loadavg_at_min": p.get("loadavg_at_min")}
         return {"min": t, "loadavg_at_min": lam.get(name)}

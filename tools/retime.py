@@ -220,14 +220,21 @@ def requalify(
     # more clean-or-nothing attempt at the end. A clean late attempt
     # REPLACES the contaminated record (marked ``late_retry`` so the
     # evidence shows when it was taken); a still-hot one only bumps the
-    # hot-attempt counter — the inconclusive marker stays honest.
+    # hot-attempt counter — the inconclusive marker stays honest. The
+    # replacement also requires the retry to carry a REAL timing
+    # (review r16): an attempt whose fn() errored records only
+    # probes + err — its probes read idle because nothing ran, so
+    # without the retime_min guard it would replace the contaminated
+    # record with one that has no measurement AND no inconclusive
+    # flag: a "clean" requalification with zero timing evidence.
     for name in [n for n, r in out.items() if r.get("inconclusive")]:
         fn = qs.get(name)
         if fn is None:
             continue
         att = _attempt(spark, sf_dir, fn, runs)
         prior = out[name]
-        if max(att["probe_sec"], att["probe_sec_after"]) <= probe_idle:
+        clean = max(att["probe_sec"], att["probe_sec_after"]) <= probe_idle
+        if "retime_min" in att and clean:
             out[name] = {
                 "band": prior["band"],
                 "bench_min": prior["bench_min"],
@@ -236,8 +243,14 @@ def requalify(
                 "attempts_probe_hot": prior.get("attempts_probe_hot", 0),
                 "late_retry": True,
             }
-        else:
+        elif not clean:
             prior["attempts_probe_hot"] = (
                 prior.get("attempts_probe_hot", 0) + 1
             )
+        else:
+            # Clean probes but no timing — fn() errored, so nothing
+            # ran and the idle probes prove nothing. Keep the prior
+            # contaminated-but-measured record and note the failed
+            # retry; its probes were clean only because no work ran.
+            prior["late_retry_err"] = att.get("err", "no timing recorded")
     return out
