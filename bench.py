@@ -266,7 +266,7 @@ def main() -> None:
         "q5_region_volume",
         "window_running_total",
         "topk_orders_per_segment",
-        "stream_session_fold_ttl",
+        "events_sessionize",
         "sensor_gapfill_ffill",
         "dedup_exact",
         "dedup_minhash_lsh",
@@ -305,6 +305,10 @@ def main() -> None:
         "ann_ivf_pq",
         "map_functions_battery",
         "dedup_pipeline_summary",
+        # r16 addition — LAST on purpose: the over-budget trim pops
+        # from the tail, so a squeeze can only ever drop the new
+        # entry, never a name a prior round's stdout already carried.
+        "stream_session_fold_ttl",
     ]
     headline = {n: timings[n] for n in headline_names if n in timings}
     # Stdout carries a SUMMARY of the noise samples, not the array:

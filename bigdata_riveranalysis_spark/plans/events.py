@@ -87,7 +87,7 @@ def events_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@retired_query(
+@query(
     "events_sessionize",
     oracle=f"""
     WITH flagged AS (
@@ -123,14 +123,13 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``session_window``). Gap arithmetic is integer microseconds so
     the oracle comparison is exact.
 
-    RETIRED r16 (slot plan, VERDICT r15 #4): its verified surface —
-    gaps-and-islands session assignment with the strict ``> gap``
-    boundary and exact cents sums — is subsumed three ways by
-    registered siblings: stream_session_windows (native session
-    windows), stream_session_fold_ttl (whose ORACLE is this very
-    gaps-and-islands SQL, plus the event-time-timeout flush this demo
-    can't express), and the cents-identity aggregate family. Stays
-    oracle-verified on every pytest run (tests/test_retired_queries).
+    r16 note: the interrupted build briefly moved this query to the
+    retired tier to fund stream_session_fold_ttl by displacement.
+    The optimization round's driver contract forbids removing a
+    declared query (a disappeared name is a regression regardless of
+    speed), so it is RE-REGISTERED unchanged; the registry sits at
+    the 150 cap with both sessionizers declared (ceil(150/50) = 3
+    keeps the staleness bound exact).
     """
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
