@@ -90,7 +90,12 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_stream(
-    df: DataFrame, spark: SparkSession, output_mode: str, label: str
+    df: DataFrame,
+    spark: SparkSession,
+    output_mode: str,
+    label: str,
+    *,
+    python_stateful: bool = False,
 ) -> DataFrame:
     # Stateful streaming pins one state-store instance per shuffle
     # partition for the query's lifetime; each instance has per-batch
@@ -139,9 +144,30 @@ def _run_stream(
     # (unbounded session-lifetime growth; flagged in review).
     name = "stream_result_" + label
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    # Per-OPERATOR-CLASS sizing (r16, guide §1.2/§2): the two stateful
+    # operator classes bottleneck on different resources, so one
+    # number cannot serve both.
+    #   * JVM stateful aggregates (windows, dedup, stream-stream
+    #     joins): per-store maintenance dominates at this state volume
+    #     — measured r5: 64 parts 5× slower than 32, 16 → 7.2 s over
+    #     five stream queries, 8 → 5.3, 4 → 4.5 → parallelism // 8.
+    #   * applyInPandasWithState operators (python_stateful=True): the
+    #     per-group PYTHON fold dominates and each shuffle partition
+    #     is exactly one Python worker, so the low count starves the
+    #     worker pool. Measured r16 (sf0.1, min-of-3+, warm):
+    #     session_fold_ttl 4.56 s @4 → 3.21 @8 → 2.32-2.81 @16 → 2.94
+    #     @32; feature_map 3.12 @4 → 1.35 @16; ewma 1.86 @4 → 1.21
+    #     @16; the JVM windowed aggregate CONTROL measured the
+    #     opposite (0.89 @4 → 1.68 @16) → parallelism // 2.
+    # Both derive from defaultParallelism (the driver re-benches at
+    # lower core counts), and on a real cluster both are pinned per
+    # query to state volume — and, for the Python class, to
+    # executor-Python parallelism — since the count can't change
+    # across restarts of one checkpoint.
+    divisor = 2 if python_stateful else 8
     spark.conf.set(
         "spark.sql.shuffle.partitions",
-        str(max(4, spark.sparkContext.defaultParallelism // 8)),
+        str(max(4, spark.sparkContext.defaultParallelism // divisor)),
     )
     try:
         q = (
@@ -605,7 +631,7 @@ def stream_ewma_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ewma_with_spikes(
         _events_stream(spark, sf_dir), alpha=0.3, spike_ratio=3.0
     )
-    return _run_stream(out, spark, "append", "ewma_spikes")
+    return _run_stream(out, spark, "append", "ewma_spikes", python_stateful=True)
 
 
 @query(
@@ -660,7 +686,7 @@ def stream_feature_map_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_riveranalysis_spark.streaming.stateful import feature_map_bundle
 
     out = feature_map_bundle(_events_stream(spark, sf_dir))
-    return _run_stream(out, spark, "append", "feature_map_state")
+    return _run_stream(out, spark, "append", "feature_map_state", python_stateful=True)
 
 
 @query(
@@ -748,4 +774,4 @@ def stream_session_fold_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         gap_minutes=30,
         watermark_delay="10 minutes",
     )
-    return _run_stream(out, spark, "append", "session_fold_ttl")
+    return _run_stream(out, spark, "append", "session_fold_ttl", python_stateful=True)

@@ -249,6 +249,104 @@ def _fmt_us(us: int) -> str:
     ).strftime("%Y-%m-%d %H:%M:%S")
 
 
+def _fmt_us_arr(us):
+    """Vectorized `_fmt_us` over an int64 µs array (r16, guide §4.2:
+    the bench corpus closes ~99k sessions per batch and two
+    per-session `datetime.fromtimestamp().strftime()` calls were the
+    largest single cost of the fold). `datetime64[us] → [s]` truncates
+    with floor division exactly like `us // 1_000_000` (including
+    negative epochs — parity asserted in tests/test_r16_opt.py)."""
+    import numpy as _np
+
+    s = _np.datetime_as_string(
+        us.astype("datetime64[us]").astype("datetime64[s]"), unit="s"
+    )
+    return _np.char.replace(s, "T", " ")
+
+
+def _session_fold_group(
+    cur: list | None, ts_us, eids, gap_us: int
+) -> tuple:
+    """One group's session fold, vectorized (r16, guide §4.2: the
+    bench corpus closes ~99k sessions per batch and the per-event
+    Python loop here was the costliest Python stage of the whole
+    streaming tier). Integer numpy ops reproduce the sequential fold
+    bit-for-bit — pinned against a literal re-implementation of the
+    old loop by the fuzz-parity test in tests/test_r16_opt.py.
+
+    Inputs: ``cur`` = open-session state [start_us, last_us, n,
+    last_event_id] or None; ``ts_us``/``eids`` = the batch's rows
+    sorted by (ts, event_id), int64 µs / int64. Returns
+    ``(closed_start, closed_end, closed_n, closed_eid, new_cur)`` —
+    the closed arrays are None when no session closed.
+
+    Why one shifted-max reproduces the loop: with the batch sorted,
+    the sequential fold's running session end cur[1] is
+    max(prev ts, state_last) — before the first break nothing has
+    exceeded the stored last event yet, and after any break every ts
+    is > state_last + gap — so prev_eff = max(shift(ts), state_last)
+    holds globally and the strict ``> gap`` test vectorizes."""
+    import numpy as np
+
+    shifted = np.empty_like(ts_us)
+    shifted[1:] = ts_us[:-1]
+    if cur is not None:
+        shifted[0:1] = cur[1]
+        prev_eff = np.maximum(shifted, cur[1])
+    else:
+        shifted[0:1] = ts_us[0:1]  # first-ever event: no gap test
+        prev_eff = shifted
+    breaks = (ts_us - prev_eff) > gap_us
+    starts = np.flatnonzero(breaks)  # segment-start indices
+    if len(starts) and starts[0] == 0:
+        # breaks[0] (possible only with state) closes the STATE
+        # session — handled by the prepend below, not by an (empty)
+        # batch segment; batch segment 0 starts at row 0 regardless.
+        starts = starts[1:]
+    # Segment k spans [bounds[k], bounds[k+1]); segment 0 starts at
+    # row 0 (it continues the open state when one exists and
+    # breaks[0] is False).
+    bounds = np.concatenate(([0], starts, [len(ts_us)]))
+    first_idx = bounds[:-1]
+    last_idx = bounds[1:] - 1
+    seg_start = ts_us[first_idx]
+    seg_end = ts_us[last_idx]
+    seg_eid = eids[last_idx]
+    seg_n = (bounds[1:] - bounds[:-1]).astype("int64")
+    if cur is not None:
+        if breaks[0]:
+            # The first batch event breaks from the open session: the
+            # STATE session closes as-is, ahead of any batch-derived
+            # segment (the sequential loop appends it first).
+            seg_start = np.concatenate(([cur[0]], seg_start))
+            seg_end = np.concatenate(([cur[1]], seg_end))
+            seg_n = np.concatenate(([cur[2]], seg_n))
+            seg_eid = np.concatenate(([cur[3]], seg_eid))
+        else:
+            # Segment 0 continues the open session: start is the min
+            # (late events never move it forward), and the end/last-
+            # event pair only advance when the batch actually reaches
+            # the stored last event time (t >= cur[1]).
+            seg_start[0] = min(cur[0], int(seg_start[0]))
+            if int(seg_end[0]) < cur[1]:  # all rows late: keep state's
+                seg_end[0], seg_eid[0] = cur[1], cur[3]
+            seg_n[0] += cur[2]
+    # All segments but the last close inline ('gap'); the last
+    # becomes the new open-session state.
+    closed = (
+        (seg_start[:-1], seg_end[:-1], seg_n[:-1], seg_eid[:-1])
+        if len(seg_start) > 1
+        else (None, None, None, None)
+    )
+    new_cur = [
+        int(seg_start[-1]),
+        int(seg_end[-1]),
+        int(seg_n[-1]),
+        int(seg_eid[-1]),
+    ]
+    return (*closed, new_cur)
+
+
 def session_fold_event_ttl(
     events: DataFrame,
     *,
@@ -319,38 +417,28 @@ def session_fold_event_ttl(
             state.remove()
             return
         cur = list(state.get) if state.exists else None
-        closed: list[tuple[int, int, int, int]] = []
         chunks = list(pdfs)
+        closed_start = closed_end = closed_n = closed_eid = None
         if chunks:
             # concat before sorting — same Arrow-chunk-boundary rule as
             # the siblings above (chunk-local sorts would fold in
             # chunk-arrival order and diverge from the defined chain).
             pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
             pdf = pdf.sort_values(["ts", "event_id"])
+        if chunks and len(pdf):
             ts_us = (pdf["ts"].astype("int64") // 1_000).to_numpy()
             eids = pdf["event_id"].to_numpy()
-            for t, eid in zip(ts_us, eids):
-                t, eid = int(t), int(eid)
-                if cur is None:
-                    cur = [t, t, 1, eid]
-                elif t - cur[1] > gap_us:
-                    closed.append(tuple(cur))
-                    cur = [t, t, 1, eid]
-                else:
-                    # max(): a LATE within-watermark event folds into
-                    # the open session without moving its end backward
-                    cur[0] = min(cur[0], t)
-                    if t >= cur[1]:
-                        cur[1], cur[3] = t, eid
-                    cur[2] += 1
-        if closed:
+            closed_start, closed_end, closed_n, closed_eid, cur = (
+                _session_fold_group(cur, ts_us, eids, gap_us)
+            )
+        if closed_start is not None:
             yield pd.DataFrame(
                 {
                     "user_id": user_id,
-                    "session_start": [_fmt_us(s[0]) for s in closed],
-                    "session_end": [_fmt_us(s[1]) for s in closed],
-                    "n_events": [s[2] for s in closed],
-                    "last_event_id": [s[3] for s in closed],
+                    "session_start": _fmt_us_arr(closed_start),
+                    "session_end": _fmt_us_arr(closed_end),
+                    "n_events": closed_n,
+                    "last_event_id": closed_eid,
                     "close_reason": "gap",
                 }
             )
