@@ -1566,21 +1566,45 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_c",
         )
     )
-    n = base.agg(F.count("*").cast("long").alias("_N"))
-
-    def score(order: list, alias: str) -> DataFrame:
+    def score(args: tuple[list, str]) -> DataFrame:
+        # _totn (the grand-total count off two_level_prefix's P-row
+        # band table) replaces the former count-aggregate-of-base +
+        # crossJoin(broadcast) — one fewer job and broadcast exchange
+        # per branch for the identical integer (r16, guide §2.4).
+        order, alias = args
         ranked = SC.two_level_prefix(base, order)
-        return ranked.crossJoin(F.broadcast(n)).select(
+        return ranked.select(
             "c_custkey",
-            SC.ntile_from_rank(F.col("_rk"), F.col("_N"), 5)
+            SC.ntile_from_rank(F.col("_rk"), F.col("_totn"), 5)
             .cast("int")
             .alias(alias),
         )
 
+    # The three score branches are INDEPENDENT until the final join,
+    # but each two_level_prefix runs an EAGER localCheckpoint — built
+    # sequentially they serialize three small jobs while most of the
+    # cluster idles (guide §2.6: overlap independent jobs; measured
+    # r16 at sf0.1: build phase 1.21 s → 0.52 s, query 2.22 → 1.55 s).
+    # Each branch's plan — and therefore the final joined plan and
+    # every emitted row — is untouched; only the driver-side
+    # construction overlaps. inheritable_thread_target propagates the
+    # JVM thread-locals (job group/description) per the PySpark docs.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    specs = [
+        ([F.desc("recency_days"), F.asc("c_custkey")], "r_score"),
+        ([F.asc("frequency"), F.asc("c_custkey")], "f_score"),
+        ([F.asc("monetary_c"), F.asc("c_custkey")], "m_score"),
+    ]
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        r_sc, f_sc, m_sc = pool.map(inheritable_thread_target(score), specs)
+
     return (
-        base.join(score([F.desc("recency_days"), F.asc("c_custkey")], "r_score"), "c_custkey")
-        .join(score([F.asc("frequency"), F.asc("c_custkey")], "f_score"), "c_custkey")
-        .join(score([F.asc("monetary_c"), F.asc("c_custkey")], "m_score"), "c_custkey")
+        base.join(r_sc, "c_custkey")
+        .join(f_sc, "c_custkey")
+        .join(m_sc, "c_custkey")
         .select(
             "c_custkey",
             "recency_days",
@@ -1752,12 +1776,13 @@ def orders_price_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     base = orders.select("o_orderkey", "o_totalprice", EX.cents("o_totalprice").alias("price_c"))
     ranked = SC.two_level_prefix(base, [F.asc("price_c"), F.asc("o_orderkey")])
-    n = base.agg(F.count("*").cast("long").alias("_N"))
     return (
-        ranked.crossJoin(F.broadcast(n))
-        .withColumn(
+        # _totn from the banded pass replaces the former
+        # count-aggregate + crossJoin(broadcast) — one fewer job and
+        # broadcast exchange for the identical integer (r16, §2.4).
+        ranked.withColumn(
             "bucket",
-            SC.ntile_from_rank(F.col("_rk"), F.col("_N"), EQUIDEPTH_NB).cast("int"),
+            SC.ntile_from_rank(F.col("_rk"), F.col("_totn"), EQUIDEPTH_NB).cast("int"),
         )
         .groupBy("bucket")
         .agg(

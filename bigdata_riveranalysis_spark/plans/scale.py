@@ -68,9 +68,12 @@ def two_level_prefix(
     The explicit ``npartitions`` (default: the session's shuffle
     partitions) also pins AQE out of coalescing the range exchange.
 
-    Adds ``_rk`` (1-based global row number) and, per name in
-    ``sum_cols``, ``_cum_<c>`` (inclusive running sum) and ``_tot_<c>``
-    (grand total) to ``df``'s columns.
+    Adds ``_rk`` (1-based global row number), ``_totn`` (grand-total
+    row count — computed on the P-row band table, so ntile-style
+    callers don't need a separate count aggregate + broadcast of the
+    whole input; r16, guide §2.4) and, per name in ``sum_cols``,
+    ``_cum_<c>`` (inclusive running sum) and ``_tot_<c>`` (grand
+    total) to ``df``'s columns.
     """
     p = int(
         npartitions
@@ -114,6 +117,7 @@ def two_level_prefix(
     off = parts.select(
         "_pid",
         (F.sum("_n").over(ow) - F.col("_n")).alias("_offn"),
+        F.sum("_n").over(gw).alias("_totn"),
         *[
             (F.sum(f"_s_{c}").over(ow) - F.col(f"_s_{c}")).alias(f"_offs_{c}")
             for c in sum_cols
