@@ -89,6 +89,14 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw
 
 
+def _stream_partitions(parallelism: int, python_stateful: bool) -> int:
+    """Shuffle/state-store partition count for one streaming query —
+    the per-operator-class sizing rule (r16; measurements in the
+    _run_stream comment below). Pure so the rule is pinned by
+    tests/test_r16_opt.py."""
+    return max(4, parallelism // (2 if python_stateful else 8))
+
+
 def _run_stream(
     df: DataFrame,
     spark: SparkSession,
@@ -164,10 +172,13 @@ def _run_stream(
     # query to state volume — and, for the Python class, to
     # executor-Python parallelism — since the count can't change
     # across restarts of one checkpoint.
-    divisor = 2 if python_stateful else 8
     spark.conf.set(
         "spark.sql.shuffle.partitions",
-        str(max(4, spark.sparkContext.defaultParallelism // divisor)),
+        str(
+            _stream_partitions(
+                spark.sparkContext.defaultParallelism, python_stateful
+            )
+        ),
     )
     try:
         q = (
