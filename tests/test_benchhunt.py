@@ -196,3 +196,39 @@ def test_hunt_skips_failed_bench_runs(tmp_path):
         attempts=2,
     )
     assert best["attempt"] == 2 and calls["n"] == 2
+
+
+def test_hunt_creates_missing_snapshot_dir(tmp_path, monkeypatch):
+    """A fresh --snapshot-dir must be created up front: r16's first
+    real use crashed on the snapshot copy AFTER a completed 10-minute
+    bench attempt because only the default /tmp ever existed."""
+    import json as _json
+
+    from tools import benchhunt as H
+
+    bench = tmp_path / "BENCH.json"
+    bench.write_text(_json.dumps({
+        "value": 100.0, "n_queries": 2, "errors": {},
+        "noise": [
+            {"pass": 1, "loadavg_1m": 0.1, "probe_sec": 0.03},
+            {"pass": 2, "loadavg_1m": 0.1, "probe_sec": 0.03},
+            {"pass": 3, "loadavg_1m": 0.1, "probe_sec": 0.03},
+        ],
+    }))
+    snapdir = tmp_path / "does" / "not" / "exist"
+    best = H.hunt(
+        attempts=1,
+        hours=1.0,
+        launch_probe=0.05,
+        target_probe=0.05,
+        poll=0.0,
+        cooldown=0.0,
+        snapshot_dir=str(snapdir),
+        run=lambda: 0,
+        probe=lambda: 0.03,
+        sleep=lambda s: None,
+        clock=__import__("itertools").count(0, 60).__next__,
+        bench_path=str(bench),
+    )
+    assert best is not None and best["attempt"] == 1
+    assert (snapdir / "BENCH_hunt_1.json").exists()

@@ -135,6 +135,11 @@ def hunt(
     run = run or _run_bench
     probe = probe or warm_probe_median
     bench_path = bench_path or os.path.join(_REPO, "BENCH.json")
+    # A non-existent snapshot dir crashed the hunt AFTER a completed
+    # ~10-minute bench attempt (r16: the default "/tmp" always exists,
+    # so the first --snapshot-dir user hit it) — create it up front so
+    # the failure can't eat an attempt.
+    os.makedirs(snapshot_dir, exist_ok=True)
     deadline = clock() + hours * 3600
     attempt = 0
     best: dict | None = None
