@@ -1584,7 +1584,8 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # but each two_level_prefix runs an EAGER localCheckpoint — built
     # sequentially they serialize three small jobs while most of the
     # cluster idles (guide §2.6: overlap independent jobs; measured
-    # r16 at sf0.1: build phase 1.21 s → 0.52 s, query 2.22 → 1.55 s).
+    # r16 at sf0.1 with the _totn change: build 1.21 s → 0.94 s under
+    # a contention burst, bench row 2.316 → 1.469 s quiet).
     # Each branch's plan — and therefore the final joined plan and
     # every emitted row — is untouched; only the driver-side
     # construction overlaps. inheritable_thread_target propagates the
