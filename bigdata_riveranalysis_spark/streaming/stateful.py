@@ -255,7 +255,12 @@ def _fmt_us_arr(us):
     per-session `datetime.fromtimestamp().strftime()` calls were the
     largest single cost of the fold). `datetime64[us] → [s]` truncates
     with floor division exactly like `us // 1_000_000` (including
-    negative epochs — parity asserted in tests/test_r16_opt.py)."""
+    negative epochs — parity asserted in tests/test_r16_opt.py).
+
+    Parity holds on datetime's year 1-9999 domain (ADVICE r16): outside
+    it `_fmt_us` raises OverflowError/ValueError where numpy silently
+    formats 5-digit or negative years. The event fixtures are bounded
+    well inside the domain; the parity test pins the realistic range."""
     import numpy as _np
 
     s = _np.datetime_as_string(
@@ -276,7 +281,10 @@ def _session_fold_group(
 
     Inputs: ``cur`` = open-session state [start_us, last_us, n,
     last_event_id] or None; ``ts_us``/``eids`` = the batch's rows
-    sorted by (ts, event_id), int64 µs / int64. Returns
+    sorted by (ts, event_id), int64 µs / int64 — ``ts_us`` must be
+    NON-EMPTY (ADVICE r16: ``seg_start = ts_us[first_idx]`` raises
+    IndexError on a 0-row array; the caller's ``if chunks and
+    len(pdf)`` guard is the documented precondition). Returns
     ``(closed_start, closed_end, closed_n, closed_eid, new_cur)`` —
     the closed arrays are None when no session closed.
 

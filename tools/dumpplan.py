@@ -1,8 +1,8 @@
-"""Dump a query's physical plan to plans/r16/<name>_<tag>.txt.
+"""Dump a query's physical plan to plans/<round>/<name>_<tag>.txt.
 
 The optimization round's evidence contract: for every query touched,
 commit the `.explain("formatted")` output BEFORE and AFTER the change
-(plans/r16/<query>_before.txt / _after.txt) so plan-shape claims
+(plans/<round>/<query>_before.txt / _after.txt) so plan-shape claims
 (exchange counts, join strategies, PushedFilters, Python-boundary
 nodes) are checkable without running Spark.
 
@@ -13,8 +13,9 @@ Each dump carries BOTH plan views:
     broadcast-conversion/coalescing — the same source planaudit.py
     reads), obtained by collecting the DataFrame's own QueryExecution.
 
-Usage: python tools/dumpplan.py <tag> <query> [<query> ...] [--sf DIR]
+Usage: python tools/dumpplan.py <tag> <query> [<query> ...] [--sf=DIR] [--round=rNN]
        python tools/dumpplan.py before customer_rfm_segments
+(Flags take the = form only: '--sf DIR' would read DIR as a query name.)
 """
 
 from __future__ import annotations
@@ -28,11 +29,18 @@ os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--sf")]
+    args = [
+        a
+        for a in sys.argv[1:]
+        if not (a.startswith("--sf") or a.startswith("--round"))
+    ]
     sf_dir = "/root/testdata/sf0.1"
+    round_dir = "r17"
     for a in sys.argv[1:]:
         if a.startswith("--sf="):
             sf_dir = a.split("=", 1)[1]
+        elif a.startswith("--round="):
+            round_dir = a.split("=", 1)[1]
     if len(args) < 2:
         print(__doc__)
         return 2
@@ -42,7 +50,7 @@ def main() -> int:
     from bigdata_riveranalysis_spark.session import get_spark
 
     spark = get_spark("dumpplan")
-    outdir = os.path.join(_REPO, "plans", "r16")
+    outdir = os.path.join(_REPO, "plans", round_dir)
     os.makedirs(outdir, exist_ok=True)
     for name in names:
         q = lookup(name)
