@@ -104,6 +104,7 @@ def _run_stream(
     label: str,
     *,
     python_stateful: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     # Stateful streaming pins one state-store instance per shuffle
     # partition for the query's lifetime; each instance has per-batch
@@ -181,13 +182,18 @@ def _run_stream(
         ),
     )
     try:
-        q = (
+        writer = (
             df.writeStream.format("memory")
             .queryName(name)
             .outputMode(output_mode)
             .trigger(availableNow=True)
-            .start()
         )
+        if checkpoint_dir is not None:
+            # Explicit (caller-owned) checkpoint: a temp checkpoint is
+            # deleted when the query stops, but the session-fold state
+            # scan must read the drained store AFTER termination (r17).
+            writer = writer.option("checkpointLocation", checkpoint_dir)
+        q = writer.start()
         # availableNow must drain within the timeout; a False return
         # means the sink holds a PARTIAL result — surfacing it as the
         # query output would silently pass rows-only checks and record
@@ -775,14 +781,45 @@ def stream_session_fold_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     the watermark — bounded by concurrently-active users × gap
     horizon, not by stream length; partitioned by user_id like any
     shuffle. The retired batch twin (events_sessionize, r16 slot
-    plan) keeps the pure-SQL formulation pytest-verified."""
+    plan) keeps the pure-SQL formulation pytest-verified.
+
+    r17 (VERDICT r16 #1, guide §1.2/§2.4): the timeout flush is now a
+    single bounded batch scan of the drained state store instead of
+    Spark's per-key ``hasTimedOut`` cleanup micro-batch — measured,
+    batch 1 cost ~1.1-1.2 s (1,426 expired keys → 1,426 one-row
+    pandas frames through the Python protocol, plus a full
+    state-store commit) against a ~0.2 s 16-file store scan. The
+    fold runs under ``timeout_flush=False`` (NoTimeout — the drain is
+    its single data batch), and
+    ``session_fold_expired_from_state`` recovers the expired set with
+    the IDENTICAL strict-< ms boundary off the same state rows the
+    timeout machinery would have walked. Row-identical for the
+    single-data-batch drain (pinned vs the EventTimeTimeout
+    formulation incl. the ms knife edge, tests/test_r17_opt.py); the
+    multi-batch production path keeps EventTimeTimeout (its
+    tests/test_r16_fixes.py pins are untouched)."""
     from bigdata_riveranalysis_spark.streaming.stateful import (
         session_fold_event_ttl,
+        session_fold_expired_from_state,
     )
 
     out = session_fold_event_ttl(
         _events_stream(spark, sf_dir),
         gap_minutes=30,
         watermark_delay="10 minutes",
+        timeout_flush=False,
     )
-    return _run_stream(out, spark, "append", "session_fold_ttl", python_stateful=True)
+    ckpt = tempfile.mkdtemp(prefix="session_fold_ckpt_")
+    atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
+    gap_rows = _run_stream(
+        out,
+        spark,
+        "append",
+        "session_fold_ttl",
+        python_stateful=True,
+        checkpoint_dir=ckpt,
+    )
+    expired = session_fold_expired_from_state(
+        spark, ckpt, gap_minutes=30, watermark_delay_ms=600_000
+    )
+    return gap_rows.unionByName(expired)

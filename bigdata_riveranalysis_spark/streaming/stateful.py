@@ -19,6 +19,7 @@ path; per-row Python UDFs in a stream are not).
 
 from __future__ import annotations
 
+import os as _os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -360,6 +361,7 @@ def session_fold_event_ttl(
     *,
     gap_minutes: int = 30,
     watermark_delay: str = "10 minutes",
+    timeout_flush: bool = True,
 ) -> DataFrame:
     """Per-user sessionization with an EVENT-TIME state TTL
     (``GroupStateTimeout.EventTimeTimeout``) — the production expiry
@@ -402,6 +404,29 @@ def session_fold_event_ttl(
     active keys, not stream length — the TTL is what evicts idle
     keys), partitioned by user_id; emission is append-mode and
     watermark-bounded like any production sessionizer.
+
+    ``timeout_flush=False`` (r17, guide §1.2/§2.4 — remove the whole
+    flush micro-batch rather than speed it up): the operator runs
+    under ``NoTimeout`` — in-batch 'gap' sessions emit identically,
+    but open sessions are LEFT IN THE STATE STORE and no cleanup
+    micro-batch runs (``shouldRunAnotherBatch`` is false without a
+    timeout, so an availableNow drain is exactly its data batches).
+    The caller then recovers the timed-out set with ONE bounded batch
+    job over the drained checkpoint
+    (:func:`session_fold_expired_from_state`) instead of Spark's
+    per-key ``hasTimedOut`` protocol — measured r16/r17: the flush
+    batch hands 1,426 expired keys to Python as 1,426 single-row
+    pandas frames plus a full state-store commit (~1.1-1.2 s of the
+    2.67 s bench row); the state-scan replacement is a ~0.2 s scan of
+    16 tiny store files. For a SINGLE-data-batch drain (the registered
+    fixture: one file, availableNow) the two formulations are
+    row-identical — pinned by tests/test_r17_opt.py, including the
+    ms knife edge. They differ only on multi-batch streams where a
+    key times out and later receives events (the timeout path emits
+    'timeout' mid-stream and restarts; the state scan would fold the
+    late events into the still-open session) — which is why the
+    production/multi-batch path KEEPS the EventTimeTimeout default
+    and stays pinned by tests/test_r16_fixes.py.
     """
     gap_us = gap_minutes * 60 * 1_000_000
     gap_ms = gap_minutes * 60 * 1_000
@@ -452,8 +477,11 @@ def session_fold_event_ttl(
             )
         if cur is not None:
             state.update(tuple(cur))
-            wm_ms = state.getCurrentWatermarkMs()
-            state.setTimeoutTimestamp(max(cur[1] // 1_000 + gap_ms, wm_ms + 1))
+            if timeout_flush:
+                wm_ms = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(
+                    max(cur[1] // 1_000 + gap_ms, wm_ms + 1)
+                )
 
     return (
         events.select("user_id", "event_id", "ts")
@@ -464,7 +492,81 @@ def session_fold_event_ttl(
             outputStructType=SESSION_FOLD_OUTPUT_SCHEMA,
             stateStructType=SESSION_FOLD_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            timeoutConf=(
+                GroupStateTimeout.EventTimeTimeout
+                if timeout_flush
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )
+
+
+def session_fold_expired_from_state(
+    spark,
+    checkpoint_dir: str,
+    *,
+    gap_minutes: int = 30,
+    watermark_delay_ms: int = 600_000,
+) -> DataFrame:
+    """The timed-out sessions of a DRAINED ``timeout_flush=False``
+    session fold, recovered from its checkpoint's state store in one
+    bounded batch job (r17; the Spark 4 state data source reader) —
+    the replacement for the per-key ``hasTimedOut`` flush batch.
+
+    Reproduces Spark's measured timeout boundary exactly (pinned by
+    tests/test_r16_fixes.py and re-pinned for this path by
+    tests/test_r17_opt.py): a session expires iff
+    ``floor_ms(last) + gap < wm`` STRICTLY, with
+    ``wm = floor_ms(max event time) - delay``. Both floors use
+    ``div 1000`` on the stored epoch-µs longs — truncation toward
+    zero, identical to the operator's ``// 1000`` on the positive
+    epochs the fixtures carry (same pre-1970 caveat class as
+    ``_fmt_us_arr``). The global max event time IS the max stored
+    ``last_us``: the stream's last event belongs to some user's open
+    session, and nothing after it could close that session, so it is
+    in the store. Timestamp strings format through
+    ``date_format(timestamp_micros(...))`` in the UTC session —
+    second-floor truncation, byte-equal to ``_fmt_us``.
+
+    Scale: the state store holds one 4-long struct per open session
+    (bounded by active keys); this scan reads exactly those files —
+    it is the same "read your own state" pattern the state data
+    source exists for, and strictly cheaper than a cleanup micro-batch
+    (no per-key Python round-trip, no store commit)."""
+    from pyspark.sql import functions as F
+
+    gap_ms = gap_minutes * 60 * 1_000
+    # An empty drain (no committed batch / no state dir) has nothing
+    # to expire; the reader would fail on the missing offset log.
+    if not _os.path.isdir(_os.path.join(checkpoint_dir, "state")):
+        return spark.createDataFrame([], SESSION_FOLD_OUTPUT_SCHEMA)
+    st = spark.read.format("statestore").load(checkpoint_dir)
+    vals = st.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.groupState.start_us").alias("start_us"),
+        F.col("value.groupState.last_us").alias("last_us"),
+        F.col("value.groupState.n").alias("n_events"),
+        F.col("value.groupState.last_event_id").alias("last_event_id"),
+    )
+    wm = vals.agg(
+        (F.max(F.expr("last_us div 1000")) - F.lit(watermark_delay_ms)).alias(
+            "wm_ms"
+        )
+    )
+
+    def _fmt(c: str):
+        return F.date_format(F.timestamp_micros(c), "yyyy-MM-dd HH:mm:ss")
+
+    return (
+        vals.crossJoin(F.broadcast(wm))
+        .filter(F.expr("last_us div 1000") + F.lit(gap_ms) < F.col("wm_ms"))
+        .select(
+            "user_id",
+            _fmt("start_us").alias("session_start"),
+            _fmt("last_us").alias("session_end"),
+            "n_events",
+            "last_event_id",
+            F.lit("timeout").alias("close_reason"),
         )
     )
 

@@ -1,0 +1,146 @@
+"""r17 optimization pins.
+
+1. Session-fold state-scan flush (VERDICT r16 #1): the registered
+   ``stream_session_fold_ttl`` now drains under ``NoTimeout`` and
+   recovers the timed-out sessions with one bounded scan of the state
+   store (``session_fold_expired_from_state``) instead of the per-key
+   ``hasTimedOut`` cleanup micro-batch. For a SINGLE-data-batch drain
+   (the registered fixture's shape) the two formulations must be
+   row-identical — pinned here against the EventTimeTimeout
+   formulation on a real corpus AND on the planted ms knife edge from
+   tests/test_r16_fixes.py (equality at the boundary stays OPEN in
+   both).
+"""
+
+from __future__ import annotations
+
+import os
+
+from .conftest import SF_SMOKE
+from .test_r15_fixes import _ev
+
+
+def _drain_state_scan(spark, stream, tmp_path, *, name):
+    """Replicate the registered query's r17 shape on an arbitrary
+    event stream: NoTimeout fold into a memory sink with an explicit
+    checkpoint, then the state-scan flush, unioned."""
+    from bigdata_riveranalysis_spark.streaming.stateful import (
+        session_fold_event_ttl,
+        session_fold_expired_from_state,
+    )
+
+    out = session_fold_event_ttl(
+        stream,
+        gap_minutes=30,
+        watermark_delay="10 minutes",
+        timeout_flush=False,
+    )
+    ckpt = str(tmp_path / f"ckpt_{name}")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(180), "NoTimeout availableNow drain must terminate"
+        # the whole point: no cleanup micro-batch runs without a timeout
+        assert len(q.recentProgress) == 1, [p.batchId for p in q.recentProgress]
+    finally:
+        q.stop()
+    expired = session_fold_expired_from_state(
+        spark, ckpt, gap_minutes=30, watermark_delay_ms=600_000
+    )
+    return spark.table(name).unionByName(expired)
+
+
+def _rows(df):
+    return sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events,
+         r.last_event_id, r.close_reason)
+        for r in df.collect()
+    )
+
+
+def test_session_fold_state_scan_equals_timeout_flush(spark, tmp_path):
+    """On the real sf0.001 events corpus (single file → single
+    availableNow batch), the state-scan flush reproduces the
+    EventTimeTimeout formulation row-for-row."""
+    from bigdata_riveranalysis_spark.plans.streaming_queries import (
+        _events_stream,
+        _run_stream,
+    )
+    from bigdata_riveranalysis_spark.streaming.stateful import (
+        session_fold_event_ttl,
+    )
+
+    timeout_out = session_fold_event_ttl(
+        _events_stream(spark, SF_SMOKE),
+        gap_minutes=30,
+        watermark_delay="10 minutes",
+    )
+    via_timeout = _run_stream(
+        timeout_out, spark, "append", "r17_fold_timeout", python_stateful=True
+    )
+    via_scan = _drain_state_scan(
+        spark, _events_stream(spark, SF_SMOKE), tmp_path, name="r17_fold_scan"
+    )
+    a, b = _rows(via_timeout), _rows(via_scan)
+    assert a == b and len(a) > 0, (len(a), len(b))
+    # both close reasons must actually occur for the pin to mean much
+    reasons = {r[5] for r in a}
+    assert reasons == {"gap", "timeout"}, reasons
+
+
+def test_session_fold_state_scan_knife_edge(spark, tmp_path):
+    """The measured boundary from tests/test_r16_fixes.py, through the
+    state-scan flush: expiry iff floor_ms(last)+gap < floor_ms(max
+    ts)-delay STRICTLY — the planted equality case stays open, the
+    1 ms-inside case emits, in-batch gaps close inline, and the open
+    session the watermark never reaches is unreported."""
+    from bigdata_riveranalysis_spark.streaming.sources import file_json_stream
+
+    src = tmp_path / "src_edge"
+    src.mkdir()
+    rows = [
+        # u1: session ends 00:10 -> timeout 00:40 << wm -> expired
+        _ev(1, "2024-01-01 00:00:00", 1, "view"),
+        _ev(2, "2024-01-01 00:10:00", 1, "view"),
+        # u2 knife-edge: floor_ms(09:20:00.000500)+30min ==
+        # floor_ms(10:00:00.000999)-10min -> equality -> OPEN
+        _ev(3, "2024-01-01 09:20:00.000500", 2, "view"),
+        # u3: 1 ms inside the boundary -> expired
+        _ev(4, "2024-01-01 09:19:59.999", 3, "view"),
+        # u4: 60-min in-batch gap -> first session closes 'gap'
+        _ev(5, "2024-01-01 01:00:00", 4, "view"),
+        _ev(6, "2024-01-01 02:00:00", 4, "view"),
+        # u9 anchor sets wm = floor_ms(10:00:00.000999) - 10 min
+        _ev(9, "2024-01-01 10:00:00.000999", 9, "view"),
+    ]
+    (src / "batch_000.json").write_text("\n".join(rows) + "\n")
+    out = _drain_state_scan(
+        spark, file_json_stream(spark, str(src)), tmp_path, name="r17_fold_edge"
+    )
+    assert set(_rows(out)) == {
+        (1, "2024-01-01 00:00:00", "2024-01-01 00:10:00", 2, 2, "timeout"),
+        (3, "2024-01-01 09:19:59", "2024-01-01 09:19:59", 1, 4, "timeout"),
+        (4, "2024-01-01 01:00:00", "2024-01-01 01:00:00", 1, 5, "gap"),
+        (4, "2024-01-01 02:00:00", "2024-01-01 02:00:00", 1, 6, "timeout"),
+    }
+
+
+def test_session_fold_expired_from_state_empty_checkpoint(spark, tmp_path):
+    """A drain that never committed state (empty source) yields an
+    empty expired set with the declared schema, not a reader error."""
+    from bigdata_riveranalysis_spark.streaming.stateful import (
+        SESSION_FOLD_OUTPUT_SCHEMA,
+        session_fold_expired_from_state,
+    )
+
+    ckpt = str(tmp_path / "never_ran")
+    os.makedirs(ckpt)
+    out = session_fold_expired_from_state(spark, ckpt)
+    assert out.schema == SESSION_FOLD_OUTPUT_SCHEMA
+    assert out.count() == 0
