@@ -1536,18 +1536,29 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer key as the deterministic tie-break (the same rule as
     topk_orders_per_segment); recency sorts DESC so the most recent
     customers land in tile 5. Scale (rewritten per VERDICT r5 #3): no
-    unpartitioned window anywhere — each score is a scale.two_level_prefix
-    global rank (range-banded, per-band windows, P-row offset table)
-    turned into a quintile by scale.ntile_from_rank's integer
-    arithmetic, which reproduces window-ntile's bucket boundaries
-    bit-for-bit (the oracle still runs the literal ntile). At
-    billions of customers each ordering is two bounded shuffles of
-    the per-customer aggregate instead of a single-reducer sort; the
-    three score branches re-derive the per-customer base from the
-    (cheap, pruned) orders scan — measured faster at bench SF than an
-    eager localCheckpoint, whose serial materialization cost exceeds
-    the rescans here; at 100 TB persist the base once (the
-    multi-consumer discipline basket_part_pairs demonstrates).
+    unpartitioned window anywhere — scores come from
+    scale.two_level_prefix global ranks (range-banded, per-band
+    windows, P-row offset table) turned into quintiles by
+    scale.ntile_from_rank's integer arithmetic, which reproduces
+    window-ntile's bucket boundaries bit-for-bit (the oracle still
+    runs the literal ntile).
+
+    r17 (VERDICT r16 #6, guide §2.3/§2.4): ALL THREE scores now ride
+    ONE banded pass instead of three. Each base row melts into three
+    slim (sid, key, c_custkey) rows — the sort key encodes its
+    ordering as a single ascending long (recency negated for its DESC
+    sort; ties break on c_custkey exactly as before) — and a single
+    two_level_prefix over (sid, key, c_custkey) assigns every row its
+    global rank. Because each score block holds EXACTLY N rows (N =
+    _totn/3), the block-local rank is ``_rk − (sid−1)·N`` and
+    ntile_from_rank reproduces each branch's quintiles bit-for-bit.
+    One groupBy(c_custkey) pivots the three scores back, replacing
+    the r16 three-branch build (3 range exchanges + 3 eager
+    localCheckpoints + 3 score joins + a 3-thread overlap pool) with
+    one exchange chain over rows a third the width (the melt carries
+    2 longs + the key, not the whole base row). Plan diff: 54 → 27
+    Exchange lines, 30 → 24 HashAggregate (committed dumps under
+    plans/r17/); bench 1.469 (r16 band) → 1.056 s quiet.
     """
     orders = load_table(spark, sf_dir, "orders")
     ref = orders.agg(F.max("o_orderdate").alias("r"))
@@ -1566,55 +1577,49 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_c",
         )
     )
-    def score(args: tuple[list, str]) -> DataFrame:
-        # _totn (the grand-total count off two_level_prefix's P-row
-        # band table) replaces the former count-aggregate-of-base +
-        # crossJoin(broadcast) — one fewer job and broadcast exchange
-        # per branch for the identical integer (r16, guide §2.4).
-        order, alias = args
-        ranked = SC.two_level_prefix(base, order)
-        return ranked.select(
-            "c_custkey",
-            SC.ntile_from_rank(F.col("_rk"), F.col("_totn"), 5)
-            .cast("int")
-            .alias(alias),
-        )
-
-    # The three score branches are INDEPENDENT until the final join,
-    # but each two_level_prefix runs an EAGER localCheckpoint — built
-    # sequentially they serialize three small jobs while most of the
-    # cluster idles (guide §2.6: overlap independent jobs; measured
-    # r16 at sf0.1 with the _totn change: build 1.21 s → 0.94 s under
-    # a contention burst, bench row 2.316 → 1.469 s quiet).
-    # Each branch's plan — and therefore the final joined plan and
-    # every emitted row — is untouched; only the driver-side
-    # construction overlaps. inheritable_thread_target propagates the
-    # JVM thread-locals (job group/description) per the PySpark docs.
-    from concurrent.futures import ThreadPoolExecutor
-
-    from pyspark import inheritable_thread_target
-
-    specs = [
-        ([F.desc("recency_days"), F.asc("c_custkey")], "r_score"),
-        ([F.asc("frequency"), F.asc("c_custkey")], "f_score"),
-        ([F.asc("monetary_c"), F.asc("c_custkey")], "m_score"),
-    ]
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        r_sc, f_sc, m_sc = pool.map(inheritable_thread_target(score), specs)
-
-    return (
-        base.join(r_sc, "c_custkey")
-        .join(f_sc, "c_custkey")
-        .join(m_sc, "c_custkey")
-        .select(
-            "c_custkey",
-            "recency_days",
-            "frequency",
-            F.round(F.col("monetary_c") / 100.0, 4).alias("monetary"),
-            "r_score",
-            "f_score",
-            "m_score",
-        )
+    # Melt: (sid, key) per score — key1 ascends exactly as the score's
+    # declared ordering (DESC recency → ascending negation; all three
+    # keys are NOT NULL by construction: datediff of non-null maxes,
+    # count(*), sum over the groups' own rows).
+    melted = base.select(
+        "c_custkey",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("sid"),
+                    (-F.col("recency_days").cast("long")).alias("key"),
+                ),
+                F.struct(
+                    F.lit(2).alias("sid"),
+                    F.col("frequency").cast("long").alias("key"),
+                ),
+                F.struct(
+                    F.lit(3).alias("sid"),
+                    F.col("monetary_c").cast("long").alias("key"),
+                ),
+            )
+        ).alias("s"),
+    ).select("c_custkey", "s.sid", "s.key")
+    ranked = SC.two_level_prefix(
+        melted, [F.asc("sid"), F.asc("key"), F.asc("c_custkey")]
+    )
+    n = F.expr("_totn div 3")  # rows per score block, exactly N
+    score = SC.ntile_from_rank(
+        F.col("_rk") - (F.col("sid") - 1).cast("long") * n, n, 5
+    ).cast("int")
+    scores = ranked.groupBy("c_custkey").agg(
+        F.max(F.when(F.col("sid") == 1, score)).alias("r_score"),
+        F.max(F.when(F.col("sid") == 2, score)).alias("f_score"),
+        F.max(F.when(F.col("sid") == 3, score)).alias("m_score"),
+    )
+    return base.join(scores, "c_custkey").select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        F.round(F.col("monetary_c") / 100.0, 4).alias("monetary"),
+        "r_score",
+        "f_score",
+        "m_score",
     )
 
 
@@ -2565,13 +2570,20 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: ONE fact scan — the (order, supplier, ever-late) relation
     is aggregated first (plain max, no COUNT DISTINCT Expand
-    duplication), localCheckpointed (it feeds both the per-order
-    stats and the blame rows, and is one row per order-supplier pair,
-    far smaller than lineitem), and both the qualifying-order filter
-    and the blame set derive from it without touching the fact again.
-    The literal nested-EXISTS formulation scans lineitem three times;
-    the r7 first cut scanned it twice with an Expand (measured
-    3.0 s); this shape is single-scan.
+    duplication); the per-order stats (supplier count, late-supplier
+    count) are then PARTITIONED WINDOWS over that aggregate keyed on
+    l_orderkey (bounded per-order fan-in: TPC-H orders carry ≤7
+    suppliers), so the blame predicate applies row-wise in the same
+    pass. r17 (VERDICT r16 #5, guide §2.4): this replaces the r8-r16
+    shape — an eager localCheckpoint feeding a separate per-order
+    aggregate that was joined BACK to the pair table — with zero
+    materialization jobs and no self-join; the window's exchange on
+    l_orderkey is the only post-aggregate shuffle, and it moves the
+    already-aggregated pair table, never the fact. The literal
+    nested-EXISTS formulation scans lineitem three times; the r7 cut
+    twice with an Expand (3.0 s); the r8 checkpoint chain measured
+    1.75-2.0 s; this is single-scan, single-job (measured: see
+    plans/r17/q21_sole_late_supplier_after.txt).
     """
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
@@ -2580,26 +2592,17 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey") == F.col("o_orderkey"),
     )
     late = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60
-    os_ = (
-        j.groupBy("l_orderkey", "l_suppkey")
-        .agg(F.max(late).alias("supp_late"))
-        .localCheckpoint()
-    )
-    ostat = os_.groupBy(F.col("l_orderkey").alias("k")).agg(
-        F.count("*").alias("n_supp"),
-        F.sum(F.when(F.col("supp_late"), 1).otherwise(0)).alias("n_late"),
-    )
-    qual = ostat.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1)).select("k")
-    # NO broadcast hint on qual (VERDICT r7 #3): it is a set of
-    # qualifying ORDERS — order-cardinality, a meaningful fraction of
-    # all orders at the 100 TB design point, i.e. the classic
-    # unbounded-broadcast OOM. Both sides descend from the same
-    # (l_orderkey, …) groupBy of the checkpointed os_ frame, so the
-    # plain equi-join shuffles only the already-aggregated key sets;
-    # AQE may still elect a broadcast at small SF from measured sizes
-    # — a runtime choice, not a hardcoded assumption.
-    blame = os_.filter(F.col("supp_late")).join(
-        qual, F.col("l_orderkey") == F.col("k")
+    os_ = j.groupBy("l_orderkey", "l_suppkey").agg(F.max(late).alias("supp_late"))
+    w = W.partitionBy("l_orderkey")
+    blame = (
+        os_.withColumn("n_supp", F.count("*").over(w))
+        .withColumn(
+            "n_late",
+            F.sum(F.when(F.col("supp_late"), 1).otherwise(0)).over(w),
+        )
+        .filter(
+            F.col("supp_late") & (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
+        )
     )
     sup = load_table(spark, sf_dir, "supplier")
     return (

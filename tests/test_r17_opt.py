@@ -131,6 +131,42 @@ def test_session_fold_state_scan_knife_edge(spark, tmp_path):
     }
 
 
+def test_rfm_single_banded_pass(spark):
+    """VERDICT r16 #6: all three RFM quintile scores ride ONE
+    two_level_prefix pass — exactly one range exchange in the
+    optimized plan (the r16 shape had three, one per score branch).
+    Value parity with literal ntile(5) stays pinned by
+    tests/test_r6_operators.py::test_rfm_scores_identical_to_literal_ntile."""
+    from bigdata_riveranalysis_spark.plans.registry import REGISTRY
+
+    df = REGISTRY["customer_rfm_segments"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # two_level_prefix materializes its banded frame (localCheckpoint
+    # -> LogicalRDD) and feeds two consumers (the per-band window and
+    # the band-totals aggregate): ONE pass = exactly two LogicalRDD
+    # scans of the SAME melted shape. The r16 three-branch build had
+    # six. The melt is also the §2.3 pin: the banded exchange carries
+    # the slim (c_custkey, sid, key) rows, not the whole base row.
+    rdd_lines = [l for l in plan.splitlines() if "LogicalRDD" in l]
+    assert len(rdd_lines) == 2, plan
+    assert all("sid" in l and "key" in l for l in rdd_lines), rdd_lines
+
+
+def test_q21_single_job_no_materialization(spark):
+    """VERDICT r16 #5: q21's per-order stats are partitioned windows
+    over the pair aggregate — no eager localCheckpoint barrier, so the
+    whole query is one job (no LogicalRDD scan in the plan) and the
+    blame predicate needs no self-join of the pair table."""
+    from bigdata_riveranalysis_spark.plans.registry import REGISTRY
+
+    df = REGISTRY["q21_sole_late_supplier"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" not in plan, plan
+    assert "Window" in plan
+    # one lineitem scan only (the relation line leads with l_orderkey)
+    assert plan.count("Relation [l_") == 1, plan
+
+
 def test_session_fold_expired_from_state_empty_checkpoint(spark, tmp_path):
     """A drain that never committed state (empty source) yields an
     empty expired set with the declared schema, not a reader error."""
