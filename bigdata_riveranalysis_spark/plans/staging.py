@@ -56,6 +56,29 @@ from pyspark.sql import DataFrame, SparkSession
 #: (applicationId, abspath(sf_dir), stage) → materialized frame.
 _INDEX_MEMO: dict[tuple[str, str, str], DataFrame] = {}
 
+#: Right-sizing floor for staged artifacts (r17, guide §2.2/§6 —
+#: VERDICT r16 #2's negative-scaling root cause): a staged frame
+#: inherits its BUILD plan's partitioning (shuffle partitions, or a
+#: cores-derived spread), so a kilobyte-sized codebook/index landed in
+#: 32-64 partitions and every consumer scan paid 32-64 task overheads
+#: for microseconds of work — and MORE cores meant MORE tasks for the
+#: same bytes, which is exactly how four dense-family queries ran
+#: faster on 8 cores than 32. After materialization the frame's TRUE
+#: byte size is known (its checkpoint blocks are in the storage
+#: report), so frames whose partitions would average under
+#: _RIGHTSIZE_TARGET_BYTES are re-landed once at
+#: ceil(bytes / target) partitions. Scale-adaptive by construction:
+#: the target is a BYTES floor, not a cores number — a genuinely
+#: large staged artifact (bytes / 4 MiB >= its partition count) is
+#: never touched, and consumer parallelism for heavy operators comes
+#: from their own exchanges, not from the artifact scan. Frames at
+#: <= _RIGHTSIZE_MIN_PARTS partitions are left alone (nothing to
+#: win). Measured (sf0.1, local[32], interleaved min-of-3):
+#: ann_ivf_pq 1.156 -> 0.616 s with the PQ artifacts re-landed
+#: 32 -> 1-2 partitions; 8-vs-32-core ratios in OPTIMIZATION_r17.md.
+_RIGHTSIZE_TARGET_BYTES = 4 << 20
+_RIGHTSIZE_MIN_PARTS = 4
+
 #: Guards the memo dict and the per-key lock table ONLY — never held
 #: across a build. Each stage key gets its own reentrant lock (ADVICE
 #: r14): "derive once" stays real under same-key races (a second
@@ -167,6 +190,43 @@ def _dir_parent(installed: str) -> str:
     return _norm_path(installed.rsplit("/", 1)[0])
 
 
+def _rightsize(df: DataFrame) -> DataFrame:
+    """Re-land an over-partitioned SLIM staged frame at a byte-derived
+    partition count (see _RIGHTSIZE_TARGET_BYTES). No-op when the
+    frame is already at <= _RIGHTSIZE_MIN_PARTS partitions, when its
+    blocks aren't in the storage report (reliable-checkpoint durable
+    mode — partition counts there come from real cluster data sizes),
+    or when its bytes justify its partitioning. The one extra pass
+    reads the just-landed blocks once (slim by the staging contract)
+    and the superseded blocks are released immediately."""
+    try:
+        jrdd = df._jdf.queryExecution().analyzed().rdd()
+        n = jrdd.getNumPartitions()
+        if n <= _RIGHTSIZE_MIN_PARTS:
+            return df
+        rid = jrdd.id()
+        sc = df.sparkSession.sparkContext
+        info = next(
+            (
+                i
+                for i in sc._jsc.sc().getRDDStorageInfo()
+                if i.id() == rid
+            ),
+            None,
+        )
+        if info is None:
+            return df
+        nbytes = info.memSize() + info.diskSize()
+        target = max(1, -(-int(nbytes) // _RIGHTSIZE_TARGET_BYTES))
+        if target >= n:
+            return df
+        out = df.coalesce(target).localCheckpoint(eager=True)
+        jrdd.unpersist(False)
+        return out
+    except Exception:  # pragma: no cover - no JVM handle
+        return df
+
+
 def stage(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
     """Return the memoized frame for (this application, corpus,
     ``name``), deriving it exactly once via ``build()``.
@@ -201,8 +261,17 @@ def stage(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
         # there is "every staged frame survives executor loss",
         # and staged frames are slim by design, so the extra copy
         # of a pre-cut frame is a few KB of durable I/O.
-        if _os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR") or not _is_lineage_cut(df):
+        pre_cut = _is_lineage_cut(df)
+        durable = bool(_os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR"))
+        if durable or not pre_cut:
             df = materialize(df)
+        if not durable and not pre_cut:
+            # Right-size only frames THIS call materialized: a builder
+            # that pre-cut keeps both its object identity (the r14
+            # pass-through contract) and its blocks — releasing a
+            # frame the builder may still hold elsewhere is not ours
+            # to do.
+            df = _rightsize(df)
         with _LOCK:
             # FRAME entries keyed by OTHER applications are dead
             # weight: the blocks (local or durable) belong to a stopped

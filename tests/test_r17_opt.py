@@ -167,6 +167,27 @@ def test_q21_single_job_no_materialization(spark):
     assert plan.count("Relation [l_") == 1, plan
 
 
+def test_staged_frames_are_rightsized_by_bytes(spark, monkeypatch):
+    """VERDICT r16 #2: a slim staged artifact no longer inherits its
+    build plan's cores-derived partitioning — stage() re-lands it at
+    ceil(bytes / target) partitions, rows unchanged. A frame whose
+    bytes justify its partitioning is left alone."""
+    from bigdata_riveranalysis_spark.plans import staging as S
+
+    S.clear_index_memo()
+    wide = spark.range(0, 1000, 1, 24).selectExpr("id", "id * 3 AS trip")
+    got = S.stage(spark, SF_SMOKE, "r17_rightsize_probe", lambda: wide)
+    n = got.rdd.getNumPartitions()
+    assert n < 24 and n >= 1, n
+    assert sorted(r.id for r in got.collect()) == list(range(1000))
+    # bytes-justified partitioning is untouched: shrink the target so
+    # the same frame's bytes demand >= its partition count
+    monkeypatch.setattr(S, "_RIGHTSIZE_TARGET_BYTES", 1)
+    S.clear_index_memo()
+    got2 = S.stage(spark, SF_SMOKE, "r17_rightsize_probe2", lambda: wide)
+    assert got2.rdd.getNumPartitions() == 24
+
+
 def test_session_fold_expired_from_state_empty_checkpoint(spark, tmp_path):
     """A drain that never committed state (empty source) yields an
     empty expired set with the declared schema, not a reader error."""
