@@ -77,10 +77,17 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dirs are tiny (one symlink each) so exit-time cleanup is fine.
     stage = tempfile.mkdtemp(prefix="stream_events_")
     atexit.register(shutil.rmtree, stage, ignore_errors=True)
-    os.symlink(
-        os.path.join(sf_dir, "events.parquet"),
-        os.path.join(stage, "events-000.parquet"),
-    )
+    src = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(src):
+        # Multi-file table (tools/remat_fixture.py): the file stream
+        # source does not follow a symlinked DIRECTORY, so stage each
+        # part file as its own symlink (deterministic order).
+        from bigdata_riveranalysis_spark.sources.tables import _table_files
+
+        for i, f in enumerate(_table_files(src)):
+            os.symlink(f, os.path.join(stage, f"events-{i:03d}.parquet"))
+    else:
+        os.symlink(src, os.path.join(stage, "events-000.parquet"))
     raw = spark.readStream.schema(_events_schema(nanos)).parquet(stage)
     if nanos:
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))

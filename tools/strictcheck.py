@@ -129,10 +129,12 @@ def main() -> int:
         spark = get_spark("strictcheck")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        # Directory tables (tools/remat_fixture.py) need a glob for
+        # DuckDB; Spark-side load_table handles both forms already.
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            p += "/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     failures, hashes = [], {}
     for name, fn in qs.items():
