@@ -174,23 +174,45 @@ def feature_map_bundle(events: DataFrame, *, ttl_ms: int | None = None) -> DataF
             # concat before sorting — same Arrow-chunk-boundary rule
             # as ewma_with_spikes (chunk-local sorts would fold in
             # chunk-arrival order and diverge from the defined chain).
+            # r17 (guide §4.2): sort via np.lexsort on the key arrays
+            # and fold over plain lists with preallocated numpy
+            # outputs — the dict transitions are UNCHANGED (exact
+            # integers), only the per-group pandas machinery
+            # (sort_values on a tiny frame, Series iteration, list
+            # appends) is replaced; ~1,500 group invocations per batch
+            # made that machinery the dominant Python cost. Parity
+            # fuzz-pinned against a verbatim copy of the old loop in
+            # tests/test_r17_opt.py.
             pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
-            pdf = pdf.sort_values(["ts", "event_id"])
-            occ, new, ntypes, totals = [], [], [], []
-            for et in pdf["event_type"]:
-                k = _type_key(et)
+            import numpy as np
+
+            ts = pdf["ts"].to_numpy()
+            eid = pdf["event_id"].to_numpy()
+            order = np.lexsort((eid, ts))
+            etypes = pdf["event_type"].to_numpy()[order]
+            m = len(etypes)
+            occ = np.empty(m, dtype="int64")
+            new = np.empty(m, dtype=bool)
+            ntypes = np.empty(m, dtype="int64")
+            totals = np.empty(m, dtype="int64")
+            i = 0
+            for et in etypes.tolist():
+                # inlined _type_key (hot loop; equality with the
+                # helper is part of the r17 parity pin)
+                k = "\x01" + et if isinstance(et, str) else _NULL_TYPE_KEY
                 c = counts.get(k, 0) + 1
                 counts[k] = c
                 total += 1
-                occ.append(c)
-                new.append(c == 1)
-                ntypes.append(len(counts))
-                totals.append(total)
+                occ[i] = c
+                new[i] = c == 1
+                ntypes[i] = len(counts)
+                totals[i] = total
+                i += 1
             yield pd.DataFrame(
                 {
                     "user_id": user_id,
-                    "event_id": pdf["event_id"].to_numpy(),
-                    "event_type": pdf["event_type"].to_numpy(),
+                    "event_id": eid[order],
+                    "event_type": etypes,
                     "type_occurrence": occ,
                     "is_new_type": new,
                     "n_types_so_far": ntypes,
@@ -607,25 +629,43 @@ def ewma_with_spikes(
         # rows for ONE sensor — the same bound the sort itself needs.
         chunks = list(pdfs)
         if chunks:
+            # r17 (guide §4.2): the RECURRENCE stays a per-element
+            # Python loop — the IEEE multiply-add chain is sequential
+            # by definition and must stay bit-identical to the
+            # oracle's recursive CTE — but the per-group pandas
+            # machinery around it (sort_values on a tiny frame, Series
+            # iteration, list appends) is replaced by np.lexsort +
+            # plain-list iteration + preallocated outputs: with
+            # ~1,500 group invocations per batch that machinery, not
+            # the arithmetic, dominated (measured 0.92-1.15 s →
+            # 0.43-0.51 s single-threaded for the bench batch, ewma
+            # bitwise-equal). Fuzz-pinned against a verbatim copy of
+            # the old loop in tests/test_r17_opt.py.
             pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
-            pdf = pdf.sort_values(["ts", "event_id"])
-            out_ewma, out_spike = [], []
-            for v in pdf["value"]:
-                v = float(v)
+            import numpy as np
+
+            ts = pdf["ts"].to_numpy()
+            eid = pdf["event_id"].to_numpy()
+            order = np.lexsort((eid, ts))
+            vals_col = pdf["value"].to_numpy()[order]
+            m = len(vals_col)
+            out_ewma = np.empty(m, dtype="float64")
+            out_spike = np.zeros(m, dtype=bool)
+            i = 0
+            for v in np.asarray(vals_col, dtype="float64").tolist():
                 if v != v:  # NULL/NaN reading: pass through, don't poison state
-                    out_ewma.append(ewma if n > 0 else float("nan"))
-                    out_spike.append(False)
-                    continue
-                spike = n > 0 and v > spike_ratio * ewma
-                ewma = v if n == 0 else alpha * v + (1.0 - alpha) * ewma
-                n += 1
-                out_ewma.append(ewma)
-                out_spike.append(spike)
+                    out_ewma[i] = ewma if n > 0 else float("nan")
+                else:
+                    out_spike[i] = n > 0 and v > spike_ratio * ewma
+                    ewma = v if n == 0 else alpha * v + (1.0 - alpha) * ewma
+                    n += 1
+                    out_ewma[i] = ewma
+                i += 1
             yield pd.DataFrame(
                 {
                     "sensor_id": sensor_id,
-                    "event_id": pdf["event_id"].to_numpy(),
-                    "value": pdf["value"].to_numpy(),
+                    "event_id": eid[order],
+                    "value": vals_col,
                     "ewma": out_ewma,
                     "is_spike": out_spike,
                 }

@@ -247,6 +247,127 @@ def test_stream_stream_join_skips_no_data_batch_same_rows(spark):
     )
 
 
+def _old_ewma_reference(pdf, alpha=0.3, spike_ratio=3.0):
+    """Verbatim r16 ewma group fold (sort_values + Series iteration +
+    list appends) — the parity reference for the r17 numpy-machinery
+    rewrite. The arithmetic chain is identical by construction; this
+    pins that the mechanical rewrite didn't change it."""
+    import pandas as pd
+
+    pdf = pdf.sort_values(["ts", "event_id"])
+    ewma, n = 0.0, 0
+    out_ewma, out_spike = [], []
+    for v in pdf["value"]:
+        v = float(v)
+        if v != v:
+            out_ewma.append(ewma if n > 0 else float("nan"))
+            out_spike.append(False)
+            continue
+        spike = n > 0 and v > spike_ratio * ewma
+        ewma = v if n == 0 else alpha * v + (1.0 - alpha) * ewma
+        n += 1
+        out_ewma.append(ewma)
+        out_spike.append(spike)
+    return pd.DataFrame(
+        {"event_id": pdf["event_id"].to_numpy(), "ewma": out_ewma,
+         "is_spike": out_spike}
+    )
+
+
+def _old_feature_reference(pdf):
+    """Verbatim r16 feature-map group fold (fresh state)."""
+    import pandas as pd
+
+    from bigdata_riveranalysis_spark.streaming.stateful import _type_key
+
+    pdf = pdf.sort_values(["ts", "event_id"])
+    counts, total = {}, 0
+    occ, new, ntypes, totals = [], [], [], []
+    for et in pdf["event_type"]:
+        k = _type_key(et)
+        c = counts.get(k, 0) + 1
+        counts[k] = c
+        total += 1
+        occ.append(c)
+        new.append(c == 1)
+        ntypes.append(len(counts))
+        totals.append(total)
+    return pd.DataFrame(
+        {"event_id": pdf["event_id"].to_numpy(), "type_occurrence": occ,
+         "is_new_type": new, "n_types_so_far": ntypes, "events_so_far": totals}
+    )
+
+
+def test_pystate_folds_match_old_loop_on_planted_edges(spark, tmp_path):
+    """r17 §4.2 rewrite of the ewma / feature-map group folds (lexsort
+    + preallocated numpy outputs instead of per-group pandas
+    machinery): engine output must equal the verbatim OLD loops on a
+    corpus planting the edge cases — NaN/NULL readings (including a
+    sensor whose FIRST readings are missing), NULL event_type, and ts
+    ties broken by event_id. ewma equality is BITWISE."""
+    import json
+    import math
+
+    from bigdata_riveranalysis_spark.streaming.sources import file_json_stream
+    from bigdata_riveranalysis_spark.streaming.stateful import (
+        ewma_with_spikes,
+        feature_map_bundle,
+    )
+
+    rows = [
+        # u1: ts tie broken by event_id, a spike, and a NaN mid-stream
+        {"event_id": 1, "ts": "2024-01-01 00:00:00", "user_id": 1, "event_type": "a", "value": 10.0},
+        {"event_id": 2, "ts": "2024-01-01 00:00:00", "user_id": 1, "event_type": "b", "value": 1.0},
+        {"event_id": 3, "ts": "2024-01-01 00:01:00", "user_id": 1, "event_type": None, "value": None},
+        {"event_id": 4, "ts": "2024-01-01 00:02:00", "user_id": 1, "event_type": "a", "value": 99.0},
+        # u2: first readings missing, then values
+        {"event_id": 5, "ts": "2024-01-01 00:00:00", "user_id": 2, "event_type": "x", "value": None},
+        {"event_id": 6, "ts": "2024-01-01 00:00:30", "user_id": 2, "event_type": "x", "value": 7.25},
+        {"event_id": 7, "ts": "2024-01-01 00:00:30", "user_id": 2, "event_type": "y", "value": 0.1},
+    ]
+    src = tmp_path / "src_folds"
+    src.mkdir()
+    (src / "b0.json").write_text(
+        "\n".join(json.dumps({**r, "props": "{}"}) for r in rows) + "\n"
+    )
+
+    def drain(out, name):
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        assert q.awaitTermination(180)
+        return spark.table(name).toPandas()
+
+    stream = file_json_stream(spark, str(src))
+    got_e = drain(ewma_with_spikes(stream), "r17_fold_ewma")
+    got_f = drain(feature_map_bundle(file_json_stream(spark, str(src))), "r17_fold_feat")
+
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows)
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    for uid, grp in pdf.groupby("user_id"):
+        ref = _old_ewma_reference(grp)
+        got = got_e[got_e.sensor_id == uid].set_index("event_id")
+        for _, r in ref.iterrows():
+            g = got.loc[r.event_id]
+            assert bool(g.is_spike) == bool(r.is_spike), (uid, r.event_id)
+            if math.isnan(r.ewma):
+                assert g.ewma is None or (isinstance(g.ewma, float) and math.isnan(g.ewma))
+            else:
+                assert float(g.ewma) == float(r.ewma), (uid, r.event_id)
+        reff = _old_feature_reference(grp)
+        gotf = got_f[got_f.user_id == uid].set_index("event_id")
+        for _, r in reff.iterrows():
+            g = gotf.loc[r.event_id]
+            assert (
+                int(g.type_occurrence), bool(g.is_new_type),
+                int(g.n_types_so_far), int(g.events_so_far),
+            ) == (
+                int(r.type_occurrence), bool(r.is_new_type),
+                int(r.n_types_so_far), int(r.events_so_far),
+            ), (uid, r.event_id)
+
+
 def test_session_fold_expired_from_state_empty_checkpoint(spark, tmp_path):
     """A drain that never committed state (empty source) yields an
     empty expired set with the declared schema, not a reader error."""
