@@ -164,16 +164,23 @@ def test_clear_index_memo_releases_checkpoint_blocks(spark):
     info drops only on the RDD-level unpersist)."""
     from bigdata_riveranalysis_spark.plans import staging as S
 
-    def n_blocks():
-        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    def stored_ids():
+        # Track the staged frame's OWN RDD, not a global block count:
+        # earlier tests' dead RDDs are swept by the ContextCleaner at
+        # arbitrary moments (the r17 right-size pass's unpersist makes
+        # that churn likelier), so global before/after deltas are
+        # order-fragile (review r17).
+        return {
+            i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        }
 
     S.clear_index_memo()
-    before = n_blocks()
     got = S.stage(spark, SF_SMOKE, "r14_block_probe", lambda: spark.range(50000))
     got.count()
-    assert n_blocks() > before, "precondition: staging must hold blocks"
+    rid = got._jdf.queryExecution().analyzed().rdd().id()
+    assert rid in stored_ids(), "precondition: staging must hold blocks"
     S.clear_index_memo()
-    assert n_blocks() <= before, "clear must release the staged frames' blocks"
+    assert rid not in stored_ids(), "clear must release the staged frames' blocks"
 
 
 # ---------------------------------------------------------------------------
